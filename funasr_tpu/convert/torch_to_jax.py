@@ -1,0 +1,211 @@
+"""PyTorch checkpoint -> JAX param-pytree converter.
+
+Maps reference FunASR ``model.pt`` state-dict names (e.g.
+``encoder.encoders.12.self_attn.linear_q_k_v.weight``) onto this framework's param
+trees. Layout changes applied once at load time:
+
+* Linear:           torch (out, in)      -> jnp kernel (in, out)
+* depthwise Conv1d: torch (C, 1, K)      -> (K, C)
+* full Conv1d:      torch (C_out,C_in,K) -> (K, C_in, C_out)
+* LayerNorm:        weight/bias          -> scale/bias
+
+The entry point is :func:`convert_state_dict`, dispatched per model class.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import numpy as np
+
+from funasr_tpu.core.module import stack_params
+
+
+def _np(x):
+    if hasattr(x, "detach"):
+        x = x.detach().cpu().numpy()
+    return np.asarray(x, dtype=np.float32)
+
+
+class SD:
+    """A state-dict view with prefix navigation and consumption tracking."""
+
+    def __init__(self, sd: Dict[str, Any], prefix: str = ""):
+        self.sd = sd
+        self.prefix = prefix
+        self.used = set() if prefix else set()
+
+    def sub(self, name: str) -> "SD":
+        child = SD(self.sd, self.prefix + name + ".")
+        child.used = self.used
+        return child
+
+    def get(self, name: str):
+        key = self.prefix + name
+        self.used.add(key)
+        return _np(self.sd[key])
+
+    def has(self, name: str) -> bool:
+        return (self.prefix + name) in self.sd
+
+    def linear(self, name: str):
+        p = {"w": self.get(name + ".weight").T}
+        if self.has(name + ".bias"):
+            p["b"] = self.get(name + ".bias")
+        return p
+
+    def norm(self, name: str):
+        return {"scale": self.get(name + ".weight"), "bias": self.get(name + ".bias")}
+
+    def dwconv(self, name: str):
+        w = self.get(name + ".weight")  # (C, 1, K)
+        p = {"w": w[:, 0, :].T}  # (K, C)
+        if self.has(name + ".bias"):
+            p["b"] = self.get(name + ".bias")
+        return p
+
+    def conv1d(self, name: str):
+        w = self.get(name + ".weight")  # (C_out, C_in, K)
+        p = {"w": w.transpose(2, 1, 0)}
+        if self.has(name + ".bias"):
+            p["b"] = self.get(name + ".bias")
+        return p
+
+    def embedding(self, name: str):
+        return {"w": self.get(name + ".weight")}
+
+    def ffn(self, name: str):
+        s = self.sub(name)
+        return {"w_1": s.linear("w_1"), "w_2": s.linear("w_2")}
+
+    def ffn_dec_sanm(self, name: str):
+        s = self.sub(name)
+        return {"w_1": s.linear("w_1"), "norm": s.norm("norm"), "w_2": s.linear("w_2")}
+
+
+# ---------------------------------------------------------------------------
+# SANM encoder / Paraformer decoder / predictor
+# ---------------------------------------------------------------------------
+
+
+def _enc_layer(s: SD):
+    return {
+        "norm1": s.norm("norm1"),
+        "norm2": s.norm("norm2"),
+        "self_attn": {
+            "linear_q_k_v": s.linear("self_attn.linear_q_k_v"),
+            "linear_out": s.linear("self_attn.linear_out"),
+            "fsmn_block": s.dwconv("self_attn.fsmn_block"),
+        },
+        "feed_forward": s.ffn("feed_forward"),
+    }
+
+
+def convert_sanm_encoder(sd: SD, num_blocks: int):
+    params = {
+        "encoders0": _enc_layer(sd.sub("encoders0.0")),
+        "after_norm": sd.norm("after_norm"),
+    }
+    if num_blocks > 1:
+        params["encoders"] = stack_params(
+            [_enc_layer(sd.sub(f"encoders.{i}")) for i in range(num_blocks - 1)]
+        )
+    return params
+
+
+def _dec_layer(s: SD, has_self: bool, has_src: bool):
+    p = {"norm1": s.norm("norm1"),
+         "feed_forward": s.ffn_dec_sanm("feed_forward")}
+    if has_self:
+        p["norm2"] = s.norm("norm2")
+        p["self_attn"] = {"fsmn_block": s.dwconv("self_attn.fsmn_block")}
+    if has_src:
+        p["norm3"] = s.norm("norm3")
+        p["src_attn"] = {
+            "linear_q": s.linear("src_attn.linear_q"),
+            "linear_k_v": s.linear("src_attn.linear_k_v"),
+            "linear_out": s.linear("src_attn.linear_out"),
+        }
+    return p
+
+
+def convert_paraformer_decoder(sd: SD, att_layer_num: int, num_blocks: int,
+                               use_output_layer: bool = True):
+    params = {
+        "decoders": stack_params(
+            [_dec_layer(sd.sub(f"decoders.{i}"), True, True)
+             for i in range(att_layer_num)]
+        ),
+        "decoders3": _dec_layer(sd.sub("decoders3.0"), False, False),
+        "after_norm": sd.norm("after_norm"),
+    }
+    if num_blocks - att_layer_num > 0:
+        params["decoders2"] = stack_params(
+            [_dec_layer(sd.sub(f"decoders2.{i}"), True, False)
+             for i in range(num_blocks - att_layer_num)]
+        )
+    if use_output_layer:
+        params["output_layer"] = sd.linear("output_layer")
+    if sd.has("embed.0.weight"):
+        params["embed"] = sd.embedding("embed.0")
+    return params
+
+
+def convert_cif_predictor(sd: SD):
+    return {
+        "cif_conv1d": sd.conv1d("cif_conv1d"),
+        "cif_output": sd.linear("cif_output"),
+    }
+
+
+def convert_ctc(sd: SD):
+    return {"ctc_lo": sd.linear("ctc_lo")}
+
+
+def convert_paraformer(state_dict: Dict[str, Any], model) -> Dict[str, Any]:
+    """Full Paraformer family state dict -> params (encoder/decoder/predictor[/ctc]).
+
+    ``model`` is a built ``funasr_tpu.models.paraformer.model.Paraformer`` (or
+    subclass); its sub-configs supply layer counts.
+    """
+    sd = SD(_strip_module_prefix(state_dict))
+    params = {
+        "encoder": convert_sanm_encoder(sd.sub("encoder"), model.encoder.cfg.num_blocks),
+        "decoder": convert_paraformer_decoder(
+            sd.sub("decoder"), model.decoder.cfg.att_layer_num,
+            model.decoder.cfg.num_blocks, model.decoder.cfg.use_output_layer),
+        "predictor": convert_cif_predictor(sd.sub("predictor")),
+    }
+    if model.ctc is not None and "ctc.ctc_lo.weight" in sd.sd:
+        params["ctc"] = convert_ctc(sd.sub("ctc"))
+    return params
+
+
+def _strip_module_prefix(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """Tolerate DDP 'module.' prefixes (reference ``trainer.py:303-323`` behavior)."""
+    if any(k.startswith("module.") for k in sd):
+        return {k[len("module."):] if k.startswith("module.") else k: v
+                for k, v in sd.items()}
+    return dict(sd)
+
+
+def load_torch_checkpoint(path: str) -> Dict[str, Any]:
+    """Load a ``model.pt`` state dict without requiring CUDA."""
+    import torch
+    obj = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(obj, dict) and "state_dict" in obj:
+        obj = obj["state_dict"]
+    return obj
+
+
+CONVERTERS = {
+    "Paraformer": convert_paraformer,
+    "BiCifParaformer": convert_paraformer,
+}
+
+
+def convert_state_dict(state_dict, model, model_class: str | None = None):
+    name = model_class or type(model).__name__
+    if name in CONVERTERS:
+        return CONVERTERS[name](state_dict, model)
+    raise NotImplementedError(f"no converter for model class {name}")

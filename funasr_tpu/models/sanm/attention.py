@@ -1,0 +1,210 @@
+"""SAN-M attention: multi-head self-attention + depthwise-conv FSMN memory branch.
+
+TPU-native rebuild of the reference ops (FunASR ``funasr/models/sanm/attention.py``:
+``MultiHeadedAttentionSANM:149-366`` — fused qkv projection, scaled-dot attention over
+heads, FSMN depthwise conv over the *pre-head-split* V with residual, branch sum;
+``MultiHeadedAttentionSANMDecoder:555`` — FSMN-only self attention with streaming cache;
+``MultiHeadedAttentionCrossAtt:664`` — fused kv cross-attention).
+
+All matmuls run through the MXU in the caller's compute dtype with fp32 accumulation;
+softmax in fp32. The FSMN depthwise conv lowers to k shifted fused multiply-adds (VPU).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from funasr_tpu.core.layers import (
+    depthwise_conv1d_apply,
+    depthwise_conv1d_init,
+    linear_apply,
+    linear_init,
+    masked_softmax,
+)
+
+
+class SANMAttentionConfig(NamedTuple):
+    n_head: int
+    in_feat: int
+    n_feat: int
+    kernel_size: int = 11
+    sanm_shift: int = 0
+
+    @property
+    def d_k(self) -> int:
+        return self.n_feat // self.n_head
+
+    @property
+    def fsmn_pads(self):
+        left = (self.kernel_size - 1) // 2
+        if self.sanm_shift > 0:
+            left += self.sanm_shift
+        return left, self.kernel_size - 1 - left
+
+
+def sanm_attention_init(rng, cfg: SANMAttentionConfig):
+    k1, k2, k3 = jax.random.split(rng, 3)
+    return {
+        "linear_q_k_v": linear_init(k1, cfg.in_feat, cfg.n_feat * 3),
+        "linear_out": linear_init(k2, cfg.n_feat, cfg.n_feat),
+        "fsmn_block": depthwise_conv1d_init(k3, cfg.n_feat, cfg.kernel_size, bias=False),
+    }
+
+
+def _fsmn(params, cfg: SANMAttentionConfig, v, mask):
+    """FSMN memory: mask -> depthwise conv -> +residual -> mask. v: (B, T, C)."""
+    left, right = cfg.fsmn_pads
+    if mask is not None:
+        v = v * mask[..., None].astype(v.dtype)
+    mem = depthwise_conv1d_apply(params["fsmn_block"], v, left_pad=left, right_pad=right)
+    mem = mem + v
+    if mask is not None:
+        mem = mem * mask[..., None].astype(mem.dtype)
+    return mem
+
+
+def _split_heads(x, n_head, d_k):
+    b, t, _ = x.shape
+    return x.reshape(b, t, n_head, d_k).transpose(0, 2, 1, 3)  # (B, H, T, dk)
+
+
+def _merge_heads(x):
+    b, h, t, dk = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, t, h * dk)
+
+
+def sanm_attention_apply(params, cfg: SANMAttentionConfig, x, mask):
+    """x: (B, T, in_feat); mask: (B, T) bool valid-mask or None -> (B, T, n_feat)."""
+    qkv = linear_apply(params["linear_q_k_v"], x)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    fsmn_memory = _fsmn(params, cfg, v, mask)
+
+    q_h = _split_heads(q, cfg.n_head, cfg.d_k) * (cfg.d_k ** -0.5)
+    k_h = _split_heads(k, cfg.n_head, cfg.d_k)
+    v_h = _split_heads(v, cfg.n_head, cfg.d_k)
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q_h, k_h, preferred_element_type=jnp.float32)
+    attn_mask = None if mask is None else mask[:, None, None, :]
+    attn = masked_softmax(scores.astype(x.dtype), attn_mask)
+    ctx = jnp.einsum("bhqk,bhkd->bhqd", attn, v_h, preferred_element_type=jnp.float32)
+    att_out = linear_apply(params["linear_out"], _merge_heads(ctx).astype(x.dtype))
+    return att_out + fsmn_memory
+
+
+def sanm_attention_apply_chunk(params, cfg: SANMAttentionConfig, x, kv_cache):
+    """Streaming chunk step: attend over [cache_kv | current chunk] without masks.
+
+    ``kv_cache``: dict {"k": (B,H,Tc,dk), "v": ...} or None. Returns (out, new_cache_kv)
+    where new_cache_kv covers everything up to the chunk's stride boundary; the caller
+    (chunked encoder) handles look-back trimming with static shapes.
+    (semantics of reference ``forward_chunk`` at ``sanm/attention.py:329-366``)
+    """
+    qkv = linear_apply(params["linear_q_k_v"], x)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    fsmn_memory = _fsmn(params, cfg, v, None)
+
+    q_h = _split_heads(q, cfg.n_head, cfg.d_k) * (cfg.d_k ** -0.5)
+    k_h = _split_heads(k, cfg.n_head, cfg.d_k)
+    v_h = _split_heads(v, cfg.n_head, cfg.d_k)
+    if kv_cache is not None:
+        k_full = jnp.concatenate([kv_cache["k"], k_h], axis=2)
+        v_full = jnp.concatenate([kv_cache["v"], v_h], axis=2)
+    else:
+        k_full, v_full = k_h, v_h
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q_h, k_full, preferred_element_type=jnp.float32)
+    attn = masked_softmax(scores.astype(x.dtype), None)
+    ctx = jnp.einsum("bhqk,bhkd->bhqd", attn, v_full, preferred_element_type=jnp.float32)
+    att_out = linear_apply(params["linear_out"], _merge_heads(ctx).astype(x.dtype))
+    return att_out + fsmn_memory, {"k": k_h, "v": v_h}
+
+
+# ---------------------------------------------------------------------------
+# decoder-side FSMN-only self attention
+# ---------------------------------------------------------------------------
+
+
+class FSMNDecoderConfig(NamedTuple):
+    n_feat: int
+    kernel_size: int = 11
+    sanm_shift: int = 0
+
+    @property
+    def fsmn_pads(self):
+        left = (self.kernel_size - 1) // 2
+        if self.sanm_shift > 0:
+            left += self.sanm_shift
+        return left, self.kernel_size - 1 - left
+
+
+def fsmn_decoder_init(rng, cfg: FSMNDecoderConfig):
+    return {"fsmn_block": depthwise_conv1d_init(rng, cfg.n_feat, cfg.kernel_size, bias=False)}
+
+
+def fsmn_decoder_apply(params, cfg: FSMNDecoderConfig, x, mask):
+    """FSMN-only 'self attention' used by the NAR decoder. x: (B, T, C)."""
+    left, right = cfg.fsmn_pads
+    if mask is not None:
+        x = x * mask[..., None].astype(x.dtype)
+    out = depthwise_conv1d_apply(params["fsmn_block"], x, left_pad=left, right_pad=right)
+    out = out + x
+    if mask is not None:
+        out = out * mask[..., None].astype(out.dtype)
+    return out
+
+
+def fsmn_decoder_apply_step(params, cfg: FSMNDecoderConfig, x, cache):
+    """Single-frame streaming step with a rolling (B, k-1, C) input cache."""
+    buf = jnp.concatenate([cache, x], axis=1)  # (B, k-1+t, C)
+    out = depthwise_conv1d_apply(params["fsmn_block"], buf, left_pad=0, right_pad=0)
+    out = out + x[:, -out.shape[1]:]
+    new_cache = buf[:, -(cfg.kernel_size - 1):] if cfg.kernel_size > 1 else cache
+    return out, new_cache
+
+
+# ---------------------------------------------------------------------------
+# cross attention (decoder -> encoder memory)
+# ---------------------------------------------------------------------------
+
+
+class CrossAttentionConfig(NamedTuple):
+    n_head: int
+    n_feat: int
+    encoder_output_size: Optional[int] = None
+
+    @property
+    def d_k(self) -> int:
+        return self.n_feat // self.n_head
+
+    @property
+    def kv_in(self) -> int:
+        return self.encoder_output_size or self.n_feat
+
+
+def cross_attention_init(rng, cfg: CrossAttentionConfig):
+    k1, k2, k3 = jax.random.split(rng, 3)
+    return {
+        "linear_q": linear_init(k1, cfg.n_feat, cfg.n_feat),
+        "linear_k_v": linear_init(k2, cfg.kv_in, cfg.n_feat * 2),
+        "linear_out": linear_init(k3, cfg.n_feat, cfg.n_feat),
+    }
+
+
+def cross_attention_apply(params, cfg: CrossAttentionConfig, x, memory, memory_mask,
+                          ret_attn: bool = False):
+    """x: (B, Tq, n_feat); memory: (B, Tk, enc); memory_mask: (B, Tk) bool or None."""
+    q = linear_apply(params["linear_q"], x)
+    kv = linear_apply(params["linear_k_v"], memory.astype(x.dtype))
+    k, v = jnp.split(kv, 2, axis=-1)
+    q_h = _split_heads(q, cfg.n_head, cfg.d_k) * (cfg.d_k ** -0.5)
+    k_h = _split_heads(k, cfg.n_head, cfg.d_k)
+    v_h = _split_heads(v, cfg.n_head, cfg.d_k)
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q_h, k_h, preferred_element_type=jnp.float32)
+    attn_mask = None if memory_mask is None else memory_mask[:, None, None, :]
+    attn = masked_softmax(scores.astype(x.dtype), attn_mask)
+    ctx = jnp.einsum("bhqk,bhkd->bhqd", attn, v_h, preferred_element_type=jnp.float32)
+    out = linear_apply(params["linear_out"], _merge_heads(ctx).astype(x.dtype))
+    if ret_attn:
+        return out, attn
+    return out

@@ -1,0 +1,152 @@
+"""Host-side audio/text loading (counterpart of FunASR ``funasr/utils/load_utils.py``:
+``load_audio_text_image_video:48``, ``load_bytes:306``, ``extract_fbank:381``).
+
+Decodes WAV/PCM natively (no torchaudio/ffmpeg in this environment); resamples with
+``scipy.signal.resample_poly``; returns float32 waveforms in [-1, 1). Feature
+extraction happens on device via the frontend (bucketed batch fbank).
+"""
+
+from __future__ import annotations
+
+import io
+import math
+import os
+import struct
+from typing import Any, List, Tuple
+
+import numpy as np
+
+
+def _parse_wav_bytes(data: bytes) -> Tuple[np.ndarray, int]:
+    """Minimal RIFF/WAVE parser: PCM16/24/32, float32, mono/multi-channel."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos = 12
+    fmt = None
+    raw = None
+    while pos + 8 <= len(data):
+        chunk_id = data[pos : pos + 4]
+        size = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
+        body = data[pos + 8 : pos + 8 + size]
+        if chunk_id == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif chunk_id == b"data":
+            raw = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or raw is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels, sample_rate, _, _, bits = fmt
+    if audio_format == 3 or (audio_format == 0xFFFE and bits == 32):
+        wav = np.frombuffer(raw, dtype=np.float32)
+    elif bits == 16:
+        wav = np.frombuffer(raw, dtype=np.int16).astype(np.float32) / 32768.0
+    elif bits == 32:
+        wav = np.frombuffer(raw, dtype=np.int32).astype(np.float32) / 2147483648.0
+    elif bits == 8:
+        wav = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    elif bits == 24:
+        b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+        vals = (b[:, 0].astype(np.int32) | (b[:, 1].astype(np.int32) << 8)
+                | (b[:, 2].astype(np.int32) << 16))
+        vals = np.where(vals >= 1 << 23, vals - (1 << 24), vals)
+        wav = vals.astype(np.float32) / float(1 << 23)
+    else:
+        raise ValueError(f"unsupported wav: format={audio_format} bits={bits}")
+    if channels > 1:
+        wav = wav.reshape(-1, channels).mean(axis=1)
+    return np.ascontiguousarray(wav), sample_rate
+
+
+def is_audio_container(data: bytes) -> bool:
+    """Container sniff (reference ``_is_audio_container:272``)."""
+    if len(data) < 12:
+        return False
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        return True
+    if data[:4] == b"fLaC" or data[:4] == b"OggS" or data[:3] == b"ID3":
+        return True
+    if data[:2] in (b"\xff\xfb", b"\xff\xf3", b"\xff\xf2", b"\xff\xe3"):
+        return True  # mp3 frame sync
+    if data[4:8] == b"ftyp":
+        return True  # mp4/m4a
+    return False
+
+
+def load_bytes(data: bytes) -> np.ndarray:
+    """Raw 16-bit PCM bytes -> float32 (reference ``load_bytes:306``)."""
+    return np.frombuffer(data, dtype=np.int16).astype(np.float32) / 32768.0
+
+
+def resample(wav: np.ndarray, orig_fs: int, target_fs: int) -> np.ndarray:
+    if orig_fs == target_fs:
+        return wav
+    from scipy.signal import resample_poly
+    g = math.gcd(orig_fs, target_fs)
+    return resample_poly(wav, target_fs // g, orig_fs // g).astype(np.float32)
+
+
+def load_audio(source: Any, fs: int = 16000, audio_fs: int = 16000) -> np.ndarray:
+    """One source (path / bytes / ndarray / list of samples) -> float32 mono @ fs."""
+    if isinstance(source, np.ndarray):
+        wav = source.astype(np.float32)
+        if wav.ndim > 1:
+            wav = wav.mean(axis=-1 if wav.shape[-1] <= 8 else 0)
+        return resample(wav, audio_fs, fs)
+    if isinstance(source, (bytes, bytearray)):
+        data = bytes(source)
+        if is_audio_container(data):
+            wav, sr = _parse_wav_bytes(data)
+            return resample(wav, sr, fs)
+        return resample(load_bytes(data), audio_fs, fs)
+    if isinstance(source, str):
+        if source.startswith(("http://", "https://")):
+            raise RuntimeError("URL inputs require network access (disabled)")
+        ext = os.path.splitext(source)[1].lower()
+        with open(source, "rb") as f:
+            data = f.read()
+        if ext == ".pcm":
+            return resample(load_bytes(data), audio_fs, fs)
+        wav, sr = _parse_wav_bytes(data)
+        return resample(wav, sr, fs)
+    if isinstance(source, (list, tuple)):
+        return resample(np.asarray(source, dtype=np.float32), audio_fs, fs)
+    raise TypeError(f"unsupported audio source type {type(source)}")
+
+
+def load_audio_text_image_video(data_in, fs: int = 16000, audio_fs: int = 16000,
+                                data_type: str = "sound", tokenizer=None, **kwargs):
+    """Normalize inputs to a list (reference ``load_audio_text_image_video:48``).
+
+    sound -> list of float32 waveforms; text -> list of token-id arrays / raw strings.
+    """
+    single = not isinstance(data_in, (list, tuple))
+    items = [data_in] if single else list(data_in)
+    out = []
+    for item in items:
+        if data_type == "text":
+            if tokenizer is not None and isinstance(item, str):
+                out.append(np.asarray(tokenizer.encode(item), dtype=np.int32))
+            else:
+                out.append(item)
+        else:
+            out.append(load_audio(item, fs=fs, audio_fs=audio_fs))
+    return out
+
+
+def extract_fbank(audio_list: List[np.ndarray], data_type: str = "sound",
+                  frontend=None, is_final: bool = True, cache=None):
+    """List of waveforms -> (feats (B, T, D) np.float32, lens (B,) np.int32).
+
+    Delegates to the frontend's batched device pipeline (bucketed shapes).
+    """
+    if data_type == "fbank":
+        feats = audio_list
+        lens = np.asarray([f.shape[0] for f in feats], np.int32)
+        maxlen = max(int(l) for l in lens)
+        out = np.zeros((len(feats), maxlen, feats[0].shape[-1]), np.float32)
+        for i, f in enumerate(feats):
+            out[i, : f.shape[0]] = f
+        return out, lens
+    if cache is not None:
+        return frontend.forward_streaming(audio_list, cache=cache, is_final=is_final)
+    return frontend.extract(audio_list)
