@@ -1,0 +1,87 @@
+"""Headline benchmark: Paraformer-large batched offline ASR throughput (RTFx).
+
+Measures the full device pipeline — waveform -> kaldi fbank -> LFR6 -> CMVN -> 50-block
+SAN-M encoder -> CIF -> 16-block NAR decoder -> greedy tokens — on one TPU chip in
+bf16, batch-16 x 15 s utterances (the shape the AutoModel ``batch_size_s`` batcher
+produces after VAD segmentation).
+
+RTFx = audio_seconds / wall_seconds (reference definition,
+``docs/benchmark/rtf_reproducibility.md:8-28``). Baseline: Paraformer-large GPU RTFx
+120x on H100 (reference ``README.md:317``; see BASELINE.md).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_RTFX = 120.0  # reference Paraformer-large GPU (H100) RTFx
+
+
+def main():
+    from funasr_tpu.core.module import cast_floats
+    from funasr_tpu.models.paraformer.model import Paraformer
+    from funasr_tpu.ops.lfr import apply_cmvn, apply_lfr_batch
+    from funasr_tpu.ops.fbank import fbank_batch
+
+    batch, secs = 16, 15.0
+    fs = 16000
+    n = int(secs * fs)
+
+    model = Paraformer(
+        input_size=560, vocab_size=8404,
+        encoder_conf=dict(output_size=512, attention_heads=4, linear_units=2048,
+                          num_blocks=50, kernel_size=11, sanm_shfit=0,
+                          dropout_rate=0.0),
+        decoder_conf=dict(attention_heads=16, linear_units=2048, num_blocks=16,
+                          att_layer_num=16, kernel_size=11, sanm_shfit=0),
+        predictor_conf=dict(idim=512, l_order=1, r_order=1, tail_threshold=0.45),
+        sos=1, eos=2, predictor_bias=1)
+    params = cast_floats(model.init_params(jax.random.PRNGKey(0)), jnp.bfloat16)
+
+    rng = np.random.default_rng(0)
+    waves = jnp.asarray(rng.standard_normal((batch, n)) * 0.1, jnp.float32)
+    wlens = jnp.full((batch,), n, jnp.int32)
+    cmvn_means = jnp.zeros((560,), jnp.float32)
+    cmvn_istd = jnp.full((560,), 0.1, jnp.float32)
+
+    t_lfr = -(-(1 + (n - 400) // 160) // 6)
+
+    @jax.jit
+    def pipeline(params, waves, wlens):
+        feats, flens = fbank_batch(waves * 32768.0, wlens)
+        feats, flens = apply_lfr_batch(feats, flens, 7, 6)
+        feats = apply_cmvn(feats, cmvn_means, cmvn_istd)
+        yseq, token_lens, score, _, _ = model.infer_jit(
+            params, feats.astype(jnp.bfloat16), flens, max_tokens=t_lfr // 2)
+        return yseq, token_lens
+
+    # warmup/compile
+    out = pipeline(params, waves, wlens)
+    jax.block_until_ready(out)
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = pipeline(params, waves, wlens)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    audio_seconds = batch * secs * iters
+    rtfx = audio_seconds / dt
+    print(json.dumps({
+        "metric": "paraformer_large_offline_rtfx_1chip",
+        "value": round(rtfx, 1),
+        "unit": "x_realtime",
+        "vs_baseline": round(rtfx / BASELINE_RTFX, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()
