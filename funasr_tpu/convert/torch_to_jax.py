@@ -162,6 +162,48 @@ def convert_ctc(sd: SD):
     return {"ctc_lo": sd.linear("ctc_lo")}
 
 
+def _dwconv2d(sd: SD, name: str):
+    """torch depthwise Conv2d (C, 1, K, 1) -> (K, C) (the VAD FSMN memory convs)."""
+    w = sd.get(name + ".weight")
+    return {"w": w[:, 0, :, 0].T}
+
+
+def convert_fsmn(sd: SD, fsmn_layers: int):
+    """VAD FSMN encoder (reference ``fsmn_vad_streaming/encoder.py:258-340``)."""
+    params = {
+        "in_linear1": sd.linear("in_linear1.linear"),
+        "in_linear2": sd.linear("in_linear2.linear"),
+        "out_linear1": sd.linear("out_linear1.linear"),
+        "out_linear2": sd.linear("out_linear2.linear"),
+        "fsmn": [],
+    }
+    for i in range(fsmn_layers):
+        s = sd.sub(f"fsmn.{i}")
+        block = {
+            "linear": s.linear("linear.linear"),
+            "conv_left": _dwconv2d(s, "fsmn_block.conv_left"),
+            "affine": s.linear("affine.linear"),
+        }
+        if s.has("fsmn_block.conv_right.weight"):
+            block["conv_right"] = _dwconv2d(s, "fsmn_block.conv_right")
+        params["fsmn"].append(block)
+    return params
+
+
+def convert_fsmn_vad(state_dict: Dict[str, Any], model) -> Dict[str, Any]:
+    sd = SD(_strip_module_prefix(state_dict))
+    return {"encoder": convert_fsmn(sd.sub("encoder"), model.encoder.cfg.fsmn_layers)}
+
+
+def convert_ct_transformer(state_dict: Dict[str, Any], model) -> Dict[str, Any]:
+    sd = SD(_strip_module_prefix(state_dict))
+    return {
+        "embed": sd.embedding("embed"),
+        "encoder": convert_sanm_encoder(sd.sub("encoder"), model.encoder.cfg.num_blocks),
+        "decoder": sd.linear("decoder"),
+    }
+
+
 def convert_paraformer(state_dict: Dict[str, Any], model) -> Dict[str, Any]:
     """Full Paraformer family state dict -> params (encoder/decoder/predictor[/ctc]).
 
@@ -201,6 +243,8 @@ def load_torch_checkpoint(path: str) -> Dict[str, Any]:
 CONVERTERS = {
     "Paraformer": convert_paraformer,
     "BiCifParaformer": convert_paraformer,
+    "FsmnVADStreaming": convert_fsmn_vad,
+    "CTTransformer": convert_ct_transformer,
 }
 
 

@@ -109,11 +109,11 @@ def depthwise_conv1d_apply(p, x, *, left_pad: int, right_pad: int):
     assert x.shape[-1] == c, (x.shape, c)
     xf = x.astype(jnp.float32)
     pad = jnp.pad(xf, ((0, 0), (left_pad, right_pad), (0, 0)))
-    t = x.shape[1]
-    out = jnp.zeros_like(xf)
+    t_out = x.shape[1] + left_pad + right_pad - k + 1
+    out = jnp.zeros((x.shape[0], t_out, c), jnp.float32)
     w = p["w"].astype(jnp.float32)
     for i in range(k):
-        out = out + pad[:, i : i + t, :] * w[i]
+        out = out + pad[:, i : i + t_out, :] * w[i]
     if "b" in p:
         out = out + p["b"]
     return out.astype(x.dtype)

@@ -128,6 +128,8 @@ class WavFrontendOnline(WavFrontend):
         Returns (feats (1, T, D), lens (1,)) possibly T=0.
         """
         assert cache is not None
+        if "waveform" not in cache:
+            cache.update(self.init_cache())
         chunk = np.concatenate([cache["waveform"]] + [w.astype(np.float32) for w in waveforms])
         # raw fbank frames available in buffered samples
         total = chunk.shape[0]

@@ -69,12 +69,14 @@ def _layer_init(rng, cfg: SANMEncoderConfig, first: bool):
 
 
 def _layer_apply(params, cfg: SANMEncoderConfig, x, mask, first: bool, rng=None):
-    """Pre-norm EncoderLayerSANM; no attention residual when dims change (first block)."""
+    """Pre-norm EncoderLayerSANM; attention residual only when dims match
+    (reference ``EncoderLayerSANM.forward:118-135`` keys on in_size == size)."""
+    attn_cfg = cfg.attn_cfg(first)
     residual = x
     h = layer_norm_apply(params["norm1"], x)
-    h = sanm_attention_apply(params["self_attn"], cfg.attn_cfg(first), h, mask)
+    h = sanm_attention_apply(params["self_attn"], attn_cfg, h, mask)
     h = maybe_dropout(rng, h, cfg.dropout_rate if rng is not None else 0.0)
-    x = h if first else residual + h
+    x = h if attn_cfg.in_feat != attn_cfg.n_feat else residual + h
     residual = x
     h = layer_norm_apply(params["norm2"], x)
     h = ffn_apply(params["feed_forward"], h)
