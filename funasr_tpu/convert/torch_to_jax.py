@@ -195,6 +195,69 @@ def convert_fsmn_vad(state_dict: Dict[str, Any], model) -> Dict[str, Any]:
     return {"encoder": convert_fsmn(sd.sub("encoder"), model.encoder.cfg.fsmn_layers)}
 
 
+def _bn(sd: SD, name: str):
+    p = {"mean": sd.get(name + ".running_mean"), "var": sd.get(name + ".running_var")}
+    if sd.has(name + ".weight"):
+        p["scale"] = sd.get(name + ".weight")
+        p["bias"] = sd.get(name + ".bias")
+    return p
+
+
+def _conv2d(sd: SD, name: str):
+    w = sd.get(name + ".weight")  # (C_out, C_in, KH, KW) -> (KH, KW, C_in, C_out)
+    p = {"w": w.transpose(2, 3, 1, 0)}
+    if sd.has(name + ".bias"):
+        p["b"] = sd.get(name + ".bias")
+    return p
+
+
+def convert_campplus(state_dict: Dict[str, Any], model) -> Dict[str, Any]:
+    """CAM++ (reference ``funasr/models/campplus/model.py:42-200`` layout)."""
+    sd = SD(_strip_module_prefix(state_dict))
+    head = sd.sub("head")
+    p_head = {"conv1": _conv2d(head, "conv1"), "bn1": _bn(head, "bn1"),
+              "conv2": _conv2d(head, "conv2"), "bn2": _bn(head, "bn2")}
+    for li in (1, 2):
+        layers = []
+        for bi in range(2):
+            s = head.sub(f"layer{li}.{bi}")
+            block = {"conv1": _conv2d(s, "conv1"), "bn1": _bn(s, "bn1"),
+                     "conv2": _conv2d(s, "conv2"), "bn2": _bn(s, "bn2")}
+            if s.has("shortcut.0.weight"):
+                block["shortcut"] = {"conv": _conv2d(s, "shortcut.0"),
+                                     "bn": _bn(s, "shortcut.1")}
+            layers.append(block)
+        p_head[f"layer{li}"] = layers
+
+    xv = sd.sub("xvector")
+    p_xv = {"tdnn": {"linear": xv.conv1d("tdnn.linear"),
+                     "bn": _bn(xv, "tdnn.nonlinear.batchnorm")}}
+    from funasr_tpu.models.campplus.model import BLOCKS
+    for i, (num_layers, _, _) in enumerate(BLOCKS):
+        layers = []
+        for j in range(num_layers):
+            s = xv.sub(f"block{i + 1}.tdnnd{j + 1}")
+            layers.append({
+                "nonlinear1": _bn(s, "nonlinear1.batchnorm"),
+                "linear1": s.conv1d("linear1"),
+                "nonlinear2": _bn(s, "nonlinear2.batchnorm"),
+                "cam_layer": {
+                    "linear_local": s.conv1d("cam_layer.linear_local"),
+                    "linear1": s.conv1d("cam_layer.linear1"),
+                    "linear2": s.conv1d("cam_layer.linear2"),
+                },
+            })
+        p_xv[f"block{i + 1}"] = layers
+        p_xv[f"transit{i + 1}"] = {
+            "nonlinear": _bn(xv, f"transit{i + 1}.nonlinear.batchnorm"),
+            "linear": xv.conv1d(f"transit{i + 1}.linear")}
+    p_xv["out_nonlinear"] = _bn(xv, "out_nonlinear.batchnorm")
+    if xv.has("dense.linear.weight"):
+        p_xv["dense"] = {"linear": xv.conv1d("dense.linear"),
+                         "nonlinear": _bn(xv, "dense.nonlinear.batchnorm")}
+    return {"head": p_head, "xvector": p_xv}
+
+
 def convert_ct_transformer(state_dict: Dict[str, Any], model) -> Dict[str, Any]:
     sd = SD(_strip_module_prefix(state_dict))
     return {
@@ -245,6 +308,7 @@ CONVERTERS = {
     "BiCifParaformer": convert_paraformer,
     "FsmnVADStreaming": convert_fsmn_vad,
     "CTTransformer": convert_ct_transformer,
+    "CAMPPlus": convert_campplus,
 }
 
 
