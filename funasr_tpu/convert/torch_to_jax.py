@@ -152,10 +152,29 @@ def convert_paraformer_decoder(sd: SD, att_layer_num: int, num_blocks: int,
 
 
 def convert_cif_predictor(sd: SD):
-    return {
+    params = {
         "cif_conv1d": sd.conv1d("cif_conv1d"),
         "cif_output": sd.linear("cif_output"),
     }
+    # CifPredictorV3 extras (upsample timestamp head)
+    if sd.has("upsample_cnn.weight"):
+        params["upsample_cnn"] = {"w": sd.get("upsample_cnn.weight"),
+                                  "b": sd.get("upsample_cnn.bias")}
+        params["cif_output2"] = sd.linear("cif_output2")
+    if sd.has("blstm.weight_ih_l0"):
+        params["blstm_fw"] = {
+            "w_ih": sd.get("blstm.weight_ih_l0").T,
+            "w_hh": sd.get("blstm.weight_hh_l0").T,
+            "b_ih": sd.get("blstm.bias_ih_l0"),
+            "b_hh": sd.get("blstm.bias_hh_l0"),
+        }
+        params["blstm_bw"] = {
+            "w_ih": sd.get("blstm.weight_ih_l0_reverse").T,
+            "w_hh": sd.get("blstm.weight_hh_l0_reverse").T,
+            "b_ih": sd.get("blstm.bias_ih_l0_reverse"),
+            "b_hh": sd.get("blstm.bias_hh_l0_reverse"),
+        }
+    return params
 
 
 def convert_ctc(sd: SD):
@@ -267,6 +286,31 @@ def convert_ct_transformer(state_dict: Dict[str, Any], model) -> Dict[str, Any]:
     }
 
 
+def convert_sense_voice_encoder(sd: SD, num_blocks: int, tp_blocks: int):
+    params = {
+        "encoders0": _enc_layer(sd.sub("encoders0.0")),
+        "after_norm": sd.norm("after_norm"),
+        "tp_norm": sd.norm("tp_norm"),
+    }
+    if num_blocks > 1:
+        params["encoders"] = stack_params(
+            [_enc_layer(sd.sub(f"encoders.{i}")) for i in range(num_blocks - 1)])
+    if tp_blocks > 0:
+        params["tp_encoders"] = stack_params(
+            [_enc_layer(sd.sub(f"tp_encoders.{i}")) for i in range(tp_blocks)])
+    return params
+
+
+def convert_sense_voice(state_dict: Dict[str, Any], model) -> Dict[str, Any]:
+    sd = SD(_strip_module_prefix(state_dict))
+    return {
+        "encoder": convert_sense_voice_encoder(
+            sd.sub("encoder"), model.encoder.cfg.num_blocks, model.encoder.tp_blocks),
+        "ctc": convert_ctc(sd.sub("ctc")),
+        "embed": sd.embedding("embed"),
+    }
+
+
 def convert_paraformer(state_dict: Dict[str, Any], model) -> Dict[str, Any]:
     """Full Paraformer family state dict -> params (encoder/decoder/predictor[/ctc]).
 
@@ -309,6 +353,7 @@ CONVERTERS = {
     "FsmnVADStreaming": convert_fsmn_vad,
     "CTTransformer": convert_ct_transformer,
     "CAMPPlus": convert_campplus,
+    "SenseVoiceSmall": convert_sense_voice,
 }
 
 

@@ -175,6 +175,61 @@ def ffn_dec_sanm_apply(p, x):
     return linear_apply(p["w_2"], h)
 
 
+def conv_transpose1d_init(rng, c_in: int, c_out: int, kernel: int):
+    """torch ConvTranspose1d weight (C_in, C_out, K) stored as (C_in, C_out, K)."""
+    bound = 1.0 / math.sqrt(c_in * kernel)
+    return {"w": uniform_init(rng, (c_in, c_out, kernel), bound),
+            "b": uniform_init(jax.random.fold_in(rng, 1), (c_out,), bound)}
+
+
+def conv_transpose1d_apply_stride_eq_kernel(p, x):
+    """Upsample where kernel == stride: each input frame emits K output frames.
+    x: (B, T, C_in) -> (B, T*K, C_out)."""
+    w = p["w"].astype(x.dtype)  # (C_in, C_out, K)
+    y = jnp.einsum("btc,cdk->btkd", x, w, preferred_element_type=jnp.float32)
+    b, t, k, d = y.shape
+    return (y.reshape(b, t * k, d) + p["b"]).astype(x.dtype)
+
+
+def lstm_init(rng, in_dim: int, hidden: int):
+    """torch LSTM layout: gates ordered (i, f, g, o); kernels stored transposed."""
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    bound = 1.0 / math.sqrt(hidden)
+    return {
+        "w_ih": uniform_init(k1, (in_dim, 4 * hidden), bound),
+        "w_hh": uniform_init(k2, (hidden, 4 * hidden), bound),
+        "b_ih": uniform_init(k3, (4 * hidden,), bound),
+        "b_hh": uniform_init(k4, (4 * hidden,), bound),
+    }
+
+
+def lstm_apply(p, x, reverse: bool = False):
+    """x: (B, T, D) -> (B, T, H) single-layer LSTM via lax.scan."""
+    h_dim = p["w_hh"].shape[0]
+    b = x.shape[0]
+    xf = x.astype(jnp.float32)
+    pre = jnp.einsum("btd,dg->btg", xf, p["w_ih"].astype(jnp.float32)) \
+        + p["b_ih"] + p["b_hh"]
+
+    def step(carry, pre_t):
+        h, c = carry
+        gates = pre_t + jnp.matmul(h, p["w_hh"].astype(jnp.float32))
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h = jax.nn.sigmoid(o) * jnp.tanh(c)
+        return (h, c), h
+
+    init = (jnp.zeros((b, h_dim), jnp.float32), jnp.zeros((b, h_dim), jnp.float32))
+    seq = pre.swapaxes(0, 1)
+    _, hs = jax.lax.scan(step, init, seq, reverse=reverse)
+    return hs.swapaxes(0, 1).astype(x.dtype)
+
+
+def bilstm_apply(p_fw, p_bw, x):
+    return jnp.concatenate([lstm_apply(p_fw, x), lstm_apply(p_bw, x, reverse=True)],
+                           axis=-1)
+
+
 # ---------------------------------------------------------------------------
 # positional encoding & masks
 # ---------------------------------------------------------------------------

@@ -102,16 +102,25 @@ class CifPredictorV2:
     # streaming: sequential integrate with carried state
     # ------------------------------------------------------------------
 
-    def forward_chunk(self, params, hidden, state, max_tokens: int, is_final=False):
+    def forward_chunk(self, params, hidden, state, max_tokens: int, is_final=False,
+                      chunk_size=None):
         """Chunked CIF (reference ``forward_chunk:316-412`` semantics).
 
-        ``state``: {"integrate": (B,), "frame": (B, D)}. Scans the chunk frame-by-frame
-        carrying (integrate, frame); emits up to ``max_tokens`` fired embeddings with a
-        count. ``is_final`` adds a tail fire if enough mass has accumulated.
+        ``state``: {"integrate": (B,), "frame": (B, D)} — the raw (integrate, weighted
+        frame) carry; mathematically identical to the reference's normalized
+        pseudo-frame trick. ``chunk_size`` [pad_left, stride, lookahead] zeroes alphas
+        outside the current stride (the lookahead frames re-arrive next chunk).
+        ``is_final`` appends the tail-threshold fire.
         """
         c = self.cfg
         b, t, d = hidden.shape
         a = self.alphas(params, hidden, None)  # (B, T)
+        if chunk_size is not None:
+            pos = jnp.arange(t)[None, :]
+            keep = (pos >= chunk_size[0])
+            if not is_final:
+                keep &= pos < (chunk_size[0] + chunk_size[1])
+            a = a * keep.astype(a.dtype)
         if is_final:
             a = jnp.concatenate([a, jnp.full((b, 1), c.tail_threshold, jnp.float32)], 1)
             hidden = jnp.concatenate([hidden, jnp.zeros((b, 1, d), hidden.dtype)], 1)

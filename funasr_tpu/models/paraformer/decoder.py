@@ -11,7 +11,7 @@ Homogeneous layers run under ``jax.lax.scan`` over stacked params.
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -139,6 +139,97 @@ class ParaformerSANMDecoder:
 
     def embed(self, params, ids, dtype=jnp.float32):
         return embedding_apply(params["embed"], ids, dtype=dtype)
+
+    def forward_asf(self, params, hs_pad, hlens, ys_in_pad, ys_in_lens,
+                    probe_layer: Optional[int] = None):
+        """Run the first ``probe_layer`` layers and return the next layer's
+        cross-attention matrix (B, H, Tq, Tk) — attention-score filtering probe
+        (reference ``forward_asf6`` at ``decoder.py:485-513``)."""
+        from funasr_tpu.core.module import unstack_params
+        from funasr_tpu.models.sanm.attention import cross_attention_apply
+
+        cfg = self.cfg
+        n = cfg.att_layer_num
+        probe = min(probe_layer if probe_layer is not None else 6, n) - 1
+        tgt_mask = make_pad_mask(ys_in_lens, ys_in_pad.shape[1])
+        memory_mask = make_pad_mask(hlens, hs_pad.shape[1])
+        x = ys_in_pad
+        layers = unstack_params(params["decoders"], n)
+        for lp in layers[:probe]:
+            x = _layer_apply(lp, cfg, x, tgt_mask, hs_pad, memory_mask, True, True)
+        lp = layers[probe]
+        h = layer_norm_apply(lp["norm1"], x)
+        h = ffn_dec_sanm_apply(lp["feed_forward"], h)
+        x2 = layer_norm_apply(lp["norm2"], h)
+        from funasr_tpu.models.sanm.attention import fsmn_decoder_apply
+        x2 = fsmn_decoder_apply(lp["self_attn"], cfg.fsmn_cfg, x2, tgt_mask)
+        x = x + x2
+        h3 = layer_norm_apply(lp["norm3"], x)
+        _, attn = cross_attention_apply(lp["src_attn"], cfg.cross_cfg, h3, hs_pad,
+                                        memory_mask, ret_attn=True)
+        return attn
+
+    def forward_chunk(self, params, memory, tgt, cache):
+        """Streaming chunk decode (reference ``decoder.py:515-583``): per-layer FSMN
+        rolling caches + cross-attn kv caches with look-back over chunk memories.
+
+        ``cache``: {"decode_fsmn": [.]|None, "opt": [.]|None, "chunk_size",
+        "decoder_chunk_look_back"}. Returns logits for the chunk's fired tokens."""
+        from funasr_tpu.models.sanm.attention import (
+            cross_attention_apply_chunk, fsmn_decoder_apply_step)
+        from funasr_tpu.core.module import unstack_params
+
+        cfg = self.cfg
+        n_self = cfg.num_blocks
+        fsmn_cache = cache.get("decode_fsmn")
+        if fsmn_cache is None:
+            k = cfg.kernel_size
+            b, _, d = tgt.shape
+            fsmn_cache = [jnp.zeros((b, k - 1, d), tgt.dtype) for _ in range(n_self)]
+        opt_cache = cache.get("opt") or [None] * cfg.att_layer_num
+        chunk_size = cache.get("chunk_size")
+        look_back = cache.get("decoder_chunk_look_back", 0)
+
+        x = tgt
+        layers = unstack_params(params["decoders"], cfg.att_layer_num)
+        for i, lp in enumerate(layers):
+            residual = x
+            h = layer_norm_apply(lp["norm1"], x)
+            h = ffn_dec_sanm_apply(lp["feed_forward"], h)
+            x2 = layer_norm_apply(lp["norm2"], h)
+            x2, fsmn_cache[i] = fsmn_decoder_apply_step(
+                lp["self_attn"], cfg.fsmn_cfg, x2, fsmn_cache[i])
+            x = residual + x2
+            residual = x
+            h3 = layer_norm_apply(lp["norm3"], x)
+            h3, opt_cache[i] = cross_attention_apply_chunk(
+                lp["src_attn"], cfg.cross_cfg, h3, memory, opt_cache[i],
+                chunk_size, look_back)
+            x = residual + h3
+
+        if "decoders2" in params:
+            layers2 = unstack_params(params["decoders2"],
+                                     cfg.num_blocks - cfg.att_layer_num)
+            for j, lp in enumerate(layers2):
+                i = cfg.att_layer_num + j
+                residual = x
+                h = layer_norm_apply(lp["norm1"], x)
+                h = ffn_dec_sanm_apply(lp["feed_forward"], h)
+                x2 = layer_norm_apply(lp["norm2"], h)
+                x2, fsmn_cache[i] = fsmn_decoder_apply_step(
+                    lp["self_attn"], cfg.fsmn_cfg, x2, fsmn_cache[i])
+                x = residual + x2
+
+        lp3 = params["decoders3"]
+        x = ffn_dec_sanm_apply(lp3["feed_forward"],
+                               layer_norm_apply(lp3["norm1"], x))
+        x = layer_norm_apply(params["after_norm"], x)
+        if cfg.use_output_layer:
+            x = linear_apply(params["output_layer"], x)
+        cache["decode_fsmn"] = fsmn_cache
+        if look_back > 0 or look_back == -1:
+            cache["opt"] = opt_cache
+        return x
 
     def __call__(self, params, hs_pad, hlens, ys_in_pad, ys_in_lens,
                  return_hidden: bool = False):

@@ -93,14 +93,12 @@ def sanm_attention_apply(params, cfg: SANMAttentionConfig, x, mask):
     return att_out + fsmn_memory
 
 
-def sanm_attention_apply_chunk(params, cfg: SANMAttentionConfig, x, kv_cache):
-    """Streaming chunk step: attend over [cache_kv | current chunk] without masks.
-
-    ``kv_cache``: dict {"k": (B,H,Tc,dk), "v": ...} or None. Returns (out, new_cache_kv)
-    where new_cache_kv covers everything up to the chunk's stride boundary; the caller
-    (chunked encoder) handles look-back trimming with static shapes.
-    (semantics of reference ``forward_chunk`` at ``sanm/attention.py:329-366``)
-    """
+def sanm_attention_apply_chunk(params, cfg: SANMAttentionConfig, x, kv_cache,
+                               chunk_size=None, look_back: int = 0):
+    """Streaming chunk step (reference ``forward_chunk`` at ``sanm/attention.py:
+    329-366``): attend over [cached kv | current chunk]; the new cache appends keys up
+    to the stride boundary (dropping the ``chunk_size[2]`` lookahead frames) and trims
+    to ``look_back * chunk_size[1]`` entries (-1 = unbounded)."""
     qkv = linear_apply(params["linear_q_k_v"], x)
     q, k, v = jnp.split(qkv, 3, axis=-1)
     fsmn_memory = _fsmn(params, cfg, v, None)
@@ -108,16 +106,56 @@ def sanm_attention_apply_chunk(params, cfg: SANMAttentionConfig, x, kv_cache):
     q_h = _split_heads(q, cfg.n_head, cfg.d_k) * (cfg.d_k ** -0.5)
     k_h = _split_heads(k, cfg.n_head, cfg.d_k)
     v_h = _split_heads(v, cfg.n_head, cfg.d_k)
-    if kv_cache is not None:
-        k_full = jnp.concatenate([kv_cache["k"], k_h], axis=2)
-        v_full = jnp.concatenate([kv_cache["v"], v_h], axis=2)
-    else:
-        k_full, v_full = k_h, v_h
-    scores = jnp.einsum("bhqd,bhkd->bhqk", q_h, k_full, preferred_element_type=jnp.float32)
+    new_cache = kv_cache
+    k_full, v_full = k_h, v_h
+    if chunk_size is not None and (look_back > 0 or look_back == -1):
+        la = chunk_size[2]
+        k_stride = k_h[:, :, :-la] if la > 0 else k_h
+        v_stride = v_h[:, :, :-la] if la > 0 else v_h
+        if kv_cache is not None:
+            k_full = jnp.concatenate([kv_cache["k"], k_h], axis=2)
+            v_full = jnp.concatenate([kv_cache["v"], v_h], axis=2)
+            new_k = jnp.concatenate([kv_cache["k"], k_stride], axis=2)
+            new_v = jnp.concatenate([kv_cache["v"], v_stride], axis=2)
+            if look_back != -1:
+                new_k = new_k[:, :, -(look_back * chunk_size[1]):]
+                new_v = new_v[:, :, -(look_back * chunk_size[1]):]
+            new_cache = {"k": new_k, "v": new_v}
+        else:
+            new_cache = {"k": k_stride, "v": v_stride}
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q_h, k_full,
+                        preferred_element_type=jnp.float32)
     attn = masked_softmax(scores.astype(x.dtype), None)
-    ctx = jnp.einsum("bhqk,bhkd->bhqd", attn, v_full, preferred_element_type=jnp.float32)
+    ctx = jnp.einsum("bhqk,bhkd->bhqd", attn, v_full,
+                     preferred_element_type=jnp.float32)
     att_out = linear_apply(params["linear_out"], _merge_heads(ctx).astype(x.dtype))
-    return att_out + fsmn_memory, {"k": k_h, "v": v_h}
+    return att_out + fsmn_memory, new_cache
+
+
+def cross_attention_apply_chunk(params, cfg: CrossAttentionConfig, x, memory,
+                                kv_cache, chunk_size=None, look_back: int = 0):
+    """Streaming cross-attention (reference ``sanm/attention.py:817-845``): kv from the
+    current chunk's memory, cache keeps the trailing ``look_back*chunk_size[1]``."""
+    q = linear_apply(params["linear_q"], x)
+    kv = linear_apply(params["linear_k_v"], memory.astype(x.dtype))
+    k, v = jnp.split(kv, 2, axis=-1)
+    q_h = _split_heads(q, cfg.n_head, cfg.d_k) * (cfg.d_k ** -0.5)
+    k_h = _split_heads(k, cfg.n_head, cfg.d_k)
+    v_h = _split_heads(v, cfg.n_head, cfg.d_k)
+    new_cache = kv_cache
+    if chunk_size is not None and look_back > 0:
+        if kv_cache is not None:
+            k_h = jnp.concatenate([kv_cache["k"], k_h], axis=2)
+            v_h = jnp.concatenate([kv_cache["v"], v_h], axis=2)
+        new_cache = {"k": k_h[:, :, -(look_back * chunk_size[1]):],
+                     "v": v_h[:, :, -(look_back * chunk_size[1]):]}
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q_h, k_h,
+                        preferred_element_type=jnp.float32)
+    attn = masked_softmax(scores.astype(x.dtype), None)
+    ctx = jnp.einsum("bhqk,bhkd->bhqd", attn, v_h,
+                     preferred_element_type=jnp.float32)
+    return linear_apply(params["linear_out"], _merge_heads(ctx).astype(x.dtype)), \
+        new_cache
 
 
 # ---------------------------------------------------------------------------
