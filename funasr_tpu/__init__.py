@@ -40,6 +40,7 @@ _REGISTRABLE_MODULES = [
     "funasr_tpu.models.sense_voice.model",
     "funasr_tpu.models.monotonic_aligner.model",
     "funasr_tpu.models.transformer.model",
+    "funasr_tpu.models.conformer.model",
     "funasr_tpu.datasets.audio_datasets.datasets",
     "funasr_tpu.datasets.audio_datasets.index_ds",
     "funasr_tpu.datasets.audio_datasets.samplers",

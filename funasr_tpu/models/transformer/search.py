@@ -1,0 +1,91 @@
+"""Beam search for AR attention decoders.
+
+Counterpart of FunASR ``funasr/models/transformer/search.py`` (espnet BeamSearch) —
+redesigned device-friendly: the per-step scorer is a jitted batched whole-prefix
+decoder call over (beam,) hypotheses with bucketed prefix lengths; the hypothesis
+bookkeeping stays host-side. Also ``BeamSearchPara`` (reference ``funasr/models/
+paraformer/search.py``) for rescoring NAR am_scores.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from funasr_tpu.utils.bucket import bucket_length
+
+
+@dataclass
+class Hypothesis:
+    yseq: List[int]
+    score: float = 0.0
+    states: dict = field(default_factory=dict)
+
+
+def beam_search(decoder, params, memory, memory_mask, sos: int, eos: int,
+                beam_size: int = 10, max_len: Optional[int] = None,
+                penalty: float = 0.0, maxlenratio: float = 0.0,
+                minlenratio: float = 0.0) -> List[Hypothesis]:
+    """memory: (1, T, D) single utterance. Returns sorted hypotheses."""
+    t_mem = int(np.asarray(memory_mask).sum())
+    max_len = max_len or (int(t_mem * maxlenratio) if maxlenratio > 0 else t_mem)
+    max_len = max(max_len, 2)
+    min_len = int(t_mem * minlenratio)
+
+    hyps = [Hypothesis(yseq=[sos], score=0.0)]
+    ended: List[Hypothesis] = []
+    for step in range(max_len):
+        n = len(hyps)
+        lmax = bucket_length(step + 1, minimum=8, multiple=8)
+        ys = np.zeros((n, lmax), np.int32)
+        ylen = np.zeros((n,), np.int32)
+        for i, h in enumerate(hyps):
+            ys[i, : len(h.yseq)] = h.yseq
+            ylen[i] = len(h.yseq)
+        mem = jnp.repeat(memory, n, axis=0)
+        mmask = jnp.repeat(memory_mask, n, axis=0)
+        logp = np.asarray(decoder.score_step(params, jnp.asarray(ys),
+                                             jnp.asarray(ylen), mem, mmask))
+        cand: List[Hypothesis] = []
+        for i, h in enumerate(hyps):
+            top = np.argsort(-logp[i])[: beam_size]
+            for tok in top:
+                cand.append(Hypothesis(yseq=h.yseq + [int(tok)],
+                                       score=h.score + float(logp[i][tok])))
+        cand.sort(key=lambda h: h.score, reverse=True)
+        hyps = []
+        for h in cand[: beam_size * 2]:
+            if h.yseq[-1] == eos:
+                if len(h.yseq) - 2 >= min_len:
+                    h.score += penalty * len(h.yseq)
+                    ended.append(h)
+            else:
+                hyps.append(h)
+            if len(hyps) >= beam_size:
+                break
+        if not hyps:
+            break
+    for h in hyps:  # force-end leftovers
+        ended.append(Hypothesis(yseq=h.yseq + [eos], score=h.score))
+    ended.sort(key=lambda h: h.score / max(len(h.yseq), 1), reverse=True)
+    return ended
+
+
+def beam_search_para(am_scores, beam_size: int = 5, penalty: float = 0.0):
+    """NAR rescoring beam over per-position am log-probs (reference BeamSearchPara):
+    explores top-k tokens per position jointly. am_scores: (L, V) np."""
+    l, v = am_scores.shape
+    beams = [([], 0.0)]
+    for t in range(l):
+        top = np.argsort(-am_scores[t])[: beam_size]
+        new = []
+        for seq, sc in beams:
+            for tok in top:
+                new.append((seq + [int(tok)], sc + float(am_scores[t][tok])))
+        new.sort(key=lambda x: x[1], reverse=True)
+        beams = new[: beam_size]
+    return [Hypothesis(yseq=seq, score=sc + penalty * len(seq))
+            for seq, sc in beams]
