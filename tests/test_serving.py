@@ -1,0 +1,147 @@
+"""Serving tests: websocket 2pass protocol + OpenAI-compatible HTTP endpoint."""
+
+import asyncio
+import json
+import os
+import socket
+import sys
+import types
+import wave
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+REF = "/root/reference"
+if os.path.isdir(REF) and REF not in sys.path:
+    sys.path.insert(0, REF)
+for _mod in ("kaldiio", "librosa", "torchaudio", "torchaudio.compliance",
+             "torchaudio.compliance.kaldi"):
+    if _mod not in sys.modules:
+        sys.modules[_mod] = types.ModuleType(_mod)
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.fixture(scope="module")
+def offline_automodel(tmp_path_factory):
+    import pathlib
+    sys.path.insert(0, str(pathlib.Path(__file__).parent))
+    from test_auto_model import asr_dir as asr_fixture
+
+    class FakeTPF:
+        def mktemp(self, name):
+            return tmp_path_factory.mktemp(name)
+
+    d = asr_fixture.__wrapped__(FakeTPF())
+    from funasr_tpu.auto.auto_model import AutoModel
+    return AutoModel(model=d, disable_pbar=True)
+
+
+def _pcm(seconds=1.0, seed=0):
+    rng = np.random.default_rng(seed)
+    return (rng.standard_normal(int(seconds * 16000)) * 0.1 * 32767).astype(np.int16)
+
+
+def test_ws_offline_mode(offline_automodel):
+    from funasr_tpu.bin.funasr_wss_server import WSServer
+    from funasr_tpu.serving.ws_protocol import connect, serve
+
+    server = WSServer(asr_model=offline_automodel)
+    port = _free_port()
+
+    async def scenario():
+        srv = await serve(server.handle, "127.0.0.1", port)
+        try:
+            ws = await connect("127.0.0.1", port)
+            await ws.send(json.dumps({"mode": "offline", "wav_name": "t1",
+                                      "is_speaking": True}))
+            await ws.send(_pcm(1.0).tobytes())
+            await ws.send(json.dumps({"is_speaking": False}))
+            reply = json.loads(await asyncio.wait_for(ws.recv(), 60))
+            await ws.close()
+            return reply
+        finally:
+            srv.close()
+            await srv.wait_closed()
+
+    reply = asyncio.run(scenario())
+    assert reply["is_final"] is True
+    assert reply["wav_name"] == "t1"
+    assert "text" in reply
+
+
+def test_openai_http_endpoint(offline_automodel):
+    import urllib.request
+
+    from funasr_tpu.bin._server_app import TranscriptionApp
+
+    app = TranscriptionApp(offline_automodel)
+    port = _free_port()
+
+    async def serve_once(stop_evt):
+        server = await asyncio.start_server(app.handle, "127.0.0.1", port)
+        async with server:
+            await stop_evt.wait()
+
+    def request():
+        # build a wav in memory
+        import io
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(16000)
+            w.writeframes(_pcm(1.0).tobytes())
+        boundary = "x123"
+        body = (f"--{boundary}\r\nContent-Disposition: form-data; name=\"file\"; "
+                f"filename=\"a.wav\"\r\nContent-Type: audio/wav\r\n\r\n"
+                ).encode() + buf.getvalue() + \
+            (f"\r\n--{boundary}\r\nContent-Disposition: form-data; "
+             f"name=\"response_format\"\r\n\r\njson\r\n--{boundary}--\r\n").encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/audio/transcriptions", data=body,
+            headers={"Content-Type": f"multipart/form-data; boundary={boundary}"})
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            return json.loads(resp.read())
+
+    async def scenario():
+        stop = asyncio.Event()
+        task = asyncio.ensure_future(serve_once(stop))
+        await asyncio.sleep(0.2)
+        result = await asyncio.get_event_loop().run_in_executor(None, request)
+        stop.set()
+        await task
+        return result
+
+    out = asyncio.run(scenario())
+    assert "text" in out
+
+    # probe: health + models + missing file error
+    async def probes():
+        stop = asyncio.Event()
+        task = asyncio.ensure_future(serve_once(stop))
+        await asyncio.sleep(0.2)
+
+        def get(path):
+            import urllib.request
+            with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}",
+                                        timeout=10) as r:
+                return json.loads(r.read())
+
+        loop = asyncio.get_event_loop()
+        health = await loop.run_in_executor(None, get, "/health")
+        models = await loop.run_in_executor(None, get, "/v1/models")
+        stop.set()
+        await task
+        return health, models
+
+    health, models = asyncio.run(probes())
+    assert health["status"] == "ok"
+    assert models["data"][0]["object"] == "model"
