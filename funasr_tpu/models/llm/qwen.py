@@ -1,0 +1,267 @@
+"""Qwen2/Qwen3-style decoder-only causal LM in JAX (the LLM half of Fun-ASR-Nano).
+
+TPU-native replacement for the reference's HF/vLLM decoder (FunASR
+``funasr/models/fun_asr_nano/model.py`` loads Qwen3-0.6B via transformers; serving
+goes through vLLM). Architecture: RMSNorm, rotary embeddings, grouped-query attention
+(optional per-head q/k RMSNorm = Qwen3), SwiGLU MLP, optional tied lm_head.
+
+Decode path: pre-allocated (B, max_len) kv caches updated via dynamic slice; prefill
+processes the whole (padded) prompt in one pass, then single-token steps — each a
+fixed-shape jitted program, which is what makes continuous batching cheap on TPU.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from funasr_tpu.core.layers import linear_init
+
+
+class QwenConfig(NamedTuple):
+    vocab_size: int = 151936
+    hidden_size: int = 1024
+    intermediate_size: int = 3072
+    num_hidden_layers: int = 28
+    num_attention_heads: int = 16
+    num_key_value_heads: int = 8
+    head_dim: Optional[int] = None
+    rms_norm_eps: float = 1e-6
+    rope_theta: float = 1000000.0
+    tie_word_embeddings: bool = True
+    qkv_bias: bool = False       # qwen2: True, qwen3: False
+    qk_norm: bool = False        # qwen3: True
+
+    @property
+    def hd(self) -> int:
+        return self.head_dim or self.hidden_size // self.num_attention_heads
+
+    @classmethod
+    def from_hf(cls, hf_config) -> "QwenConfig":
+        d = hf_config.to_dict() if hasattr(hf_config, "to_dict") else dict(hf_config)
+        is_qwen3 = d.get("model_type", "") == "qwen3"
+        return cls(
+            vocab_size=d["vocab_size"], hidden_size=d["hidden_size"],
+            intermediate_size=d["intermediate_size"],
+            num_hidden_layers=d["num_hidden_layers"],
+            num_attention_heads=d["num_attention_heads"],
+            num_key_value_heads=d.get("num_key_value_heads",
+                                      d["num_attention_heads"]),
+            head_dim=d.get("head_dim"),
+            rms_norm_eps=d.get("rms_norm_eps", 1e-6),
+            rope_theta=d.get("rope_theta", 1e6),
+            tie_word_embeddings=d.get("tie_word_embeddings", False),
+            qkv_bias=not is_qwen3 and d.get("model_type") == "qwen2",
+            qk_norm=is_qwen3,
+        )
+
+
+def rms_norm(w, x, eps):
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+    return (xf * jax.lax.rsqrt(var + eps) * w.astype(jnp.float32)).astype(x.dtype)
+
+
+def rope(x, positions, theta):
+    """x: (B, T, H, hd); positions: (B, T) -> rotated (HF half-split convention)."""
+    hd = x.shape[-1]
+    inv_freq = 1.0 / (theta ** (jnp.arange(0, hd, 2, dtype=jnp.float32) / hd))
+    freqs = positions[..., None].astype(jnp.float32) * inv_freq  # (B, T, hd/2)
+    cos = jnp.cos(freqs)[:, :, None, :]
+    sin = jnp.sin(freqs)[:, :, None, :]
+    x1, x2 = jnp.split(x.astype(jnp.float32), 2, axis=-1)
+    out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+    return out.astype(x.dtype)
+
+
+class QwenLM:
+    def __init__(self, config: QwenConfig):
+        self.cfg = config
+
+    # -- params ------------------------------------------------------------
+
+    def init_params(self, rng):
+        c = self.cfg
+        keys = jax.random.split(rng, c.num_hidden_layers + 3)
+
+        def layer(k):
+            ks = jax.random.split(k, 7)
+            p = {
+                "input_layernorm": jnp.ones((c.hidden_size,), jnp.float32),
+                "post_attention_layernorm": jnp.ones((c.hidden_size,), jnp.float32),
+                "q_proj": linear_init(ks[0], c.hidden_size,
+                                      c.num_attention_heads * c.hd, bias=c.qkv_bias),
+                "k_proj": linear_init(ks[1], c.hidden_size,
+                                      c.num_key_value_heads * c.hd, bias=c.qkv_bias),
+                "v_proj": linear_init(ks[2], c.hidden_size,
+                                      c.num_key_value_heads * c.hd, bias=c.qkv_bias),
+                "o_proj": linear_init(ks[3], c.num_attention_heads * c.hd,
+                                      c.hidden_size, bias=False),
+                "gate_proj": linear_init(ks[4], c.hidden_size, c.intermediate_size,
+                                         bias=False),
+                "up_proj": linear_init(ks[5], c.hidden_size, c.intermediate_size,
+                                       bias=False),
+                "down_proj": linear_init(ks[6], c.intermediate_size, c.hidden_size,
+                                         bias=False),
+            }
+            if c.qk_norm:
+                p["q_norm"] = jnp.ones((c.hd,), jnp.float32)
+                p["k_norm"] = jnp.ones((c.hd,), jnp.float32)
+            return p
+
+        params = {
+            "embed_tokens": jax.random.normal(keys[0],
+                                              (c.vocab_size, c.hidden_size)) * 0.02,
+            "layers": [layer(keys[1 + i]) for i in range(c.num_hidden_layers)],
+            "norm": jnp.ones((c.hidden_size,), jnp.float32),
+        }
+        if not c.tie_word_embeddings:
+            params["lm_head"] = linear_init(keys[-1], c.hidden_size, c.vocab_size,
+                                            bias=False)
+        return params
+
+    def init_kv_cache(self, batch: int, max_len: int, dtype=jnp.bfloat16):
+        c = self.cfg
+        return [
+            {"k": jnp.zeros((batch, max_len, c.num_key_value_heads, c.hd), dtype),
+             "v": jnp.zeros((batch, max_len, c.num_key_value_heads, c.hd), dtype)}
+            for _ in range(c.num_hidden_layers)
+        ]
+
+    # -- forward -----------------------------------------------------------
+
+    def _attn(self, lp, x, positions, kv, write_pos, kv_lens):
+        """x: (B, T, D); kv: layer cache; write_pos: (B,) start index to write the
+        new T keys; kv_lens: (B,) total valid cache length AFTER this write."""
+        c = self.cfg
+        b, t, _ = x.shape
+
+        def proj(p, n_heads):
+            w = p["w"].astype(x.dtype)
+            y = jnp.matmul(x, w, preferred_element_type=jnp.float32).astype(x.dtype)
+            if "b" in p:
+                y = y + p["b"].astype(x.dtype)
+            return y.reshape(b, t, n_heads, c.hd)
+
+        q = proj(lp["q_proj"], c.num_attention_heads)
+        k = proj(lp["k_proj"], c.num_key_value_heads)
+        v = proj(lp["v_proj"], c.num_key_value_heads)
+        if c.qk_norm:
+            q = rms_norm(lp["q_norm"], q, c.rms_norm_eps)
+            k = rms_norm(lp["k_norm"], k, c.rms_norm_eps)
+        q = rope(q, positions, c.rope_theta)
+        k = rope(k, positions, c.rope_theta)
+
+        # scatter new keys into the cache at per-row write positions
+        max_len = kv["k"].shape[1]
+        idx = (write_pos[:, None] + jnp.arange(t)[None, :]) % max_len  # (B, T)
+        k_cache = _scatter_time(kv["k"], k.astype(kv["k"].dtype), idx)
+        v_cache = _scatter_time(kv["v"], v.astype(kv["v"].dtype), idx)
+        new_kv = {"k": k_cache, "v": v_cache}
+
+        n_rep = c.num_attention_heads // c.num_key_value_heads
+        kk = jnp.repeat(k_cache, n_rep, axis=2)  # (B, S, H, hd)
+        vv = jnp.repeat(v_cache, n_rep, axis=2)
+
+        scale = c.hd ** -0.5
+        scores = jnp.einsum("bthd,bshd->bhts", q.astype(jnp.float32) * scale,
+                            kk.astype(jnp.float32))
+        # causal + validity mask: query i (global pos = write_pos + i) sees cache
+        # positions < write_pos + i + 1 and < kv_lens
+        qpos = positions[:, None, :, None]  # (B, 1, T, 1)
+        spos = jnp.arange(max_len)[None, None, None, :]
+        valid = (spos <= qpos) & (spos < kv_lens[:, None, None, None])
+        scores = jnp.where(valid, scores, -jnp.inf)
+        attn = jax.nn.softmax(scores, axis=-1)
+        ctx = jnp.einsum("bhts,bshd->bthd", attn.astype(x.dtype), vv)
+        ctx = ctx.reshape(b, t, c.num_attention_heads * c.hd)
+        out = jnp.matmul(ctx, lp["o_proj"]["w"].astype(x.dtype),
+                         preferred_element_type=jnp.float32).astype(x.dtype)
+        return out, new_kv
+
+    def _mlp(self, lp, x):
+        g = jnp.matmul(x, lp["gate_proj"]["w"].astype(x.dtype),
+                       preferred_element_type=jnp.float32).astype(x.dtype)
+        u = jnp.matmul(x, lp["up_proj"]["w"].astype(x.dtype),
+                       preferred_element_type=jnp.float32).astype(x.dtype)
+        h = jax.nn.silu(g.astype(jnp.float32)).astype(x.dtype) * u
+        return jnp.matmul(h, lp["down_proj"]["w"].astype(x.dtype),
+                          preferred_element_type=jnp.float32).astype(x.dtype)
+
+    def forward(self, params, input_embeds, positions, kv_cache, write_pos, kv_lens):
+        """input_embeds: (B, T, D); positions: (B, T) global positions; returns
+        (logits (B, T, V), new_kv_cache)."""
+        c = self.cfg
+        x = input_embeds
+        new_cache = []
+        for i, lp in enumerate(params["layers"]):
+            h = rms_norm(lp["input_layernorm"], x, c.rms_norm_eps)
+            h, kv = self._attn(lp, h, positions, kv_cache[i], write_pos, kv_lens)
+            x = x + h
+            h = rms_norm(lp["post_attention_layernorm"], x, c.rms_norm_eps)
+            x = x + self._mlp(lp, h)
+            new_cache.append(kv)
+        x = rms_norm(params["norm"], x, c.rms_norm_eps)
+        if c.tie_word_embeddings:
+            logits = jnp.matmul(x, params["embed_tokens"].T.astype(x.dtype),
+                                preferred_element_type=jnp.float32)
+        else:
+            logits = jnp.matmul(x, params["lm_head"]["w"].astype(x.dtype),
+                                preferred_element_type=jnp.float32)
+        return logits.astype(jnp.float32), new_cache
+
+    def embed(self, params, token_ids, dtype=jnp.bfloat16):
+        return jnp.take(params["embed_tokens"], token_ids, axis=0).astype(dtype)
+
+
+def _scatter_time(cache, new, idx):
+    """cache (B, S, H, hd) <- new (B, T, H, hd) at per-row time indices idx (B, T)."""
+    b, t = idx.shape
+    b_idx = jnp.arange(b)[:, None].repeat(t, axis=1)
+    return cache.at[b_idx, idx].set(new)
+
+
+def convert_hf_qwen(state_dict, config: QwenConfig):
+    """HF Qwen2/Qwen3 state dict -> params pytree."""
+    import numpy as np
+
+    def g(name):
+        v = state_dict[name]
+        if hasattr(v, "detach"):
+            v = v.detach().cpu().float().numpy()
+        return np.asarray(v, np.float32)
+
+    def lin(prefix, bias):
+        p = {"w": g(prefix + ".weight").T}
+        if bias and prefix + ".bias" in state_dict:
+            p["b"] = g(prefix + ".bias")
+        return p
+
+    layers = []
+    for i in range(config.num_hidden_layers):
+        pre = f"model.layers.{i}"
+        lp = {
+            "input_layernorm": g(f"{pre}.input_layernorm.weight"),
+            "post_attention_layernorm": g(f"{pre}.post_attention_layernorm.weight"),
+            "q_proj": lin(f"{pre}.self_attn.q_proj", config.qkv_bias),
+            "k_proj": lin(f"{pre}.self_attn.k_proj", config.qkv_bias),
+            "v_proj": lin(f"{pre}.self_attn.v_proj", config.qkv_bias),
+            "o_proj": lin(f"{pre}.self_attn.o_proj", False),
+            "gate_proj": lin(f"{pre}.mlp.gate_proj", False),
+            "up_proj": lin(f"{pre}.mlp.up_proj", False),
+            "down_proj": lin(f"{pre}.mlp.down_proj", False),
+        }
+        if config.qk_norm:
+            lp["q_norm"] = g(f"{pre}.self_attn.q_norm.weight")
+            lp["k_norm"] = g(f"{pre}.self_attn.k_norm.weight")
+        layers.append(lp)
+    params = {
+        "embed_tokens": g("model.embed_tokens.weight"),
+        "layers": layers,
+        "norm": g("model.norm.weight"),
+    }
+    if not config.tie_word_embeddings and "lm_head.weight" in state_dict:
+        params["lm_head"] = lin("lm_head", False)
+    return params
