@@ -212,6 +212,9 @@ class AutoModel:
         return self.model(*args, kwargs)
 
     def generate(self, input, input_len=None, progress_callback=None, **cfg):
+        from funasr_tpu.utils.postprocess_hotwords import (
+            apply_postprocess_hotwords_to_results)
+
         self._reset_runtime_configs()
         if self.vad_model is None:
             results = self.inference(input, input_len=input_len,
@@ -226,9 +229,10 @@ class AutoModel:
                                self.kwargs.get("return_raw_text", False)):
                         result["raw_text"] = copy.copy(result["text"])
                     result["text"] = punc_res[0]["text"]
-            return results
-        return self.inference_with_vad(input, input_len=input_len,
-                                       progress_callback=progress_callback, **cfg)
+            return apply_postprocess_hotwords_to_results(results, cfg)
+        results = self.inference_with_vad(input, input_len=input_len,
+                                          progress_callback=progress_callback, **cfg)
+        return apply_postprocess_hotwords_to_results(results, cfg)
 
     def inference(self, input, input_len=None, model=None, params=None, kwargs=None,
                   key=None, progress_callback=None, **cfg):
@@ -425,8 +429,13 @@ class AutoModel:
         return results_ret
 
     def export(self, input=None, **cfg):
-        raise NotImplementedError(
-            "export to StableHLO/ONNX arrives with the edge runtime")
+        """Serialize the model to StableHLO artifacts (reference ``export:1250``
+        contract; format is StableHLO-for-PJRT instead of ONNX)."""
+        from funasr_tpu.bin.export import export_model
+        output_dir = cfg.get("output_dir", "exported")
+        buckets = cfg.get("buckets", [(4, 168)])
+        return export_model(self.model, self.model_params, output_dir,
+                            [tuple(b) for b in buckets])
 
 
 def _strip(kwargs: Dict[str, Any]) -> Dict[str, Any]:
