@@ -1,0 +1,76 @@
+"""Inverse text normalization API (counterpart of FunASR
+``fun_text_processing/inverse_text_normalization/inverse_normalize.py:13-40``).
+
+The reference builds pynini WFST taggers/verbalizers per language; this rebuild uses
+deterministic rule engines per language (zh/en fully implemented; other languages fall
+back to identity with a logged warning). Same class surface:
+``InverseNormalizer(lang="zh").inverse_normalize(text, verbose=False)``.
+"""
+
+from __future__ import annotations
+
+import logging
+
+from funasr_tpu.text.en_numbers import inverse_normalize_en
+from funasr_tpu.text.zh_numbers import inverse_normalize_zh, normalize_zh
+
+_SUPPORTED = {"zh", "en"}
+_KNOWN = {"de", "en", "es", "fr", "id", "ja", "ko", "pt", "ru", "tl", "vi", "zh"}
+
+
+class InverseNormalizer:
+    def __init__(self, lang: str = "zh", cache_dir: str = None,
+                 overwrite_cache: bool = False, **kwargs):
+        if lang not in _KNOWN:
+            raise ValueError(f"unknown language {lang}; known: {sorted(_KNOWN)}")
+        if lang not in _SUPPORTED:
+            logging.warning("ITN rules for '%s' not yet implemented; "
+                            "passing text through unchanged", lang)
+        self.lang = lang
+
+    def inverse_normalize(self, text: str, verbose: bool = False) -> str:
+        if self.lang == "zh":
+            out = inverse_normalize_zh(text)
+        elif self.lang == "en":
+            out = inverse_normalize_en(text)
+        else:
+            out = text
+        if verbose:
+            print(out)
+        return out
+
+    def inverse_normalize_list(self, texts, verbose: bool = False):
+        return [self.inverse_normalize(t, verbose) for t in texts]
+
+
+class Normalizer:
+    """Text normalization (written -> spoken), reference
+    ``fun_text_processing/text_normalization/normalize.py``."""
+
+    def __init__(self, input_case: str = "cased", lang: str = "zh", **kwargs):
+        self.lang = lang
+
+    def normalize(self, text: str, verbose: bool = False) -> str:
+        if self.lang == "zh":
+            out = normalize_zh(text)
+        else:
+            import re
+            from funasr_tpu.text.en_numbers import ONES, TENS
+
+            def spell(m):
+                n = int(m.group(0))
+                inv_ones = {v: k for k, v in ONES.items()}
+                inv_tens = {v: k for k, v in TENS.items()}
+                if n < 20:
+                    return inv_ones[n]
+                if n < 100:
+                    t, o = divmod(n, 10)
+                    return inv_tens[t * 10] + (f" {inv_ones[o]}" if o else "")
+                return m.group(0)
+            out = re.sub(r"\d+", spell, text)
+        if verbose:
+            print(out)
+        return out
+
+    def normalize_list(self, texts, verbose: bool = False):
+        return [self.normalize(t, verbose) for t in texts]
