@@ -1,0 +1,152 @@
+"""Transducer (RNN-T) ASR: encoder + LSTM prediction net + joint network.
+
+TPU-native rebuild of FunASR ``funasr/models/transducer/model.py:39`` (+ joint
+network): training = RNN-T lattice loss (``funasr_tpu.ops.rnnt_loss``); inference =
+batched greedy transducer decode as a host loop over a jitted per-frame step.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from funasr_tpu.core.layers import (
+    embedding_apply, embedding_init, linear_apply, linear_init, lstm_apply,
+    lstm_init)
+from funasr_tpu.ops.rnnt_loss import rnnt_loss
+from funasr_tpu.register import tables
+
+
+class JointNetwork:
+    """joint(enc, pred) = W_out tanh(W_enc enc + W_pred pred)
+    (reference joint_network conventions)."""
+
+    def __init__(self, vocab_size: int, encoder_size: int, decoder_size: int,
+                 joint_space_size: int = 640):
+        self.vocab_size = vocab_size
+        self.encoder_size = encoder_size
+        self.decoder_size = decoder_size
+        self.joint_space = joint_space_size
+
+    def init(self, rng):
+        k1, k2, k3 = jax.random.split(rng, 3)
+        return {"lin_enc": linear_init(k1, self.encoder_size, self.joint_space),
+                "lin_dec": linear_init(k2, self.decoder_size, self.joint_space),
+                "lin_out": linear_init(k3, self.joint_space, self.vocab_size)}
+
+    def __call__(self, params, enc, dec):
+        """enc: (..., E), dec: (..., D) broadcastable -> (..., V)."""
+        h = jnp.tanh(linear_apply(params["lin_enc"], enc)
+                     + linear_apply(params["lin_dec"], dec))
+        return linear_apply(params["lin_out"], h)
+
+
+@tables.register("model_classes", "Transducer")
+class Transducer:
+    def __init__(self, encoder: str = "ConformerEncoder", encoder_conf=None,
+                 decoder_conf=None, joint_network_conf=None, specaug=None,
+                 specaug_conf=None, input_size: int = 80, vocab_size: int = -1,
+                 blank_id: int = 0, ignore_id: int = -1, **kwargs):
+        import funasr_tpu.models.conformer.model  # noqa: F401 (registers encoder)
+        self.encoder = tables.encoder_classes[encoder](input_size=input_size,
+                                                       **(encoder_conf or {}))
+        enc_out = self.encoder.output_size()
+        dec_conf = dict(decoder_conf or {})
+        self.embed_size = dec_conf.get("embed_size", 256)
+        self.hidden_size = dec_conf.get("hidden_size", 256)
+        self.num_layers = dec_conf.get("num_layers", 1)
+        jn_conf = dict(joint_network_conf or {})
+        self.joint = JointNetwork(vocab_size, enc_out, self.hidden_size,
+                                  jn_conf.get("joint_space_size", 640))
+        self.specaug = (tables.specaug_classes[specaug](**(specaug_conf or {}))
+                        if specaug else None)
+        self.vocab_size = vocab_size
+        self.blank_id = blank_id
+        self.ignore_id = ignore_id
+
+    def init_params(self, rng):
+        keys = jax.random.split(rng, 3 + self.num_layers)
+        return {
+            "encoder": self.encoder.init(keys[0]),
+            "embed": embedding_init(keys[1], self.vocab_size, self.embed_size),
+            "pred_lstm": [lstm_init(keys[2 + i],
+                                    self.embed_size if i == 0 else self.hidden_size,
+                                    self.hidden_size)
+                          for i in range(self.num_layers)],
+            "joint": self.joint.init(keys[-1]),
+        }
+
+    def _predict(self, params, ys):
+        """(B, U) label prefix (with leading blank) -> (B, U, H)."""
+        x = embedding_apply(params["embed"], ys)
+        for lp in params["pred_lstm"]:
+            x = lstm_apply(lp, x)
+        return x
+
+    def forward_jit(self, params, speech, speech_lengths, text, text_lengths, rng):
+        if self.specaug is not None and rng is not None:
+            speech, speech_lengths = self.specaug(speech, speech_lengths, rng)
+        enc, enc_lens = self.encoder(params["encoder"], speech, speech_lengths,
+                                     rng=rng)
+        b, u = text.shape
+        tgt = jnp.where(jnp.arange(u)[None] < text_lengths[:, None], text, 0)
+        ys_in = jnp.concatenate(
+            [jnp.full((b, 1), self.blank_id, tgt.dtype), tgt], axis=1)
+        pred = self._predict(params, ys_in)  # (B, U+1, H)
+        logits = self.joint(params["joint"], enc[:, :, None, :],
+                            pred[:, None, :, :])  # (B, T, U+1, V)
+        nll = rnnt_loss(logits, tgt, enc_lens, text_lengths, self.blank_id)
+        loss = jnp.mean(nll)
+        return loss, {"loss": loss}, b
+
+    # ------------------------------------------------------------------
+
+    def greedy_decode(self, params, enc, enc_lens, max_symbols_per_step: int = 3):
+        """Host greedy transducer decode, one utterance at a time."""
+        enc = np.asarray(enc)
+        results = []
+        for i in range(enc.shape[0]):
+            tokens: List[int] = []
+            state = jnp.full((1, 1), self.blank_id, jnp.int32)
+            pred = self._predict(params, state)[:, -1]
+            for t in range(int(enc_lens[i])):
+                for _ in range(max_symbols_per_step):
+                    logits = self.joint(params["joint"],
+                                        jnp.asarray(enc[i, t])[None], pred)
+                    tok = int(jnp.argmax(logits[0]))
+                    if tok == self.blank_id:
+                        break
+                    tokens.append(tok)
+                    hist = jnp.asarray([[self.blank_id] + tokens], jnp.int32)
+                    pred = self._predict(params, hist)[:, -1]
+            results.append(tokens)
+        return results
+
+    def inference(self, params, data_in, data_lengths=None, key: Optional[List] = None,
+                  tokenizer=None, frontend=None, **kwargs):
+        from funasr_tpu.utils import postprocess_utils
+        from funasr_tpu.utils.load_utils import (extract_fbank,
+                                                 load_audio_text_image_video)
+
+        meta: Dict = {}
+        audio_list = load_audio_text_image_video(
+            data_in, fs=frontend.fs, audio_fs=kwargs.get("fs", 16000))
+        speech, speech_lengths = extract_fbank(audio_list, frontend=frontend)
+        enc, enc_lens = self.encoder(params["encoder"], jnp.asarray(speech),
+                                     jnp.asarray(speech_lengths))
+        token_lists = self.greedy_decode(params, enc, np.asarray(enc_lens))
+        if key is None:
+            key = [f"rand_key_{i}" for i in range(len(token_lists))]
+        results = []
+        for i, ids in enumerate(token_lists):
+            if tokenizer is not None:
+                token = tokenizer.ids2tokens(ids)
+                text, _ = postprocess_utils.sentence_postprocess(token)
+                results.append({"key": key[i], "text": text})
+            else:
+                results.append({"key": key[i], "token_int": ids})
+        return results, meta

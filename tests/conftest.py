@@ -23,6 +23,21 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def stub_reference_deps():
+    """Inject stub modules for reference-only deps (kaldiio/librosa/torchaudio) with
+    proper ModuleSpecs so importlib.find_spec-based feature probes don't crash."""
+    import importlib.machinery
+    import sys
+    import types
+
+    for name in ("kaldiio", "librosa", "torchaudio", "torchaudio.compliance",
+                 "torchaudio.compliance.kaldi"):
+        if name not in sys.modules:
+            mod = types.ModuleType(name)
+            mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+            sys.modules[name] = mod
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)

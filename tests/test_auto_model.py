@@ -14,10 +14,9 @@ REF = "/root/reference"
 torch = pytest.importorskip("torch")
 if os.path.isdir(REF) and REF not in sys.path:
     sys.path.insert(0, REF)
-for _mod in ("kaldiio", "librosa", "torchaudio", "torchaudio.compliance",
-             "torchaudio.compliance.kaldi"):
-    if _mod not in sys.modules:
-        sys.modules[_mod] = types.ModuleType(_mod)
+from conftest import stub_reference_deps  # noqa: E402
+
+stub_reference_deps()
 
 TOKENS = ["<blank>", "<s>", "</s>"] + [chr(ord("一") + i) for i in range(60)] + ["<unk>"]
 

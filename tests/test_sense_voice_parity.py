@@ -13,10 +13,9 @@ if os.path.isdir(REF) and REF not in sys.path:
     sys.path.insert(0, REF)
 
 torch = pytest.importorskip("torch")
-for _mod in ("kaldiio", "librosa", "torchaudio", "torchaudio.compliance",
-             "torchaudio.compliance.kaldi"):
-    if _mod not in sys.modules:
-        sys.modules[_mod] = types.ModuleType(_mod)
+from conftest import stub_reference_deps  # noqa: E402
+
+stub_reference_deps()
 
 CONF = dict(
     encoder="SenseVoiceEncoderSmall",

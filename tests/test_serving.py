@@ -15,10 +15,9 @@ torch = pytest.importorskip("torch")
 REF = "/root/reference"
 if os.path.isdir(REF) and REF not in sys.path:
     sys.path.insert(0, REF)
-for _mod in ("kaldiio", "librosa", "torchaudio", "torchaudio.compliance",
-             "torchaudio.compliance.kaldi"):
-    if _mod not in sys.modules:
-        sys.modules[_mod] = types.ModuleType(_mod)
+from conftest import stub_reference_deps  # noqa: E402
+
+stub_reference_deps()
 
 
 def _free_port():

@@ -17,10 +17,9 @@ if os.path.isdir(REF) and REF not in sys.path:
     sys.path.insert(0, REF)
 
 torch = pytest.importorskip("torch")
-for _mod in ("kaldiio", "librosa", "torchaudio", "torchaudio.compliance",
-             "torchaudio.compliance.kaldi"):
-    if _mod not in sys.modules:
-        sys.modules[_mod] = types.ModuleType(_mod)
+from conftest import stub_reference_deps  # noqa: E402
+
+stub_reference_deps()
 
 ENC_CONF = dict(input_size=24, output_size=32, attention_heads=4, linear_units=64,
                 num_blocks=3, kernel_size=11, sanm_shfit=0, dropout_rate=0.0,

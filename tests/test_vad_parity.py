@@ -20,10 +20,9 @@ torch = pytest.importorskip("torch")
 # stub reference-only deps so its model modules import (we only drive the state machine)
 import types  # noqa: E402
 
-for _mod in ("kaldiio", "librosa", "torchaudio", "torchaudio.compliance",
-             "torchaudio.compliance.kaldi"):
-    if _mod not in sys.modules:
-        sys.modules[_mod] = types.ModuleType(_mod)
+from conftest import stub_reference_deps  # noqa: E402
+
+stub_reference_deps()
 
 ENC_CONF = dict(input_dim=400, input_affine_dim=140, fsmn_layers=4, linear_dim=250,
                 proj_dim=128, lorder=20, rorder=0, lstride=1, rstride=1,
