@@ -41,6 +41,14 @@ _REGISTRABLE_MODULES = [
     "funasr_tpu.models.monotonic_aligner.model",
     "funasr_tpu.models.transformer.model",
     "funasr_tpu.models.conformer.model",
+    "funasr_tpu.models.contextual_paraformer.model",
+    "funasr_tpu.models.fsmn_kws.model",
+    "funasr_tpu.models.eres2net.model",
+    "funasr_tpu.models.whisper.model",
+    "funasr_tpu.models.transducer.model",
+    "funasr_tpu.models.language_model.transformer_lm",
+    "funasr_tpu.models.fun_asr_nano.model",
+    "funasr_tpu.frontends.whisper_frontend",
     "funasr_tpu.datasets.audio_datasets.datasets",
     "funasr_tpu.datasets.audio_datasets.index_ds",
     "funasr_tpu.datasets.audio_datasets.samplers",

@@ -277,6 +277,45 @@ def convert_campplus(state_dict: Dict[str, Any], model) -> Dict[str, Any]:
     return {"head": p_head, "xvector": p_xv}
 
 
+def _aff(sd: SD, name: str):
+    s = sd.sub(name)
+    return {"conv1": _conv2d(s, "local_att.0"), "bn1": _bn(s, "local_att.1"),
+            "conv2": _conv2d(s, "local_att.3"), "bn2": _bn(s, "local_att.4")}
+
+
+def convert_eres2netv2(state_dict: Dict[str, Any], model) -> Dict[str, Any]:
+    """ERes2NetV2 (reference ``funasr/models/eres2net/eres2netv2.py:185``)."""
+    sd = SD(_strip_module_prefix(state_dict))
+    params = {"conv1": _conv2d(sd, "conv1"), "bn1": _bn(sd, "bn1")}
+    for li, n in enumerate(model.num_blocks):
+        layers = []
+        use_aff = li >= 2
+        for bi in range(n):
+            s = sd.sub(f"layer{li + 1}.{bi}")
+            block = {"conv1": _conv2d(s, "conv1"), "bn1": _bn(s, "bn1"),
+                     "convs": [], "bns": [], "fuse": [],
+                     "conv3": _conv2d(s, "conv3"), "bn3": _bn(s, "bn3")}
+            j = 0
+            while s.has(f"convs.{j}.weight"):
+                block["convs"].append(_conv2d(s, f"convs.{j}"))
+                block["bns"].append(_bn(s, f"bns.{j}"))
+                j += 1
+            if use_aff:
+                k = 0
+                while s.has(f"fuse_models.{k}.local_att.0.weight"):
+                    block["fuse"].append(_aff(s, f"fuse_models.{k}"))
+                    k += 1
+            if s.has("shortcut.0.weight"):
+                block["shortcut"] = {"conv": _conv2d(s, "shortcut.0"),
+                                     "bn": _bn(s, "shortcut.1")}
+            layers.append(block)
+        params[f"layer{li + 1}"] = layers
+    params["layer3_ds"] = _conv2d(sd, "layer3_ds")
+    params["fuse34"] = _aff(sd, "fuse34")
+    params["seg_1"] = sd.linear("seg_1")
+    return params
+
+
 def convert_ct_transformer(state_dict: Dict[str, Any], model) -> Dict[str, Any]:
     sd = SD(_strip_module_prefix(state_dict))
     return {
@@ -354,6 +393,7 @@ CONVERTERS = {
     "CTTransformer": convert_ct_transformer,
     "CAMPPlus": convert_campplus,
     "SenseVoiceSmall": convert_sense_voice,
+    "ERes2NetV2": convert_eres2netv2,
 }
 
 
