@@ -30,7 +30,7 @@ def main():
     from funasr_tpu.ops.lfr import apply_cmvn, apply_lfr_batch
     from funasr_tpu.ops.fbank import fbank_batch
 
-    batch, secs = 16, 15.0
+    batch, secs = 32, 15.0
     fs = 16000
     n = int(secs * fs)
 
@@ -52,12 +52,14 @@ def main():
     cmvn_istd = jnp.full((560,), 0.1, jnp.float32)
 
     t_lfr = -(-(1 + (n - 400) // 160) // 6)
+    t_pad = -(-t_lfr // 128) * 128  # snap the encoder length to MXU-friendly tiles
 
     @jax.jit
     def pipeline(params, waves, wlens):
         feats, flens = fbank_batch(waves * 32768.0, wlens)
         feats, flens = apply_lfr_batch(feats, flens, 7, 6)
         feats = apply_cmvn(feats, cmvn_means, cmvn_istd)
+        feats = jnp.pad(feats, ((0, 0), (0, t_pad - feats.shape[1]), (0, 0)))
         yseq, token_lens, score, _, _ = model.infer_jit(
             params, feats.astype(jnp.bfloat16), flens, max_tokens=t_lfr // 2)
         return yseq, token_lens

@@ -48,6 +48,9 @@ _REGISTRABLE_MODULES = [
     "funasr_tpu.models.transducer.model",
     "funasr_tpu.models.language_model.transformer_lm",
     "funasr_tpu.models.fun_asr_nano.model",
+    "funasr_tpu.models.llm_asr.model",
+    "funasr_tpu.models.uniasr.model",
+    "funasr_tpu.models.emotion2vec.model",
     "funasr_tpu.frontends.whisper_frontend",
     "funasr_tpu.datasets.audio_datasets.datasets",
     "funasr_tpu.datasets.audio_datasets.index_ds",

@@ -134,8 +134,18 @@ def fbank(
     if t == 0:
         return jnp.zeros((0, num_mel_bins), jnp.float32)
 
-    idx = jnp.arange(t)[:, None] * frame_shift + jnp.arange(frame_length)[None, :]
-    frames = waveform.astype(jnp.float32)[idx]  # (T, L)
+    # Framing without a gather (gathers are slow on TPU): frame starts are aligned
+    # to frame_shift, so reshape into shift-sized rows and concatenate ceil(L/S)+1
+    # adjacent rows per frame, then slice to frame_length — pure reshapes/slices.
+    w = waveform.astype(jnp.float32)
+    rows_per_frame = -(-frame_length // frame_shift)  # ceil
+    n_rows = t - 1 + rows_per_frame
+    pad_n = n_rows * frame_shift
+    if pad_n > n:
+        w = jnp.pad(w, (0, pad_n - n))
+    rows = w[: pad_n].reshape(n_rows, frame_shift)
+    frames = jnp.concatenate(
+        [rows[i: i + t] for i in range(rows_per_frame)], axis=1)[:, :frame_length]
 
     if dither != 0.0 and dither_rng is not None:
         frames = frames + dither * jax.random.normal(dither_rng, frames.shape, jnp.float32)
