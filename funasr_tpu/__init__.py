@@ -51,6 +51,14 @@ _REGISTRABLE_MODULES = [
     "funasr_tpu.models.llm_asr.model",
     "funasr_tpu.models.uniasr.model",
     "funasr_tpu.models.emotion2vec.model",
+    "funasr_tpu.models.eend.model",
+    "funasr_tpu.models.sond.model",
+    "funasr_tpu.models.data2vec.model",
+    "funasr_tpu.models.mossformer.model",
+    "funasr_tpu.models.mfcca.model",
+    "funasr_tpu.models.sa_asr.model",
+    "funasr_tpu.models.branchformer.encoder",
+    "funasr_tpu.tokenizer.extra_tokenizers",
     "funasr_tpu.frontends.whisper_frontend",
     "funasr_tpu.datasets.audio_datasets.datasets",
     "funasr_tpu.datasets.audio_datasets.index_ds",
