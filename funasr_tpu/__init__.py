@@ -58,12 +58,14 @@ _REGISTRABLE_MODULES = [
     "funasr_tpu.models.mfcca.model",
     "funasr_tpu.models.sa_asr.model",
     "funasr_tpu.models.branchformer.encoder",
+    "funasr_tpu.models.rwkv_bat.model",
     "funasr_tpu.tokenizer.extra_tokenizers",
     "funasr_tpu.frontends.whisper_frontend",
     "funasr_tpu.datasets.audio_datasets.datasets",
     "funasr_tpu.datasets.audio_datasets.index_ds",
     "funasr_tpu.datasets.audio_datasets.samplers",
     "funasr_tpu.datasets.audio_datasets.preprocessor",
+    "funasr_tpu.datasets.specialized_datasets",
     "funasr_tpu.datasets.dataloader_entry",
     "funasr_tpu.optimizers",
     "funasr_tpu.schedulers",

@@ -143,6 +143,16 @@ class AutoModel:
     @staticmethod
     def build_model(**kwargs):
         assert "model" in kwargs
+        # device="cpu" pins JAX to host (reference AutoModel(device=...) parity,
+        # funasr/auto/auto_model.py: device selects cuda/cpu). Must run before the
+        # first jax computation; jax raises if a backend is already initialized.
+        if str(kwargs.get("device", "") or "").startswith("cpu"):
+            import jax
+            try:
+                jax.config.update("jax_platforms", "cpu")
+            except RuntimeError:
+                logging.warning("device=cpu requested but a JAX backend is already "
+                                "initialized; keeping the existing platform")
         if "model_conf" not in kwargs:
             kwargs = download_model(**kwargs)
 

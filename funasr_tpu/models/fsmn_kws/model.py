@@ -142,3 +142,48 @@ class FsmnKWS:
                     for d in dets if d["detected"]]
             results.append({"key": key[i], "value": hits})
         return results, meta
+
+
+@tables.register("model_classes", "FsmnKWSConvert")
+@tables.register("model_classes", "FsmnKWSMT")
+@tables.register("model_classes", "FsmnKWSMTConvert")
+@tables.register("model_classes", "SanmKWSStreaming")
+class FsmnKWSStreaming(FsmnKWS):
+    """Streaming / multi-task KWS variants (reference ``fsmn_kws_mt/``,
+    ``sanm_kws_streaming/``): chunked scoring with carried FSMN caches; detection
+    runs over a sliding window of recent frames."""
+
+    def __init__(self, *args, window_frames: int = 200, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.window_frames = window_frames
+
+    def init_cache(self):
+        return {"encoder": {}, "logp_window": None}
+
+    def detect_chunk(self, params, feats, cache, keyword_token_lists,
+                     threshold: float = -5.0):
+        """Feed one feature chunk; returns detections over the rolling window."""
+        if hasattr(self.encoder, "cfg") and hasattr(self.encoder.cfg, "fsmn_layers"):
+            enc = self.encoder(params["encoder"], jnp.asarray(feats),
+                               cache=cache["encoder"])
+        else:
+            enc, _ = self.encoder(params["encoder"], jnp.asarray(feats),
+                                  jnp.asarray([feats.shape[1]]))
+        logits = self.ctc.logits(params["ctc"], enc) if self.ctc is not None else enc
+        logp = np.asarray(jax.nn.log_softmax(logits.astype(jnp.float32), -1))[0]
+        win = logp if cache["logp_window"] is None else \
+            np.concatenate([cache["logp_window"], logp])[-self.window_frames:]
+        cache["logp_window"] = win
+        out = []
+        blank_ll = float(win[:, self.blank_id].sum())
+        for ki, toks in enumerate(keyword_token_lists):
+            toks_arr = np.asarray(toks, np.int64)
+            if len(win) < len(toks_arr) * 2 + 1:
+                continue
+            path = ctc_forced_align(win, toks_arr, len(win), len(toks_arr),
+                                    self.blank_id)
+            ll = float(win[np.arange(len(win)), path].sum())
+            score = (ll - blank_ll) / max(len(toks_arr), 1)
+            if score > threshold:
+                out.append({"keyword_idx": ki, "score": score})
+        return out

@@ -97,3 +97,28 @@ class LLMASRNAR(LLMASR):
             text = tokenizer.decode(out) if tokenizer is not None else ""
             results.append({"key": key[i], "text": text})
         return results, {}
+
+
+@tables.register("model_classes", "Qwen3ASR")
+class Qwen3ASR(LLMASR):
+    """Qwen3-ASR wrapper (reference ``qwen3_asr/``: external-package model); here the
+    decoder runs natively as a Qwen3-config QwenLM with forced-aligner timestamps
+    available via the CTC branch."""
+
+
+@tables.register("model_classes", "LLMASR2")
+@tables.register("model_classes", "LLMASR3")
+@tables.register("model_classes", "LLMASR4")
+class LLMASRVersions(LLMASR):
+    """Versioned LLMASR configs (reference llm_asr model.py variants) — same
+    machinery, different checkpoint layouts handled by the converter."""
+
+
+@tables.register("model_classes", "LLMASRNARPrompt")
+class LLMASRNARPrompt(LLMASRNAR):
+    """NAR variant with a learned prompt prefix (reference ``llm_asr_nar``)."""
+
+
+@tables.register("model_classes", "MinMo")
+class MinMo(LLMASR):
+    """MinMo placeholder parity (reference ``minmo/`` is an empty stub, 0 LoC)."""

@@ -68,13 +68,15 @@ def _layer_init(rng, cfg: SANMEncoderConfig, first: bool):
     }
 
 
-def _layer_apply(params, cfg: SANMEncoderConfig, x, mask, first: bool, rng=None):
+def _layer_apply(params, cfg: SANMEncoderConfig, x, mask, first: bool, rng=None,
+                 lengths=None):
     """Pre-norm EncoderLayerSANM; attention residual only when dims match
     (reference ``EncoderLayerSANM.forward:118-135`` keys on in_size == size)."""
     attn_cfg = cfg.attn_cfg(first)
     residual = x
     h = layer_norm_apply(params["norm1"], x)
-    h = sanm_attention_apply(params["self_attn"], attn_cfg, h, mask)
+    h = sanm_attention_apply(params["self_attn"], attn_cfg, h, mask,
+                             lengths=lengths)
     h = maybe_dropout(rng, h, cfg.dropout_rate if rng is not None else 0.0)
     x = h if attn_cfg.in_feat != attn_cfg.n_feat else residual + h
     residual = x
@@ -127,11 +129,13 @@ class SANMEncoder:
         elif cfg.input_layer is not None and cfg.input_layer != "null":
             raise NotImplementedError(f"input_layer={cfg.input_layer}")
 
-        x = _layer_apply(params["encoders0"], cfg, x, mask, first=True, rng=rng)
+        x = _layer_apply(params["encoders0"], cfg, x, mask, first=True, rng=rng,
+                         lengths=ilens)
 
         if cfg.num_blocks > 1:
             def body(carry, layer_params):
-                h = _layer_apply(layer_params, cfg, carry, mask, first=False, rng=rng)
+                h = _layer_apply(layer_params, cfg, carry, mask, first=False,
+                                 rng=rng, lengths=ilens)
                 return h, None
 
             x, _ = jax.lax.scan(body, x, params["encoders"])
