@@ -32,10 +32,13 @@ _REGISTRABLE_MODULES = [
     "funasr_tpu.models.paraformer.decoder",
     "funasr_tpu.models.paraformer.model",
     "funasr_tpu.models.bicif_paraformer.model",
+    "funasr_tpu.models.e_paraformer.model",
+    "funasr_tpu.models.paraformer_v2.model",
     "funasr_tpu.models.seaco_paraformer.model",
     "funasr_tpu.models.paraformer_streaming.model",
     "funasr_tpu.models.fsmn_vad_streaming.model",
     "funasr_tpu.models.ct_transformer.model",
+    "funasr_tpu.models.ct_transformer_streaming.model",
     "funasr_tpu.models.campplus.model",
     "funasr_tpu.models.sense_voice.model",
     "funasr_tpu.models.monotonic_aligner.model",
@@ -45,6 +48,7 @@ _REGISTRABLE_MODULES = [
     "funasr_tpu.models.fsmn_kws.model",
     "funasr_tpu.models.eres2net.model",
     "funasr_tpu.models.whisper.model",
+    "funasr_tpu.models.whisper_lid.model",
     "funasr_tpu.models.transducer.model",
     "funasr_tpu.models.language_model.transformer_lm",
     "funasr_tpu.models.fun_asr_nano.model",

@@ -151,6 +151,17 @@ def convert_paraformer_decoder(sd: SD, att_layer_num: int, num_blocks: int,
     return params
 
 
+def convert_pif_predictor(sd: SD):
+    """E-Paraformer PIF predictor (reference e_paraformer/pif_predictor.py:17):
+    depthwise cif_conv1d + cif_output + per-head sigma/bias."""
+    return {
+        "cif_conv1d": sd.dwconv("cif_conv1d"),
+        "cif_output": sd.linear("cif_output"),
+        "sigma": sd.get("sigma"),
+        "bias": sd.get("bias"),
+    }
+
+
 def convert_cif_predictor(sd: SD):
     params = {
         "cif_conv1d": sd.conv1d("cif_conv1d"),
@@ -362,10 +373,31 @@ def convert_paraformer(state_dict: Dict[str, Any], model) -> Dict[str, Any]:
         "decoder": convert_paraformer_decoder(
             sd.sub("decoder"), model.decoder.cfg.att_layer_num,
             model.decoder.cfg.num_blocks, model.decoder.cfg.use_output_layer),
-        "predictor": convert_cif_predictor(sd.sub("predictor")),
+        "predictor": (convert_pif_predictor(sd.sub("predictor"))
+                      if sd.has("predictor.sigma")
+                      else convert_cif_predictor(sd.sub("predictor"))),
     }
     if model.ctc is not None and "ctc.ctc_lo.weight" in sd.sd:
         params["ctc"] = convert_ctc(sd.sub("ctc"))
+    return params
+
+
+def convert_paraformer_v2(state_dict, model):
+    """Paraformer-v2 community (reference paraformer_v2_community/model.py:30):
+    encoder + CTC + SANM decoder whose input layer is a Linear(vocab, dim)
+    ("decoder.embed.0"); that projection lives at the model level here."""
+    sd = SD(_strip_module_prefix(state_dict))
+    params = {
+        "encoder": convert_sanm_encoder(sd.sub("encoder"),
+                                        model.encoder.cfg.num_blocks),
+        "decoder": convert_paraformer_decoder(
+            sd.sub("decoder"), model.decoder.cfg.att_layer_num,
+            model.decoder.cfg.num_blocks, model.decoder.cfg.use_output_layer),
+        "ctc": convert_ctc(sd.sub("ctc")),
+    }
+    params["decoder"].pop("embed", None)
+    if sd.has("decoder.embed.0.weight"):
+        params["embed"] = sd.linear("decoder.embed.0")
     return params
 
 
@@ -389,8 +421,12 @@ def load_torch_checkpoint(path: str) -> Dict[str, Any]:
 CONVERTERS = {
     "Paraformer": convert_paraformer,
     "BiCifParaformer": convert_paraformer,
+    "EParaformer": convert_paraformer,
+    "Paraformer_v2_community": convert_paraformer_v2,
+    "ParaformerV2": convert_paraformer_v2,
     "FsmnVADStreaming": convert_fsmn_vad,
     "CTTransformer": convert_ct_transformer,
+    "CTTransformerStreaming": convert_ct_transformer,
     "CAMPPlus": convert_campplus,
     "SenseVoiceSmall": convert_sense_voice,
     "ERes2NetV2": convert_eres2netv2,

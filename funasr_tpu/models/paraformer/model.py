@@ -199,6 +199,17 @@ class Paraformer:
         if self.predictor_bias == 1:
             ys_pad = add_sos_eos_out(text, text_lengths, self.eos, self.ignore_id)
             ys_pad_lens = text_lengths + 1
+        elif self.predictor_bias == 2:
+            # [sos] + y + [eos] (reference add_sos_and_eos, used by EParaformer)
+            b, l = text.shape
+            ys = jnp.concatenate(
+                [jnp.full((b, 1), self.sos, text.dtype), text,
+                 jnp.full((b, 1), self.ignore_id, text.dtype)], axis=1)
+            pos = jnp.arange(l + 2)[None]
+            eos_pos = (text_lengths + 1)[:, None]
+            ys = jnp.where(pos == eos_pos, self.eos, ys)
+            ys_pad = jnp.where(pos > eos_pos, self.ignore_id, ys)
+            ys_pad_lens = text_lengths + 2
 
         mask = make_pad_mask(encoder_out_lens, encoder_out.shape[1])
         max_tok = ys_pad.shape[1]

@@ -86,8 +86,14 @@ def _flash_block(t: int):
     return None
 
 
-def sanm_attention_apply(params, cfg: SANMAttentionConfig, x, mask, lengths=None):
+def sanm_attention_apply(params, cfg: SANMAttentionConfig, x, mask, lengths=None,
+                         attn_mask=None):
     """x: (B, T, in_feat); mask: (B, T) bool valid-mask or None -> (B, T, n_feat).
+
+    ``attn_mask``: optional (B, T, T) bool query-key mask (True = may attend); the
+    FSMN memory branch always uses the plain pad ``mask``. Used by the streaming
+    punctuation encoder's causal/VAD masks (reference ct_transformer_streaming
+    ``attention.py:20-33`` takes a (fsmn_mask, att_mask) tuple).
 
     Long sequences (T >= FLASH_MIN_T, 128-aligned) route through the Pallas flash
     kernel (funasr_tpu.ops.flash_attention) — O(T) VMEM instead of the O(T^2)
@@ -105,15 +111,20 @@ def sanm_attention_apply(params, cfg: SANMAttentionConfig, x, mask, lengths=None
     block = _flash_block(t)
     on_tpu = jax.default_backend() not in ("cpu", "gpu")
     if on_tpu and t >= FLASH_MIN_T and block is not None and cfg.d_k % 128 == 0 \
-            and lengths is not None:
+            and lengths is not None and attn_mask is None:
         from funasr_tpu.ops.flash_attention import flash_attention
         ctx = flash_attention(q_h, k_h, v_h, lengths, block_q=block, block_k=block)
     else:
         q_s = q_h * (cfg.d_k ** -0.5)
         scores = jnp.einsum("bhqd,bhkd->bhqk", q_s, k_h,
                             preferred_element_type=jnp.float32)
-        attn_mask = None if mask is None else mask[:, None, None, :]
-        attn = masked_softmax(scores.astype(x.dtype), attn_mask)
+        if attn_mask is not None:
+            full_mask = attn_mask[:, None]  # (B, 1, T, T)
+            if mask is not None:
+                full_mask = full_mask & mask[:, None, None, :]
+        else:
+            full_mask = None if mask is None else mask[:, None, None, :]
+        attn = masked_softmax(scores.astype(x.dtype), full_mask)
         ctx = jnp.einsum("bhqk,bhkd->bhqd", attn, v_h,
                          preferred_element_type=jnp.float32)
     att_out = linear_apply(params["linear_out"], _merge_heads(ctx).astype(x.dtype))
