@@ -1,0 +1,253 @@
+// funasr-tpu websocket ASR server (offline / online / 2pass wire protocol).
+//
+// TPU-era counterpart of the reference C++ server (FunASR
+// runtime/websocket/websocket-server-2pass.cpp:9-11 — websocketpp+asio with an
+// IO pool and a decoder pool). Same protocol as the Python
+// funasr_tpu.bin.funasr_wss_server: the client sends one JSON config frame
+//   {"mode":"offline"|"online"|"2pass","wav_name":...,"is_speaking":true,...}
+// followed by binary 16 kHz PCM16 frames; "is_speaking": false closes the
+// utterance. The server replies {"mode","wav_name","text","is_final"}.
+//
+// Design: one blocking IO thread per connection (dependency-free stand-in for
+// the asio pool) + a fixed decoder thread pool consuming utterance tasks, so
+// slow inference never blocks socket reads. Inference goes through the stable
+// C API (FunASRInit/FunOfflineInfer) — DSP-only builds echo empty text;
+// PJRT builds run the exported StableHLO model.
+//
+// Online/2pass partials are produced by re-decoding the accumulated buffer
+// each chunk (deliberate substitution for the reference's separate online
+// encoder sessions; the Python server keeps true streaming caches).
+
+#include <arpa/inet.h>
+#include <netinet/in.h>
+#include <sys/socket.h>
+#include <unistd.h>
+
+#include <atomic>
+#include <condition_variable>
+#include <cstdio>
+#include <cstring>
+#include <deque>
+#include <memory>
+#include <mutex>
+#include <string>
+#include <thread>
+#include <vector>
+
+#include "../include/funasr-tpu-runtime.h"
+#include "../src/ws/websocket.h"
+
+namespace {
+
+// ---- minimal flat-JSON helpers (config frames are shallow) ----------------
+
+std::string JsonGetString(const std::string& js, const std::string& key,
+                          const std::string& dflt) {
+  std::string pat = "\"" + key + "\"";
+  size_t p = js.find(pat);
+  if (p == std::string::npos) return dflt;
+  p = js.find(':', p + pat.size());
+  if (p == std::string::npos) return dflt;
+  p = js.find('"', p);
+  if (p == std::string::npos) return dflt;
+  size_t q = p + 1;
+  std::string out;
+  while (q < js.size() && js[q] != '"') {
+    if (js[q] == '\\' && q + 1 < js.size()) ++q;
+    out.push_back(js[q++]);
+  }
+  return out;
+}
+
+bool JsonGetBool(const std::string& js, const std::string& key, bool dflt) {
+  std::string pat = "\"" + key + "\"";
+  size_t p = js.find(pat);
+  if (p == std::string::npos) return dflt;
+  p = js.find(':', p + pat.size());
+  if (p == std::string::npos) return dflt;
+  while (p + 1 < js.size() && (js[p + 1] == ' ')) ++p;
+  return js.compare(p + 1, 4, "true") == 0 ? true
+         : js.compare(p + 1, 5, "false") == 0 ? false
+                                              : dflt;
+}
+
+std::string JsonEscape(const std::string& s) {
+  std::string out;
+  for (char c : s) {
+    if (c == '"' || c == '\\') { out.push_back('\\'); out.push_back(c); }
+    else if (c == '\n') out += "\\n";
+    else out.push_back(c);
+  }
+  return out;
+}
+
+// ---- decoder pool ----------------------------------------------------------
+
+struct DecodeTask {
+  std::shared_ptr<funasr_tpu::WsConnection> conn;
+  std::string pcm;        // accumulated PCM16 bytes
+  std::string mode;       // reply mode string ("offline", "2pass-offline", ...)
+  std::string wav_name;
+  bool is_final;
+};
+
+class DecoderPool {
+ public:
+  DecoderPool(FUNASR_HANDLE handle, int n_threads) : handle_(handle) {
+    for (int i = 0; i < n_threads; ++i)
+      workers_.emplace_back([this] { Loop(); });
+  }
+  ~DecoderPool() {
+    {
+      std::lock_guard<std::mutex> lock(mu_);
+      stop_ = true;
+    }
+    cv_.notify_all();
+    for (auto& t : workers_) t.join();
+  }
+
+  void Submit(DecodeTask task) {
+    {
+      std::lock_guard<std::mutex> lock(mu_);
+      queue_.push_back(std::move(task));
+    }
+    cv_.notify_one();
+  }
+
+ private:
+  void Loop() {
+    while (true) {
+      DecodeTask task;
+      {
+        std::unique_lock<std::mutex> lock(mu_);
+        cv_.wait(lock, [this] { return stop_ || !queue_.empty(); });
+        if (stop_ && queue_.empty()) return;
+        task = std::move(queue_.front());
+        queue_.pop_front();
+      }
+      std::string text;
+      if (handle_ != nullptr && !task.pcm.empty()) {
+        FUNASR_RESULT res = FunOfflineInfer(handle_, task.pcm.data(),
+                                            static_cast<int>(task.pcm.size()),
+                                            FUNASR_MODE_OFFLINE, 16000);
+        if (res != nullptr) {
+          const char* t = FunASRGetResult(res, 0);
+          if (t != nullptr) text = t;
+          FunASRFreeResult(res);
+        }
+      }
+      std::string reply = "{\"mode\": \"" + task.mode + "\", \"wav_name\": \"" +
+                          JsonEscape(task.wav_name) + "\", \"text\": \"" +
+                          JsonEscape(text) + "\", \"is_final\": " +
+                          (task.is_final ? "true" : "false") + "}";
+      task.conn->SendText(reply);
+    }
+  }
+
+  FUNASR_HANDLE handle_;
+  std::vector<std::thread> workers_;
+  std::deque<DecodeTask> queue_;
+  std::mutex mu_;
+  std::condition_variable cv_;
+  bool stop_ = false;
+};
+
+// ---- per-connection session -------------------------------------------------
+
+void ServeConnection(std::shared_ptr<funasr_tpu::WsConnection> conn,
+                     DecoderPool* pool) {
+  if (!conn->Handshake()) return;
+  std::string mode = "2pass";
+  std::string wav_name = "microphone";
+  std::string pcm_buf;
+  funasr_tpu::WsOp op;
+  std::string payload;
+  while (conn->ReadMessage(&op, &payload)) {
+    if (op == funasr_tpu::WsOp::kText) {
+      std::string new_mode = JsonGetString(payload, "mode", mode);
+      mode = new_mode;
+      wav_name = JsonGetString(payload, "wav_name", wav_name);
+      bool speaking = JsonGetBool(payload, "is_speaking", true);
+      if (!speaking) {
+        DecodeTask task;
+        task.conn = conn;
+        task.pcm.swap(pcm_buf);
+        task.mode = mode == "2pass" ? "2pass-offline" : mode;
+        task.wav_name = wav_name;
+        task.is_final = true;
+        pool->Submit(std::move(task));
+      }
+    } else if (op == funasr_tpu::WsOp::kBinary) {
+      pcm_buf.append(payload);
+      if (mode == "online" || mode == "2pass") {
+        DecodeTask task;
+        task.conn = conn;
+        task.pcm = pcm_buf;  // re-decode prefix as the partial
+        task.mode = mode == "2pass" ? "2pass-online" : "online";
+        task.wav_name = wav_name;
+        task.is_final = false;
+        pool->Submit(std::move(task));
+      }
+    }
+  }
+}
+
+}  // namespace
+
+int main(int argc, char** argv) {
+  int port = 10095;
+  std::string model_dir;
+  int decoder_threads = 4;
+  for (int i = 1; i < argc; ++i) {
+    std::string a = argv[i];
+    auto next = [&](const char* flag) -> const char* {
+      if (i + 1 >= argc) { std::fprintf(stderr, "%s needs a value\n", flag);
+                           std::exit(2); }
+      return argv[++i];
+    };
+    if (a == "--port") port = std::atoi(next("--port"));
+    else if (a == "--model-dir") model_dir = next("--model-dir");
+    else if (a == "--decoder-thread-num")
+      decoder_threads = std::atoi(next("--decoder-thread-num"));
+    else if (a == "--help" || a == "-h") {
+      std::printf("usage: funasr-tpu-wss-server [--port N] [--model-dir DIR] "
+                  "[--decoder-thread-num N]\n");
+      return 0;
+    }
+  }
+
+  FUNASR_HANDLE handle = nullptr;
+  if (!model_dir.empty()) {
+    handle = FunASRInit(model_dir.c_str(), decoder_threads);
+    if (handle == nullptr) {
+      std::fprintf(stderr, "failed to init model from %s\n", model_dir.c_str());
+      return 1;
+    }
+  } else {
+    std::fprintf(stderr,
+                 "warning: no --model-dir; serving protocol with empty text\n");
+  }
+  DecoderPool pool(handle, decoder_threads);
+
+  int server_fd = ::socket(AF_INET, SOCK_STREAM, 0);
+  int one = 1;
+  ::setsockopt(server_fd, SOL_SOCKET, SO_REUSEADDR, &one, sizeof(one));
+  sockaddr_in addr{};
+  addr.sin_family = AF_INET;
+  addr.sin_addr.s_addr = htonl(INADDR_ANY);
+  addr.sin_port = htons(static_cast<uint16_t>(port));
+  if (::bind(server_fd, reinterpret_cast<sockaddr*>(&addr), sizeof(addr)) != 0 ||
+      ::listen(server_fd, 64) != 0) {
+    std::perror("bind/listen");
+    return 1;
+  }
+  std::printf("funasr-tpu websocket server listening on :%d\n", port);
+  std::fflush(stdout);
+
+  while (true) {
+    int fd = ::accept(server_fd, nullptr, nullptr);
+    if (fd < 0) continue;
+    auto conn = std::make_shared<funasr_tpu::WsConnection>(fd);
+    std::thread(ServeConnection, conn, &pool).detach();
+  }
+}
