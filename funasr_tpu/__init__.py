@@ -42,7 +42,11 @@ _REGISTRABLE_MODULES = [
     "funasr_tpu.models.campplus.model",
     "funasr_tpu.models.sense_voice.model",
     "funasr_tpu.models.monotonic_aligner.model",
+    "funasr_tpu.models.ctc.model",
     "funasr_tpu.models.transformer.model",
+    "funasr_tpu.models.transformer.conv_decoders",
+    "funasr_tpu.models.paraformer.san_decoder",
+    "funasr_tpu.models.lcbnet.encoder",
     "funasr_tpu.models.conformer.model",
     "funasr_tpu.models.contextual_paraformer.model",
     "funasr_tpu.models.fsmn_kws.model",
@@ -65,14 +69,17 @@ _REGISTRABLE_MODULES = [
     "funasr_tpu.models.rwkv_bat.model",
     "funasr_tpu.tokenizer.extra_tokenizers",
     "funasr_tpu.frontends.whisper_frontend",
+    "funasr_tpu.frontends.default",
     "funasr_tpu.datasets.audio_datasets.datasets",
     "funasr_tpu.datasets.audio_datasets.index_ds",
     "funasr_tpu.datasets.audio_datasets.samplers",
     "funasr_tpu.datasets.audio_datasets.preprocessor",
     "funasr_tpu.datasets.specialized_datasets",
+    "funasr_tpu.datasets.fun_asr_datasets",
     "funasr_tpu.datasets.dataloader_entry",
     "funasr_tpu.optimizers",
     "funasr_tpu.schedulers",
+    "funasr_tpu.parity",
 ]
 
 _STRICT = os.environ.get("FUNASR_TPU_STRICT_IMPORT", "") not in ("", "0", "false")

@@ -33,3 +33,13 @@ class TextPreprocessSegDict:
 
     def __call__(self, text: str, tokenizer=None):
         return text
+
+
+@tables.register("preprocessor_classes", "TextPreprocessRemovePunctuation")
+class TextPreprocessRemovePunctuation:
+    """Strip punctuation from target text (reference preprocessor parity)."""
+
+    PUNC = set("，。？、！；：""''（）《》,.?!;:\"'()<>[]{}")
+
+    def __call__(self, text: str, rng=None):
+        return "".join(c for c in str(text) if c not in self.PUNC)

@@ -159,3 +159,37 @@ def mae_token_loss(token_num, pre_token_length, normalize_length: bool = False):
     """L1 token-count loss (reference ``mae_loss`` at ``cif_predictor.py:741-766``)."""
     norm = token_num.shape[0] if not normalize_length else jnp.sum(token_num)
     return jnp.sum(jnp.abs(token_num.astype(jnp.float32) - pre_token_length)) / norm
+
+
+@tables.register("predictor_classes", "CifPredictor")
+@tables.register("predictor_classes", "CifPredictorV2Export")
+@tables.register("predictor_classes", "CifPredictorV3Export")
+class CifPredictorV1(CifPredictorV2):
+    """CIF v1 (reference ``paraformer/cif_predictor.py:17``): identical math to V2
+    except the alpha head uses a DEPTHWISE conv (groups=idim) with a residual
+    before the relu. The *Export names alias here too — jax.export needs no
+    wrapper modules (reference export wrappers only rewrite torch graph ops)."""
+
+    def init(self, rng):
+        from funasr_tpu.core.layers import depthwise_conv1d_init
+        k1, k2 = jax.random.split(rng)
+        c = self.cfg
+        return {
+            "cif_conv1d": depthwise_conv1d_init(k1, c.idim,
+                                                c.l_order + c.r_order + 1,
+                                                bias=True),
+            "cif_output": linear_init(k2, c.idim, 1),
+        }
+
+    def alphas(self, params, hidden, mask):
+        from funasr_tpu.core.layers import depthwise_conv1d_apply
+        c = self.cfg
+        mem = depthwise_conv1d_apply(params["cif_conv1d"], hidden,
+                                     left_pad=c.l_order, right_pad=c.r_order)
+        h = jax.nn.relu(mem + hidden)
+        a = jax.nn.sigmoid(
+            linear_apply(params["cif_output"], h)[..., 0].astype(jnp.float32))
+        a = jax.nn.relu(a * c.smooth_factor - c.noise_threshold)
+        if mask is not None:
+            a = a * mask.astype(jnp.float32)
+        return a

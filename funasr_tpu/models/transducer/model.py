@@ -150,3 +150,39 @@ class Transducer:
             else:
                 results.append({"key": key[i], "token_int": ids})
         return results, meta
+
+
+@tables.register("decoder_classes", "rnnt_decoder")
+@tables.register("decoder_classes", "RNNTDecoder")
+class RNNTDecoder:
+    """Standalone transducer prediction network (reference
+    ``transducer/rnnt_decoder.py:15``): embedding + LSTM stack over the label
+    prefix. The Transducer model embeds the same network inline; this class
+    exposes it under the reference decoder name for configs that build it
+    separately."""
+
+    def __init__(self, vocab_size: int, embed_size: int = 256,
+                 hidden_size: int = 256, num_layers: int = 1, **kwargs):
+        self.vocab_size = vocab_size
+        self.embed_size = embed_size
+        self.hidden_size = hidden_size
+        self.num_layers = num_layers
+
+    def output_size(self):
+        return self.hidden_size
+
+    def init(self, rng):
+        keys = jax.random.split(rng, self.num_layers + 1)
+        return {
+            "embed": embedding_init(keys[0], self.vocab_size, self.embed_size),
+            "pred_lstm": [lstm_init(keys[1 + i],
+                                    self.embed_size if i == 0 else self.hidden_size,
+                                    self.hidden_size)
+                          for i in range(self.num_layers)],
+        }
+
+    def __call__(self, params, ys, ys_lens=None):
+        x = embedding_apply(params["embed"], ys)
+        for lp in params["pred_lstm"]:
+            x = lstm_apply(lp, x)
+        return x, ys_lens

@@ -148,3 +148,12 @@ class Transformer:
 
 import funasr_tpu.models.transformer.encoder  # noqa: F401,E402 (registers)
 import funasr_tpu.models.transformer.decoder  # noqa: F401,E402 (registers)
+
+
+@tables.register("model_classes", "SANM")
+class SANM(Transformer):
+    """SAN-M CTC/attention AED (reference ``funasr/models/sanm/model.py:14`` —
+    a Transformer whose encoder/decoder default to the SANM family)."""
+
+    def __init__(self, encoder: str = "SANMEncoder", **kwargs):
+        super().__init__(encoder=encoder, **kwargs)
