@@ -49,6 +49,18 @@ def main(**kwargs):
     from funasr_tpu.train_utils.average_nbest_models import average_checkpoints
     from funasr_tpu.train_utils.trainer import Trainer
 
+    # multi-host: ++distributed=true runs jax.distributed.initialize() (the
+    # TPU-native stand-in for the reference's torchrun env:// NCCL rendezvous —
+    # coordinator/process env vars are read from the TPU runtime).
+    if kwargs.pop("distributed", False):
+        try:
+            jax.distributed.initialize()
+        except ValueError as e:
+            raise SystemExit(
+                f"++distributed=true needs a multi-host JAX environment "
+                f"(coordinator/process env vars, set automatically on TPU "
+                f"pods): {e}") from e
+
     model, params, kwargs = AutoModel.build_model(**kwargs)
 
     # data

@@ -34,7 +34,8 @@ class Trainer:
                  clip_grad_norm: float = 5.0, log_interval: int = 50,
                  validate_interval: int = 5000, save_checkpoint_interval: int = 5000,
                  keep_nbest_models: int = 5, avg_keep_nbest_models_type: str = "acc",
-                 mesh=None, resume: bool = True, **kwargs):
+                 mesh=None, resume: bool = True, profile_dir: str = None,
+                 profile_start_step: int = 10, profile_steps: int = 5, **kwargs):
         self.model = model
         self.frontend = frontend
         self.output_dir = output_dir
@@ -47,6 +48,13 @@ class Trainer:
         self.keep_nbest_models = keep_nbest_models
         self.avg_type = avg_keep_nbest_models_type
         self.resume = resume
+        # jax.profiler trace window (superset of the reference's wall-clock
+        # speed_stats, SURVEY §5 tracing): captures XLA timelines viewable in
+        # TensorBoard / xprof for steps [start, start+steps).
+        self.profile_dir = profile_dir
+        self.profile_start_step = profile_start_step
+        self.profile_steps = profile_steps
+        self._profiling = False
         os.makedirs(output_dir, exist_ok=True)
 
         self.tx = optax.MultiSteps(optim, accum_grad) if accum_grad > 1 else optim
@@ -136,9 +144,21 @@ class Trainer:
             t_data += t1 - t0
             sharded = self._shard_batch(batch)
             step_rng = jax.random.fold_in(rng, self.step)
+            if self.profile_dir and not self._profiling \
+                    and self.step == self.profile_start_step:
+                jax.profiler.start_trace(self.profile_dir)
+                self._profiling = True
             params, opt_state, stats = self._step_jit(params, opt_state, sharded,
                                                       step_rng)
             self.step += 1
+            if self._profiling and \
+                    self.step >= self.profile_start_step + self.profile_steps:
+                jax.tree_util.tree_map(
+                    lambda x: x.block_until_ready() if hasattr(
+                        x, "block_until_ready") else x, stats)
+                jax.profiler.stop_trace()
+                self._profiling = False
+                logging.info("jax profiler trace written to %s", self.profile_dir)
             t0 = time.perf_counter()
             t_step += t0 - t1
             if self.step % self.log_interval == 0:
