@@ -282,6 +282,20 @@ class AutoModel:
             time_escape += t2 - t1
         logging.debug("speed_stats: %s rtf_avg=%.3f", speed_stats,
                       time_escape / time_speech)
+        # host-side ITN postprocess (itn=True + a language): superset of the
+        # reference, where ITN runs only inside SenseVoice prompts or the C++
+        # runtime's openfst FARs — here any model's text can be normalized.
+        if kwargs.get("itn") and not kwargs.get("use_itn"):
+            from funasr_tpu.text.inverse_normalize import InverseNormalizer
+            lang = str(kwargs.get("language", "zh") or "zh").lower()[:2]
+            try:
+                inv = InverseNormalizer(lang=lang)
+            except ValueError:
+                inv = None
+            if inv is not None:
+                for r in results_all:
+                    if isinstance(r.get("text"), str):
+                        r["text"] = inv.inverse_normalize(r["text"])
         return results_all
 
     # ------------------------------------------------------------------

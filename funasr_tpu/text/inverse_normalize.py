@@ -2,8 +2,9 @@
 ``fun_text_processing/inverse_text_normalization/inverse_normalize.py:13-40``).
 
 The reference builds pynini WFST taggers/verbalizers per language; this rebuild uses
-deterministic rule engines per language (zh/en fully implemented; other languages fall
-back to identity with a logged warning). Same class surface:
+deterministic rule engines per language (all 12 reference languages: zh/en full
+grammars, ja/ko CJK positional numbers, de/es/fr/pt/ru/id/vi/tl word-lexicon
+cardinals via :mod:`funasr_tpu.text.multilingual`). Same class surface:
 ``InverseNormalizer(lang="zh").inverse_normalize(text, verbose=False)``.
 """
 
@@ -12,9 +13,10 @@ from __future__ import annotations
 import logging
 
 from funasr_tpu.text.en_numbers import inverse_normalize_en
+from funasr_tpu.text.multilingual import ITN_FUNCS
 from funasr_tpu.text.zh_numbers import inverse_normalize_zh, normalize_zh
 
-_SUPPORTED = {"zh", "en"}
+_SUPPORTED = {"zh", "en"} | set(ITN_FUNCS)
 _KNOWN = {"de", "en", "es", "fr", "id", "ja", "ko", "pt", "ru", "tl", "vi", "zh"}
 
 
@@ -33,6 +35,8 @@ class InverseNormalizer:
             out = inverse_normalize_zh(text)
         elif self.lang == "en":
             out = inverse_normalize_en(text)
+        elif self.lang in ITN_FUNCS:
+            out = ITN_FUNCS[self.lang](text)
         else:
             out = text
         if verbose:

@@ -1,0 +1,42 @@
+"""Multilingual ITN (12 reference languages)."""
+
+import pytest
+
+from funasr_tpu.text.inverse_normalize import InverseNormalizer
+
+
+@pytest.mark.parametrize("lang,text,want", [
+    ("zh", "一共三百二十五元", "325"),
+    ("en", "twenty three dollars", "23"),
+    ("ja", "価格は三千五百円です", "3500"),
+    ("ja", "二〇二三年", "2023"),
+    ("ko", "삼만 오천 원", "35000"),
+    ("ko", "이십일", "21"),
+    ("de", "ich habe dreiundzwanzig Katzen", "23"),
+    ("de", "zweitausendvierundzwanzig", "2024"),
+    ("es", "tengo veintitrés gatos", "23"),
+    ("es", "quinientos treinta y dos", "532"),
+    ("fr", "quatre-vingt-dix-sept", "97"),
+    ("fr", "deux cents euros", "200"),
+    ("pt", "duzentos e cinquenta", "250"),
+    ("ru", "двести пятьдесят три", "253"),
+    ("ru", "пять тысяч", "5000"),
+    ("id", "dua puluh tiga ribu", "23000"),
+    ("vi", "hai mươi ba nghìn", "23000"),
+    ("vi", "một trăm lẻ năm", "105"),
+    ("tl", "dalawampu at lima", "25"),
+])
+def test_itn(lang, text, want):
+    out = InverseNormalizer(lang=lang).inverse_normalize(text)
+    assert want in out, out
+
+
+def test_non_number_text_untouched():
+    for lang in ("ja", "ko", "de", "es", "fr", "pt", "ru", "id", "vi", "tl"):
+        inv = InverseNormalizer(lang=lang)
+        assert inv.inverse_normalize("hello world") in ("hello world",)
+
+
+def test_unknown_language_raises():
+    with pytest.raises(ValueError):
+        InverseNormalizer(lang="xx")
