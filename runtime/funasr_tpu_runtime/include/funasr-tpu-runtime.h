@@ -62,6 +62,12 @@ void FunASRUninit(FUNASR_HANDLE handle);
 
 const char* FunASRVersion(void);
 
+/* Inverse text normalization (zh/en rules embedded; reference ITN runtime is
+ * openfst FARs — runtime/onnxruntime/src/itn-processor.cpp). Returns a
+ * malloc'd UTF-8 string; free with FunASRITNFree. */
+char* FunASRITNNormalize(const char* text, const char* language);
+void FunASRITNFree(char* s);
+
 #ifdef __cplusplus
 }
 #endif
