@@ -147,7 +147,6 @@ class AutoModel:
         # funasr/auto/auto_model.py: device selects cuda/cpu). Must run before the
         # first jax computation; jax raises if a backend is already initialized.
         if str(kwargs.get("device", "") or "").startswith("cpu"):
-            import jax
             try:
                 jax.config.update("jax_platforms", "cpu")
             except RuntimeError:
