@@ -152,6 +152,7 @@ class AutoModel:
             except RuntimeError:
                 logging.warning("device=cpu requested but a JAX backend is already "
                                 "initialized; keeping the existing platform")
+        quantization = kwargs.get("quant") or kwargs.get("quantization")
         if "model_conf" not in kwargs:
             kwargs = download_model(**kwargs)
 
@@ -211,6 +212,15 @@ class AutoModel:
             import jax.numpy as jnp
             from funasr_tpu.core.module import cast_floats
             params = cast_floats(params, jnp.bfloat16)
+        if quantization and quantization not in ("int8", "w8"):
+            logging.warning("unknown quant=%r (supported: int8); params stay "
+                            "unquantized", quantization)
+        if quantization in ("int8", "w8"):
+            # weight-only int8 (ggml-runtime counterpart, ops/quant.py):
+            # halves HBM bytes per step — biggest win on memory-bound LLM decode
+            from funasr_tpu.ops.quant import quantize_params_int8
+            params = quantize_params_int8(params)
+            logging.info("quantized linear weights to int8 (weight-only)")
         return model, params, kwargs
 
     # ------------------------------------------------------------------

@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from funasr_tpu.core.layers import linear_init
+from funasr_tpu.ops.quant import qlinear
 
 
 class QwenConfig(NamedTuple):
@@ -139,11 +140,7 @@ class QwenLM:
         b, t, _ = x.shape
 
         def proj(p, n_heads):
-            w = p["w"].astype(x.dtype)
-            y = jnp.matmul(x, w, preferred_element_type=jnp.float32).astype(x.dtype)
-            if "b" in p:
-                y = y + p["b"].astype(x.dtype)
-            return y.reshape(b, t, n_heads, c.hd)
+            return qlinear(p, x).reshape(b, t, n_heads, c.hd)
 
         q = proj(lp["q_proj"], c.num_attention_heads)
         k = proj(lp["k_proj"], c.num_key_value_heads)
@@ -177,18 +174,14 @@ class QwenLM:
         attn = jax.nn.softmax(scores, axis=-1)
         ctx = jnp.einsum("bhts,bshd->bthd", attn.astype(x.dtype), vv)
         ctx = ctx.reshape(b, t, c.num_attention_heads * c.hd)
-        out = jnp.matmul(ctx, lp["o_proj"]["w"].astype(x.dtype),
-                         preferred_element_type=jnp.float32).astype(x.dtype)
+        out = qlinear(lp["o_proj"], ctx)
         return out, new_kv
 
     def _mlp(self, lp, x):
-        g = jnp.matmul(x, lp["gate_proj"]["w"].astype(x.dtype),
-                       preferred_element_type=jnp.float32).astype(x.dtype)
-        u = jnp.matmul(x, lp["up_proj"]["w"].astype(x.dtype),
-                       preferred_element_type=jnp.float32).astype(x.dtype)
+        g = qlinear(lp["gate_proj"], x)
+        u = qlinear(lp["up_proj"], x)
         h = jax.nn.silu(g.astype(jnp.float32)).astype(x.dtype) * u
-        return jnp.matmul(h, lp["down_proj"]["w"].astype(x.dtype),
-                          preferred_element_type=jnp.float32).astype(x.dtype)
+        return qlinear(lp["down_proj"], h)
 
     def forward(self, params, input_embeds, positions, kv_cache, write_pos, kv_lens):
         """input_embeds: (B, T, D); positions: (B, T) global positions; returns
@@ -208,8 +201,7 @@ class QwenLM:
             logits = jnp.matmul(x, params["embed_tokens"].T.astype(x.dtype),
                                 preferred_element_type=jnp.float32)
         else:
-            logits = jnp.matmul(x, params["lm_head"]["w"].astype(x.dtype),
-                                preferred_element_type=jnp.float32)
+            logits = qlinear(params["lm_head"], x).astype(jnp.float32)
         return logits.astype(jnp.float32), new_cache
 
     def embed(self, params, token_ids, dtype=jnp.bfloat16):
