@@ -46,7 +46,8 @@ class FSMN:
                  linear_dim: int, proj_dim: int, lorder: int, rorder: int,
                  lstride: int, rstride: int, output_affine_dim: int, output_dim: int,
                  use_softmax: bool = True, **kwargs):
-        assert lstride == 1 and rstride == 1, "dilated FSMN strides not yet supported"
+        assert lstride == 1 and (rorder == 0 or rstride == 1), \
+            "dilated FSMN strides not yet supported"
         self.cfg = FSMNConfig(input_dim, input_affine_dim, fsmn_layers, linear_dim,
                               proj_dim, lorder, rorder, lstride, rstride,
                               output_affine_dim, output_dim, use_softmax)

@@ -49,6 +49,10 @@ class UniASR:
             vocab_size=vocab_size, encoder_output_size=enc1_out,
             **(decoder_conf or {}))
         self.predictor = tables.predictor_classes[predictor](**(predictor_conf or {}))
+        # SCAMA configs carry one predictor section; the 2nd-pass predictor
+        # defaults to the same conf (reference scama/template.yaml:46-52)
+        if predictor2_conf is None:
+            predictor2_conf = predictor_conf
 
         # pass-2 front: stride conv over [enc1_out || features]
         sc_conf = dict(stride_conv_conf or {})
