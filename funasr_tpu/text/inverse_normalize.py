@@ -57,6 +57,11 @@ class Normalizer:
     def normalize(self, text: str, verbose: bool = False) -> str:
         if self.lang == "zh":
             out = normalize_zh(text)
+        elif self.lang in ("de", "es", "ru"):
+            import re
+            from funasr_tpu.text.multilingual import TN_FUNCS
+            out = re.sub(r"\d+", lambda m: TN_FUNCS[self.lang](int(m.group(0))),
+                         text)
         else:
             import re
             from funasr_tpu.text.en_numbers import ONES, TENS

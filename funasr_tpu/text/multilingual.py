@@ -395,3 +395,95 @@ ITN_FUNCS = {
     "vi": inverse_normalize_vi,
     "tl": inverse_normalize_tl,
 }
+
+
+# ----------------------------------------------------------------------
+# TN direction: number verbalizers (reference text_normalization langs de/es/ru)
+# ----------------------------------------------------------------------
+
+def _verbalize_de(n: int) -> str:
+    if n == 0:
+        return "null"
+    inv_ones = {v: k for k, v in _DE_ONES.items() if k not in ("eins", "eine")}
+    inv_tens = {v: k for k, v in _DE_TENS.items() if k != "dreissig"}
+    out = ""
+    if n >= 10 ** 6:
+        m, n = divmod(n, 10 ** 6)
+        out += (_verbalize_de(m) if m > 1 else "eine") + \
+            (" millionen " if m > 1 else " million ")
+    if n >= 1000:
+        t, n = divmod(n, 1000)
+        out += (_verbalize_de(t) if t > 1 else "ein") + "tausend"
+    if n >= 100:
+        h, n = divmod(n, 100)
+        out += (inv_ones[h] if h > 1 else "ein") + "hundert"
+    if n >= 20:
+        t, o = divmod(n, 10)
+        out += (inv_ones[o] + "und" if o else "") + inv_tens[t * 10]
+    elif n > 0:
+        out += "eins" if n == 1 and not out else inv_ones.get(n, "eins")
+    return out.strip()
+
+
+def _verbalize_es(n: int) -> str:
+    if n == 0:
+        return "cero"
+    inv_ones = {v: k for k, v in _ES_ONES.items()
+                if k not in ("un", "una", "dieciseis", "veintidos",
+                             "veintitres", "veintiseis")}
+    inv_tens = {v: k for k, v in _ES_TENS.items()}
+    inv_hundreds = {v: k for k, v in _ES_HUNDREDS.items() if k != "cien"}
+    parts = []
+    if n >= 10 ** 6:
+        m, n = divmod(n, 10 ** 6)
+        parts.append(("un millón" if m == 1
+                      else _verbalize_es(m) + " millones"))
+    if n >= 1000:
+        t, n = divmod(n, 1000)
+        parts.append("mil" if t == 1 else _verbalize_es(t) + " mil")
+    if n >= 100:
+        h, n = divmod(n, 100)
+        parts.append("cien" if h == 1 and n == 0
+                     else ("ciento" if h == 1 else inv_hundreds[h * 100]))
+    if n >= 30:
+        t, o = divmod(n, 10)
+        parts.append(inv_tens[t * 10] + (f" y {inv_ones[o]}" if o else ""))
+    elif n > 0:
+        parts.append(inv_ones[n])
+    return " ".join(parts)
+
+
+def _verbalize_ru(n: int) -> str:
+    if n == 0:
+        return "ноль"
+    inv_ones = {v: k for k, v in _RU_ONES.items()
+                if k not in ("нуль", "одна", "одно", "две")}
+    inv_tens = {v: k for k, v in _RU_TENS.items()}
+    inv_hundreds = {v: k for k, v in _RU_HUNDREDS.items()}
+    parts = []
+    if n >= 10 ** 6:
+        m, n = divmod(n, 10 ** 6)
+        word = "миллион" if m % 10 == 1 and m % 100 != 11 else \
+            "миллиона" if 2 <= m % 10 <= 4 and not 12 <= m % 100 <= 14 else \
+            "миллионов"
+        parts.append(_verbalize_ru(m) + " " + word)
+    if n >= 1000:
+        t, n = divmod(n, 1000)
+        word = "тысяча" if t % 10 == 1 and t % 100 != 11 else \
+            "тысячи" if 2 <= t % 10 <= 4 and not 12 <= t % 100 <= 14 else \
+            "тысяч"
+        head = "одна" if t == 1 else ("две" if t == 2 else _verbalize_ru(t))
+        parts.append(head + " " + word)
+    if n >= 100:
+        h, n = divmod(n, 100)
+        parts.append(inv_hundreds[h * 100])
+    if n >= 20:
+        t, o = divmod(n, 10)
+        parts.append(inv_tens[t * 10])
+        n = o
+    if 0 < n < 20:
+        parts.append(inv_ones[n])
+    return " ".join(parts)
+
+
+TN_FUNCS = {"de": _verbalize_de, "es": _verbalize_es, "ru": _verbalize_ru}

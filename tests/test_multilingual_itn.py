@@ -40,3 +40,14 @@ def test_non_number_text_untouched():
 def test_unknown_language_raises():
     with pytest.raises(ValueError):
         InverseNormalizer(lang="xx")
+
+
+@pytest.mark.parametrize("lang,n", [
+    ("de", 23), ("de", 2024), ("de", 1000000),
+    ("es", 532), ("es", 150), ("es", 21),
+    ("ru", 253), ("ru", 5000), ("ru", 1001)])
+def test_tn_itn_roundtrip(lang, n):
+    from funasr_tpu.text.inverse_normalize import Normalizer
+    spoken = Normalizer(lang=lang).normalize(str(n))
+    back = InverseNormalizer(lang=lang).inverse_normalize(spoken)
+    assert str(n) in back, (spoken, back)
