@@ -68,6 +68,15 @@ const char* FunASRVersion(void);
 char* FunASRITNNormalize(const char* text, const char* language);
 void FunASRITNFree(char* s);
 
+/* Hotword bias trie (reference CompileHotwordEmbedding counterpart; token-id
+ * prefix trie with incremental boosts instead of openfst bias LM). Compile
+ * from a space-separated hotword string + tokens file; Step advances the
+ * decode-time state, accumulating the score delta. */
+void* FunASRHotwordCompile(const char* hotwords, const char* tokens_file,
+                           float boost);
+int FunASRHotwordStep(void* trie, int state, int token, float* delta);
+void FunASRHotwordFree(void* trie);
+
 #ifdef __cplusplus
 }
 #endif

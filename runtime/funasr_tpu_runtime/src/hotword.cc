@@ -1,0 +1,127 @@
+#include "hotword.h"
+
+#include <cstring>
+#include <sstream>
+
+#include "vocab.h"
+
+namespace funasr_tpu {
+
+void HotwordTrie::Add(const std::vector<int>& token_ids, float boost) {
+  if (token_ids.empty()) return;
+  int node = 0;
+  float accum = 0.0f;
+  for (int tok : token_ids) {
+    accum += boost;
+    auto it = nodes_[node].next.find(tok);
+    if (it == nodes_[node].next.end()) {
+      nodes_.push_back(Node{});
+      nodes_.back().accum = accum;
+      nodes_[node].next[tok] = static_cast<int>(nodes_.size()) - 1;
+      node = static_cast<int>(nodes_.size()) - 1;
+    } else {
+      node = it->second;
+    }
+  }
+  nodes_[node].is_end = true;
+}
+
+int HotwordTrie::Compile(const std::string& hotwords, const Vocab& vocab,
+                         float boost) {
+  // token lookup table (vocab is small; linear build once)
+  std::map<std::string, int> tok2id;
+  for (int i = 0; i < vocab.Size(); ++i) tok2id[vocab.Id2Token(i)] = i;
+
+  std::istringstream ss(hotwords);
+  std::string word;
+  int compiled = 0;
+  while (ss >> word) {
+    float w_boost = boost;
+    size_t at = word.rfind("@@");
+    // "word@@5" weight suffix (reference hotword file format "word weight")
+    if (at != std::string::npos && at + 2 < word.size() &&
+        word.find_first_not_of("0123456789.", at + 2) == std::string::npos) {
+      w_boost = std::stof(word.substr(at + 2));
+      word = word.substr(0, at);
+    }
+    // greedy longest-match tokenization over UTF-8
+    std::vector<int> ids;
+    size_t i = 0;
+    bool ok = true;
+    while (i < word.size()) {
+      size_t best_len = 0;
+      int best_id = -1;
+      for (size_t len = word.size() - i; len >= 1; --len) {
+        auto it = tok2id.find(word.substr(i, len));
+        if (it != tok2id.end()) {
+          best_len = len;
+          best_id = it->second;
+          break;
+        }
+      }
+      if (best_id < 0) { ok = false; break; }
+      ids.push_back(best_id);
+      i += best_len;
+    }
+    if (ok && !ids.empty()) {
+      Add(ids, w_boost);
+      ++compiled;
+    }
+  }
+  return compiled;
+}
+
+int HotwordTrie::Step(int state, int token, float* delta) const {
+  if (state < 0 || state >= static_cast<int>(nodes_.size())) state = 0;
+  const Node& cur = nodes_[state];
+  auto it = cur.next.find(token);
+  if (it != cur.next.end()) {
+    const Node& nxt = nodes_[it->second];
+    *delta += nxt.accum - cur.accum;        // earn this step's boost
+    if (nxt.is_end) return 0;               // word completed: bonus kept
+    return it->second;
+  }
+  // fall off a partial match: refund, then retry the token from the root
+  *delta -= cur.accum;
+  if (state != 0) {
+    auto root_it = nodes_[0].next.find(token);
+    if (root_it != nodes_[0].next.end()) {
+      const Node& nxt = nodes_[root_it->second];
+      *delta += nxt.accum;
+      if (nxt.is_end) return 0;
+      return root_it->second;
+    }
+  }
+  return 0;
+}
+
+// ---- C API -------------------------------------------------------------------
+
+extern "C" {
+
+void* FunASRHotwordCompile(const char* hotwords, const char* tokens_file,
+                           float boost) {
+  if (hotwords == nullptr || tokens_file == nullptr) return nullptr;
+  auto* vocab = new Vocab();
+  if (!vocab->Load(tokens_file)) {
+    delete vocab;
+    return nullptr;
+  }
+  auto* trie = new HotwordTrie();
+  trie->Compile(hotwords, *vocab, boost);
+  delete vocab;
+  return trie;
+}
+
+int FunASRHotwordStep(void* trie, int state, int token, float* delta) {
+  if (trie == nullptr) return 0;
+  return static_cast<HotwordTrie*>(trie)->Step(state, token, delta);
+}
+
+void FunASRHotwordFree(void* trie) {
+  delete static_cast<HotwordTrie*>(trie);
+}
+
+}  // extern "C"
+
+}  // namespace funasr_tpu

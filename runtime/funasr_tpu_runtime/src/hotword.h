@@ -1,0 +1,55 @@
+// Hotword bias trie for decode-time keyword boosting.
+//
+// TPU-era counterpart of the reference's WFST hotword decoder
+// (FunASR runtime/onnxruntime/src/bias-lm.cpp:180 builds an incremental bias
+// LM over openfst; the C API entry is CompileHotwordEmbedding). This runtime
+// uses a token-id prefix trie with per-step incremental scores: walking a
+// hotword prefix earns +boost per matched token, and falling off a partial
+// match refunds the accumulated bonus (the standard lattice-free contextual
+// biasing recipe, equivalent to the reference's fst_inc_wts_ weights).
+//
+// State is a single int (trie node); the scorer is pure:
+//   next_state, delta = Step(state, token_id)
+// making it usable from the greedy/beam loops of the PJRT path and from
+// host-side rescoring.
+#ifndef FUNASR_TPU_HOTWORD_H_
+#define FUNASR_TPU_HOTWORD_H_
+
+#include <map>
+#include <string>
+#include <vector>
+
+namespace funasr_tpu {
+
+class Vocab;
+
+class HotwordTrie {
+ public:
+  // hotwords: token-id sequences with an optional per-word boost.
+  void Add(const std::vector<int>& token_ids, float boost = 3.0f);
+
+  // Parse "词语 另一个词 word@@piece" against a vocab (greedy longest-match
+  // per UTF-8 char / BPE piece). Returns number of words compiled.
+  int Compile(const std::string& hotwords, const Vocab& vocab,
+              float boost = 3.0f);
+
+  // Advance from `state` with `token`. Returns the new state and adds the
+  // incremental score to *delta: +boost on extending a hotword prefix,
+  // +final bonus on completing one, minus the accumulated partial bonus on
+  // falling off a prefix (so dead-end partial matches are score-neutral).
+  int Step(int state, int token, float* delta) const;
+
+  int NumStates() const { return static_cast<int>(nodes_.size()); }
+
+ private:
+  struct Node {
+    std::map<int, int> next;
+    float accum = 0.0f;   // bonus earned to reach this node
+    bool is_end = false;
+  };
+  std::vector<Node> nodes_{Node{}};
+};
+
+}  // namespace funasr_tpu
+
+#endif  // FUNASR_TPU_HOTWORD_H_
