@@ -64,6 +64,10 @@ def main_cli():
 
     model, params, kwargs = AutoModel.build_model(**cfg)
     export_model(model, params, output_dir, buckets)
+    # params ship separately from the StableHLO graphs (loaded back by
+    # funasr_tpu.export_runtime.ExportedModel and the C++ PJRT path)
+    from funasr_tpu.export_runtime import save_params_npz
+    save_params_npz(params, os.path.join(output_dir, "params.npz"))
     # sidecars the C++ runtime loads (mirrors the reference artifact set)
     model_path = kwargs.get("model_path")
     if model_path:
