@@ -49,6 +49,10 @@ def dequantize_linear_int8(p):
 def qlinear(p, x, *, preferred_element_type=jnp.float32):
     """Linear apply for plain or int8-quantized param dicts. Output in x.dtype."""
     if "w_q" in p:
+        # measured on v5e (0.5B Qwen decode chain): XLA's own int8-upcast
+        # lowering (2.47 ms/tok) beats a hand-written Pallas W8A16 tile kernel
+        # (3.43 ms/tok) at decode shapes — XLA pipelines the convert across
+        # grid steps better. Keep the plain lowering.
         y = jnp.matmul(x, p["w_q"].astype(x.dtype),
                        preferred_element_type=preferred_element_type)
         y = y * p["scale"].astype(y.dtype)
