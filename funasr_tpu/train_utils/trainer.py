@@ -56,6 +56,16 @@ class Trainer:
         self.profile_steps = profile_steps
         self._profiling = False
         os.makedirs(output_dir, exist_ok=True)
+        # TensorBoard scalars (reference trainer.py:678-770 tensorboardX parity);
+        # optional — jsonl logs remain the source of truth
+        self._tb = None
+        if kwargs.get("use_tensorboard", True):
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+                self._tb = SummaryWriter(
+                    log_dir=os.path.join(output_dir, "tensorboard"))
+            except ImportError:
+                pass
 
         self.tx = optax.MultiSteps(optim, accum_grad) if accum_grad > 1 else optim
         self.mesh = mesh if mesh is not None else make_mesh(model=1)
@@ -170,6 +180,11 @@ class Trainer:
                 logging.info("train: %s", logs)
                 self._log_f.write(json.dumps(logs) + "\n")
                 self._log_f.flush()
+                if self._tb is not None:
+                    for k, v in logs.items():
+                        if isinstance(v, (int, float)) and k not in ("epoch",
+                                                                     "step"):
+                            self._tb.add_scalar(f"train/{k}", v, self.step)
             if self.save_checkpoint_interval > 0 \
                     and self.step % self.save_checkpoint_interval == 0:
                 metric = self.validate_epoch(params, val_loader, epoch, rng) \
