@@ -126,6 +126,50 @@ class Transducer:
             results.append(tokens)
         return results
 
+    # ------------------------------------------------------------------
+    # streaming (stateful chunked encoder + incremental greedy)
+    # ------------------------------------------------------------------
+
+    def init_stream(self, params, batch: int = 1):
+        """Streaming state for decode_chunk (requires an encoder with
+        init_cache/forward_chunk, e.g. ChunkConformerEncoder — the
+        cache-based stateful inference recipe of arXiv 2312.17279)."""
+        if not hasattr(self.encoder, "forward_chunk"):
+            raise ValueError(f"encoder {type(self.encoder).__name__} has no "
+                             "forward_chunk; use ChunkConformerEncoder")
+        return {
+            "encoder": self.encoder.init_cache(batch),
+            "tokens": [[] for _ in range(batch)],
+        }
+
+    def decode_chunk(self, params, chunk, state, max_symbols_per_step: int = 3):
+        """chunk: (B, chunk_size, D) features -> newly emitted tokens per
+        utterance. The prediction-network prefix continues across chunks, so
+        concatenating per-chunk emissions equals offline greedy over the same
+        chunk-causal encoder output."""
+        enc, state["encoder"] = self.encoder.forward_chunk(
+            params["encoder"], jnp.asarray(chunk), state["encoder"])
+        enc = np.asarray(enc)
+        new_tokens = []
+        for i in range(enc.shape[0]):
+            tokens = state["tokens"][i]
+            emitted = []
+            hist = jnp.asarray([[self.blank_id] + tokens], jnp.int32)
+            pred = self._predict(params, hist)[:, -1]
+            for t in range(enc.shape[1]):
+                for _ in range(max_symbols_per_step):
+                    logits = self.joint(params["joint"],
+                                        jnp.asarray(enc[i, t])[None], pred)
+                    tok = int(jnp.argmax(logits[0]))
+                    if tok == self.blank_id:
+                        break
+                    tokens.append(tok)
+                    emitted.append(tok)
+                    hist = jnp.asarray([[self.blank_id] + tokens], jnp.int32)
+                    pred = self._predict(params, hist)[:, -1]
+            new_tokens.append(emitted)
+        return new_tokens, state
+
     def inference(self, params, data_in, data_lengths=None, key: Optional[List] = None,
                   tokenizer=None, frontend=None, **kwargs):
         from funasr_tpu.utils import postprocess_utils
@@ -186,3 +230,4 @@ class RNNTDecoder:
         for lp in params["pred_lstm"]:
             x = lstm_apply(lp, x)
         return x, ys_lens
+
