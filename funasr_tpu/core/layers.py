@@ -228,6 +228,22 @@ def lstm_apply(p, x, reverse: bool = False):
     return hs.swapaxes(0, 1).astype(x.dtype)
 
 
+def lstm_step(p, x_t, state):
+    """One LSTM cell step: x_t (B, D), state (h, c) each (B, H) -> (h, (h, c)).
+
+    Same gate order/bias handling as :func:`lstm_apply`; used for incremental
+    decoding (transducer prediction network) where re-running the whole prefix
+    per emission would be O(U)."""
+    h, c = state
+    pre = jnp.matmul(x_t.astype(jnp.float32), p["w_ih"].astype(jnp.float32)) \
+        + p["b_ih"] + p["b_hh"] \
+        + jnp.matmul(h, p["w_hh"].astype(jnp.float32))
+    i, f, g, o = jnp.split(pre, 4, axis=-1)
+    c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+    h = jax.nn.sigmoid(o) * jnp.tanh(c)
+    return h.astype(x_t.dtype), (h, c)
+
+
 def bilstm_apply(p_fw, p_bw, x):
     return jnp.concatenate([lstm_apply(p_fw, x), lstm_apply(p_bw, x, reverse=True)],
                            axis=-1)

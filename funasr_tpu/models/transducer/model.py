@@ -16,7 +16,7 @@ import numpy as np
 
 from funasr_tpu.core.layers import (
     embedding_apply, embedding_init, linear_apply, linear_init, lstm_apply,
-    lstm_init)
+    lstm_init, lstm_step)
 from funasr_tpu.ops.rnnt_loss import rnnt_loss
 from funasr_tpu.register import tables
 
@@ -87,6 +87,20 @@ class Transducer:
             x = lstm_apply(lp, x)
         return x
 
+    def _predict_init(self, batch: int = 1):
+        return [(jnp.zeros((batch, self.hidden_size), jnp.float32),
+                 jnp.zeros((batch, self.hidden_size), jnp.float32))
+                for _ in range(self.num_layers)]
+
+    def _predict_step(self, params, token, states):
+        """One prediction-network step: token (B,) -> ((B, H), new states)."""
+        x = embedding_apply(params["embed"], token[:, None])[:, 0]
+        new_states = []
+        for lp, st in zip(params["pred_lstm"], states):
+            x, st = lstm_step(lp, x, st)
+            new_states.append(st)
+        return x, new_states
+
     def forward_jit(self, params, speech, speech_lengths, text, text_lengths, rng):
         if self.specaug is not None and rng is not None:
             speech, speech_lengths = self.specaug(speech, speech_lengths, rng)
@@ -111,8 +125,9 @@ class Transducer:
         results = []
         for i in range(enc.shape[0]):
             tokens: List[int] = []
-            state = jnp.full((1, 1), self.blank_id, jnp.int32)
-            pred = self._predict(params, state)[:, -1]
+            states = self._predict_init(1)
+            pred, states = self._predict_step(
+                params, jnp.full((1,), self.blank_id, jnp.int32), states)
             for t in range(int(enc_lens[i])):
                 for _ in range(max_symbols_per_step):
                     logits = self.joint(params["joint"],
@@ -121,8 +136,8 @@ class Transducer:
                     if tok == self.blank_id:
                         break
                     tokens.append(tok)
-                    hist = jnp.asarray([[self.blank_id] + tokens], jnp.int32)
-                    pred = self._predict(params, hist)[:, -1]
+                    pred, states = self._predict_step(
+                        params, jnp.full((1,), tok, jnp.int32), states)
             results.append(tokens)
         return results
 
@@ -137,9 +152,19 @@ class Transducer:
         if not hasattr(self.encoder, "forward_chunk"):
             raise ValueError(f"encoder {type(self.encoder).__name__} has no "
                              "forward_chunk; use ChunkConformerEncoder")
+        states = []
+        preds = []
+        for _ in range(batch):
+            st = self._predict_init(1)
+            pred, st = self._predict_step(
+                params, jnp.full((1,), self.blank_id, jnp.int32), st)
+            states.append(st)
+            preds.append(pred)
         return {
             "encoder": self.encoder.init_cache(batch),
             "tokens": [[] for _ in range(batch)],
+            "pred_states": states,
+            "preds": preds,
         }
 
     def decode_chunk(self, params, chunk, state, max_symbols_per_step: int = 3):
@@ -154,8 +179,8 @@ class Transducer:
         for i in range(enc.shape[0]):
             tokens = state["tokens"][i]
             emitted = []
-            hist = jnp.asarray([[self.blank_id] + tokens], jnp.int32)
-            pred = self._predict(params, hist)[:, -1]
+            pred = state["preds"][i]
+            states = state["pred_states"][i]
             for t in range(enc.shape[1]):
                 for _ in range(max_symbols_per_step):
                     logits = self.joint(params["joint"],
@@ -165,8 +190,10 @@ class Transducer:
                         break
                     tokens.append(tok)
                     emitted.append(tok)
-                    hist = jnp.asarray([[self.blank_id] + tokens], jnp.int32)
-                    pred = self._predict(params, hist)[:, -1]
+                    pred, states = self._predict_step(
+                        params, jnp.full((1,), tok, jnp.int32), states)
+            state["preds"][i] = pred
+            state["pred_states"][i] = states
             new_tokens.append(emitted)
         return new_tokens, state
 
