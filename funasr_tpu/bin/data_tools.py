@@ -97,13 +97,72 @@ def compute_cmvn(jsonl: str, out: str, dim: int = 560, lfr_m: int = 7,
     print(f"cmvn over {n} frames -> {out}")
 
 
+def tokenize_text(input: str, output: str = "-", token_type: str = "char",
+                  tokenizer: str = None, tokenizer_conf=None,
+                  write_vocabulary: bool = False, vocabulary_size: int = 0,
+                  add_symbol=None, field: str = None, **kwargs):
+    """Tokenize a text file line-by-line, or build a vocabulary
+    (counterpart of ``funasr/bin/tokenize_text.py``: token_type char/word;
+    write_vocabulary collects counts, caps at vocabulary_size, prepends
+    ``add_symbol`` entries like "<blank>:0")."""
+    import collections
+    import sys as _sys
+
+    def toks(line):
+        if tokenizer:
+            from funasr_tpu.register import tables
+            tok = tables.tokenizer_classes[tokenizer](**(tokenizer_conf or {}))
+            return tok.ids2tokens(tok.encode(line)) if hasattr(tok, "encode") \
+                else list(line)
+        if token_type == "word":
+            return line.split()
+        return [c for c in line.replace(" ", "") ]
+
+    out_f = _sys.stdout if output == "-" else open(output, "w", encoding="utf-8")
+    counter = collections.Counter()
+    with open(input, encoding="utf-8") as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if field:  # "2-" style: skip the utt-id column(s)
+                start = int(field.split("-")[0]) - 1
+                line = " ".join(line.split()[start:])
+            t = toks(line)
+            if write_vocabulary:
+                counter.update(t)
+            else:
+                out_f.write(" ".join(t) + "\n")
+    if write_vocabulary:
+        symbols = [s.split(":")[0] for s in (add_symbol or [])]
+        vocab = [w for w, _ in counter.most_common()]
+        if vocabulary_size > 0:
+            vocab = vocab[: max(vocabulary_size - len(symbols), 0)]
+        for sym in symbols:
+            out_f.write(sym + "\n")
+        for w in vocab:
+            out_f.write(w + "\n")
+    if out_f is not _sys.stdout:
+        out_f.close()
+
+
+def scp2len(scp_file: str, out: str, fs: int = 16000, **kwargs):
+    """wav.scp -> "utt n_samples" lines (counterpart of ``scp2len.py``)."""
+    from funasr_tpu.utils.load_utils import load_audio
+    with open(scp_file, encoding="utf-8") as f, open(out, "w") as fo:
+        for line in f:
+            parts = line.strip().split(maxsplit=1)
+            if len(parts) != 2:
+                continue
+            fo.write(f"{parts[0]} {len(load_audio(parts[1], fs=fs))}\n")
+
+
 def main_cli():
     from funasr_tpu.bin.train import parse_overrides
     assert len(sys.argv) > 1, __doc__
     cmd = sys.argv[1]
     cfg = parse_overrides(sys.argv[2:])
     fn = {"scp2jsonl": scp2jsonl, "jsonl2scp": jsonl2scp,
-          "compute_cmvn": compute_cmvn}.get(cmd)
+          "compute_cmvn": compute_cmvn, "tokenize_text": tokenize_text,
+          "scp2len": scp2len}.get(cmd)
     assert fn is not None, f"unknown command {cmd}; {__doc__}"
     fn(**cfg)
 
