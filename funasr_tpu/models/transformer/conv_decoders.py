@@ -59,7 +59,8 @@ def _shared_kernel_conv(x, w, causal: bool):
     group = c // h
     pad = k // 2
     xpad = jnp.pad(x, ((0, 0), (pad, pad), (0, 0)))
-    w_full = jnp.repeat(w.T, group, axis=-1)  # (k, C): group-shared taps
+    # channel c shares head c % h (torch view(-1, H, T) interleaves heads)
+    w_full = jnp.tile(w.T, (1, group))  # (k, C)
     out = jnp.zeros_like(x)
     for i in range(k):
         out = out + xpad[:, i:i + t, :] * w_full[i][None, None, :]
@@ -123,27 +124,34 @@ def dynamic_conv_init(rng, dim: int, wshare: int, kernel: int, freq_conv: bool):
 def dynamic_conv_apply(p, x, wshare: int, kernel: int, causal: bool = True):
     b, t, c = x.shape
     group = c // wshare
+    pad = kernel // 2
     h = _glu(linear_apply(p["linear1"], x))
     if "linear_weight_f" in p:
         # 2D variant: per-position kernel convolved along the feature axis
         wf = jax.nn.softmax(
-            linear_apply(p["linear_weight_f"], x)
+            linear_apply(p["linear_weight_f"], h)
             .reshape(b, t, wshare, kernel).astype(jnp.float32), axis=-1)
-        pad_f = kernel // 2
-        hpad_f = jnp.pad(h, ((0, 0), (0, 0), (pad_f, pad_f)))
+        hpad_f = jnp.pad(h, ((0, 0), (0, 0), (pad, pad)))
         acc = jnp.zeros_like(h)
         head = jnp.arange(c) // group  # feature -> shared-kernel head
         for i in range(kernel):
             acc = acc + hpad_f[:, :, i:i + c] * \
                 wf[:, :, head, i].astype(h.dtype)
         h = acc
-    # per-position kernels from the raw input (reference dynamic_conv.py:90)
-    w = linear_apply(p["linear_weight"], x).reshape(b, t, wshare, kernel)
+    # per-position kernels from the GLU output (reference dynamic_conv.py:90
+    # computes linear_weight AFTER the GLU).
+    # Tap i reads position t + i - pad; out-of-range taps (sequence start, and
+    # the future under the causal mask) get -inf BEFORE the softmax so boundary
+    # positions renormalize over their real support — the reference builds the
+    # banded T x T matrix (-inf filled) and tril-masks it, same semantics.
+    w = linear_apply(p["linear_weight"], h).reshape(b, t, wshare, kernel)
+    taps = jnp.arange(kernel)[None, None, None, :]
+    t_idx = jnp.arange(t)[None, :, None, None]
+    valid = (t_idx + taps - pad) >= 0
     if causal:
-        taps = jnp.arange(kernel)
-        w = jnp.where((taps <= kernel // 2)[None, None, None, :], w, -jnp.inf)
+        valid = valid & (taps <= pad)
+    w = jnp.where(valid, w, -jnp.inf)
     w = jax.nn.softmax(w.astype(jnp.float32), axis=-1)
-    pad = kernel // 2
     hpad = jnp.pad(h, ((0, 0), (pad, pad), (0, 0)))
     hg = hpad.reshape(b, t + 2 * pad, wshare, group)
     out = jnp.zeros((b, t, wshare, group), h.dtype)
