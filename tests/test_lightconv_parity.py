@@ -68,3 +68,62 @@ def test_dynamic_conv_parity():
     y = np.asarray(dynamic_conv_apply(params, jnp.asarray(x), h, k,
                                       causal=True))
     np.testing.assert_allclose(y, y_ref, rtol=2e-4, atol=2e-5)
+
+
+def test_paraformer_san_decoder_parity():
+    """NAR SAN decoder (embeds in, no causal mask) vs the reference."""
+    import jax
+    from funasr.models.paraformer.decoder import ParaformerSANDecoder as Ref
+    from funasr_tpu.core.module import stack_params
+    from funasr_tpu.models.paraformer.san_decoder import ParaformerSANDecoder
+    torch.manual_seed(2)
+    v, d = 15, 32
+    ref = Ref(vocab_size=v, encoder_output_size=d, attention_heads=4,
+              linear_units=64, num_blocks=2, dropout_rate=0.0,
+              positional_dropout_rate=0.0, input_layer="embed").eval()
+    mine = ParaformerSANDecoder(vocab_size=v, encoder_output_size=d,
+                                attention_heads=4, linear_units=64,
+                                num_blocks=2)
+    sd = {k: val.detach().numpy() for k, val in ref.state_dict().items()}
+
+    def lin(prefix):
+        p = {"w": jnp.asarray(sd[f"{prefix}.weight"].T)}
+        if f"{prefix}.bias" in sd:
+            p["b"] = jnp.asarray(sd[f"{prefix}.bias"])
+        return p
+
+    def norm(prefix):
+        return {"scale": jnp.asarray(sd[f"{prefix}.weight"]),
+                "bias": jnp.asarray(sd[f"{prefix}.bias"])}
+
+    def mha(prefix):
+        return {f"linear_{x}": lin(f"{prefix}.linear_{x}")
+                for x in ("q", "k", "v", "out")}
+
+    layers = [{
+        "norm1": norm(f"decoders.{i}.norm1"),
+        "norm2": norm(f"decoders.{i}.norm2"),
+        "norm3": norm(f"decoders.{i}.norm3"),
+        "self_attn": mha(f"decoders.{i}.self_attn"),
+        "src_attn": mha(f"decoders.{i}.src_attn"),
+        "feed_forward": {"w_1": lin(f"decoders.{i}.feed_forward.w_1"),
+                         "w_2": lin(f"decoders.{i}.feed_forward.w_2")},
+    } for i in range(2)]
+    params = {"decoders": stack_params(layers),
+              "after_norm": norm("after_norm"),
+              "output_layer": lin("output_layer")}
+
+    rng = np.random.default_rng(2)
+    mem = rng.standard_normal((2, 10, d)).astype(np.float32)
+    emb = rng.standard_normal((2, 5, d)).astype(np.float32)
+    hlens = np.asarray([10, 7])
+    ylens = np.asarray([5, 3])
+    with torch.no_grad():
+        y_ref, _ = ref(torch.from_numpy(mem), torch.from_numpy(hlens),
+                       torch.from_numpy(emb), torch.from_numpy(ylens))
+    y, _ = mine(params, jnp.asarray(mem), jnp.asarray(hlens),
+                jnp.asarray(emb), jnp.asarray(ylens))
+    # compare valid positions (reference does not zero padded rows)
+    for i, L in enumerate(ylens):
+        np.testing.assert_allclose(np.asarray(y)[i, :L], y_ref.numpy()[i, :L],
+                                   rtol=2e-4, atol=2e-4)
