@@ -100,9 +100,9 @@ class SelfSrcAttention:
 
 @tables.register("encoder_classes", "ConvBiasPredictor")
 class ConvPredictor:
-    """Per-text-token bias probability from (text memory, audio memory)
-    (reference ``encoder.py:373``): cross-attn -> FFN -> depthwise conv ->
-    linear -> sigmoid."""
+    """Per-text-token bias score from (text memory, audio memory)
+    (reference ``encoder.py:373``): cross-attn -> FFN -> depthwise conv with
+    residual -> relu -> linear (raw logits, like the reference)."""
 
     def __init__(self, size: int = 256, l_order: int = 3, r_order: int = 3,
                  attention_heads: int = 4, linear_units: int = 2048, **kwargs):
@@ -127,7 +127,7 @@ class ConvPredictor:
         x = x + ffn_apply(params["feed_forward"],
                           layer_norm_apply(params["norm1"], x))
         h = layer_norm_apply(params["norm2"], x)
-        h = depthwise_conv1d_apply(params["conv1d"], h, left_pad=self.l_order,
-                                   right_pad=self.r_order)
-        prob = jax.nn.sigmoid(linear_apply(params["output_linear"], h)[..., 0])
-        return prob
+        mem = depthwise_conv1d_apply(params["conv1d"], h, left_pad=self.l_order,
+                                     right_pad=self.r_order)
+        h = jax.nn.relu(mem + h)
+        return linear_apply(params["output_linear"], h)[..., 0]

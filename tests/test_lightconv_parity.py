@@ -127,3 +127,42 @@ def test_paraformer_san_decoder_parity():
     for i, L in enumerate(ylens):
         np.testing.assert_allclose(np.asarray(y)[i, :L], y_ref.numpy()[i, :L],
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_lcbnet_conv_bias_predictor_parity():
+    from funasr.models.lcbnet.encoder import ConvPredictor as Ref
+    from funasr_tpu.models.lcbnet.encoder import ConvPredictor
+    torch.manual_seed(3)
+    d = 32
+    ref = Ref(size=d, l_order=3, r_order=3, attention_heads=4,
+              attention_dropout_rate=0.0, linear_units=64).eval()
+    mine = ConvPredictor(size=d, l_order=3, r_order=3, attention_heads=4,
+                         linear_units=64)
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+    def lin(pre):
+        p = {"w": jnp.asarray(sd[f"{pre}.weight"].T)}
+        if f"{pre}.bias" in sd:
+            p["b"] = jnp.asarray(sd[f"{pre}.bias"])
+        return p
+
+    params = {
+        "atten": {f"linear_{x}": lin(f"atten.linear_{x}")
+                  for x in ("q", "k", "v", "out")},
+        "norm1": {"scale": jnp.asarray(sd["norm1.weight"]),
+                  "bias": jnp.asarray(sd["norm1.bias"])},
+        "norm2": {"scale": jnp.asarray(sd["norm2.weight"]),
+                  "bias": jnp.asarray(sd["norm2.bias"])},
+        "feed_forward": {"w_1": lin("feed_forward.w_1"),
+                         "w_2": lin("feed_forward.w_2")},
+        "conv1d": {"w": jnp.asarray(sd["conv1d.weight"][:, 0, :].T),
+                   "b": jnp.asarray(sd["conv1d.bias"])},
+        "output_linear": lin("output_linear"),
+    }
+    rng = np.random.default_rng(3)
+    text = rng.standard_normal((2, 6, d)).astype(np.float32)
+    audio = rng.standard_normal((2, 11, d)).astype(np.float32)
+    with torch.no_grad():
+        y_ref = ref(torch.from_numpy(text), torch.from_numpy(audio)).numpy()
+    y = np.asarray(mine(params, jnp.asarray(text), jnp.asarray(audio)))
+    np.testing.assert_allclose(y, y_ref, rtol=2e-4, atol=2e-4)
