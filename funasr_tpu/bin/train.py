@@ -85,6 +85,7 @@ def main(**kwargs):
     mesh = make_mesh(model=model_par)
     trainer = Trainer(model, tx, frontend=kwargs.get("frontend"),
                       output_dir=kwargs.get("output_dir", "exp"),
+                      sharding=kwargs.get("sharding", "dp"),
                       mesh=mesh, **train_conf)
     params = trainer.run(params, dl.train, dl.valid,
                          rng=jax.random.PRNGKey(kwargs.get("seed", 0)))

@@ -31,7 +31,12 @@ def make_mesh(n_devices: Optional[int] = None, data: Optional[int] = None,
     n = len(devices)
     if data is None:
         data = n // model
-    assert data * model == n, (data, model, n)
+    if data < 1 or data * model != n:
+        raise ValueError(
+            f"cannot build a ({data} data x {model} model) mesh from {n} "
+            f"available device(s); pass devices= explicitly (e.g. "
+            f"jax.devices('cpu') with XLA_FLAGS="
+            f"--xla_force_host_platform_device_count=N for a virtual mesh)")
     dev_array = np.asarray(devices).reshape(data, model)
     return Mesh(dev_array, ("data", "model"))
 

@@ -25,7 +25,8 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from funasr_tpu.parallel.sharding import batch_shardings, make_mesh, param_shardings
+from funasr_tpu.parallel.sharding import (batch_shardings, fsdp_param_shardings,
+                                          make_mesh, param_shardings)
 
 
 class Trainer:
@@ -35,7 +36,8 @@ class Trainer:
                  validate_interval: int = 5000, save_checkpoint_interval: int = 5000,
                  keep_nbest_models: int = 5, avg_keep_nbest_models_type: str = "acc",
                  mesh=None, resume: bool = True, profile_dir: str = None,
-                 profile_start_step: int = 10, profile_steps: int = 5, **kwargs):
+                 profile_start_step: int = 10, profile_steps: int = 5,
+                 sharding: str = "dp", **kwargs):
         self.model = model
         self.frontend = frontend
         self.output_dir = output_dir
@@ -69,8 +71,15 @@ class Trainer:
 
         self.tx = optax.MultiSteps(optim, accum_grad) if accum_grad > 1 else optim
         self.mesh = mesh if mesh is not None else make_mesh(model=1)
+        # "dp" = params replicated over data axis (DDP role); "fsdp" =
+        # additionally shard large params' first dim over "data" (ZeRO-3 role,
+        # ref funasr/bin/train.py:139-170 FSDP auto-wrap policy).
+        if sharding not in ("dp", "fsdp"):
+            raise ValueError(f"sharding must be 'dp' or 'fsdp', got {sharding!r}")
+        self.sharding = sharding
         self.step = 0
         self.start_epoch = 0
+        self._resume_skip_batches = 0  # mid-epoch resume: batches to skip
         self.best_ckpts: Dict[str, float] = {}  # ckpt name -> metric
         self._log_f = open(os.path.join(output_dir, "train.log.jsonl"), "a")
         self._build_step()
@@ -129,7 +138,9 @@ class Trainer:
 
     def run(self, params, dataloader_train, dataloader_val=None, rng=None):
         rng = rng if rng is not None else jax.random.PRNGKey(0)
-        params = jax.device_put(params, param_shardings(params, self.mesh))
+        shard_fn = (fsdp_param_shardings if self.sharding == "fsdp"
+                    else param_shardings)
+        params = jax.device_put(params, shard_fn(params, self.mesh))
         opt_state = self.tx.init(params)
 
         if self.resume:
@@ -147,9 +158,17 @@ class Trainer:
         return params
 
     def train_epoch(self, params, opt_state, loader, val_loader, epoch, rng):
+        # mid-epoch resume: skip batches already consumed before the mid-epoch
+        # checkpoint (reference trainer.py:287-366 start_step semantics); relies
+        # on the sampler's set_epoch(epoch) ordering being deterministic.
+        skip = self._resume_skip_batches
+        self._resume_skip_batches = 0
         t_data = t_step = 0.0
         t0 = time.perf_counter()
         for it, batch in enumerate(loader):
+            if it < skip:
+                t0 = time.perf_counter()
+                continue
             t1 = time.perf_counter()
             t_data += t1 - t0
             sharded = self._shard_batch(batch)
@@ -190,7 +209,7 @@ class Trainer:
                 metric = self.validate_epoch(params, val_loader, epoch, rng) \
                     if val_loader is not None else None
                 self.save_checkpoint(params, opt_state, epoch, step=self.step,
-                                     metric=metric)
+                                     metric=metric, epoch_step=it + 1)
         return params, opt_state
 
     def validate_epoch(self, params, loader, epoch, rng):
@@ -215,7 +234,8 @@ class Trainer:
     def _ckpt_path(self, name):
         return os.path.join(self.output_dir, name)
 
-    def save_checkpoint(self, params, opt_state, epoch, step=None, metric=None):
+    def save_checkpoint(self, params, opt_state, epoch, step=None, metric=None,
+                        epoch_step=None):
         import pickle
         name = f"model.pt.ep{epoch}" + (f".{step}" if step is not None else "")
         state = {
@@ -223,6 +243,9 @@ class Trainer:
             "opt_state": jax.tree_util.tree_map(
                 lambda x: np.asarray(x) if hasattr(x, "shape") else x, opt_state),
             "epoch": epoch, "step": self.step, "metric": metric,
+            # batches consumed within this epoch; non-None marks a mid-epoch
+            # checkpoint so resume re-enters the same epoch and skips them
+            "epoch_step": epoch_step,
         }
         with open(self._ckpt_path(name), "wb") as f:
             pickle.dump(state, f)
@@ -236,9 +259,18 @@ class Trainer:
 
     def _prune_nbest(self):
         reverse = self.avg_type == "acc"  # higher acc is better
+        # never delete the checkpoint model.pt.latest points at — resume
+        # depends on it even when it ranks outside the n-best
+        latest_name = None
+        latest = self._ckpt_path("model.pt.latest")
+        if os.path.exists(latest):
+            with open(latest) as f:
+                latest_name = f.read().strip()
         ranked = sorted(self.best_ckpts.items(), key=lambda kv: kv[1],
                         reverse=reverse)
         for name, _ in ranked[self.keep_nbest_models:]:
+            if name == latest_name:
+                continue
             path = self._ckpt_path(name)
             if os.path.exists(path):
                 os.remove(path)
@@ -261,8 +293,15 @@ class Trainer:
         opt_state = jax.tree_util.tree_map(
             lambda old, new: jnp.asarray(new) if hasattr(old, "shape") else new,
             opt_state, state["opt_state"])
-        self.start_epoch = state["epoch"] + 1
         self.step = state["step"]
-        logging.info("resumed from %s (epoch %d, step %d)", name,
-                     state["epoch"], self.step)
+        epoch_step = state.get("epoch_step")
+        if epoch_step:
+            # mid-epoch checkpoint: finish the same epoch, skipping what was
+            # already consumed (reference trainer.py:346 start_step restore)
+            self.start_epoch = state["epoch"]
+            self._resume_skip_batches = epoch_step
+        else:
+            self.start_epoch = state["epoch"] + 1
+        logging.info("resumed from %s (epoch %d, step %d, epoch_step %s)", name,
+                     state["epoch"], self.step, epoch_step)
         return params, opt_state

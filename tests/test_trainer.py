@@ -114,3 +114,115 @@ def test_train_loop_and_resume(data_dir, tmp_path):
 
     avg_path = average_checkpoints(out, 2)
     assert os.path.exists(avg_path)
+
+
+def test_trainer_fsdp_sharding(data_dir, tmp_path):
+    """++sharding=fsdp shards large params over the data axis (ZeRO-3 role)."""
+    import optax
+    from funasr_tpu.datasets.audio_datasets.datasets import AudioDataset
+    from funasr_tpu.datasets.audio_datasets.samplers import BatchSampler
+    from funasr_tpu.datasets.dataloader_entry import DataLoader
+    from funasr_tpu.parallel.sharding import fsdp_param_shardings, make_mesh
+    from funasr_tpu.train_utils.trainer import Trainer
+
+    model, frontend, tok = _build(tmp_path)
+    ds = AudioDataset(index_ds="IndexDSJsonl",
+                      index_ds_conf={"path": str(data_dir / "train.jsonl")},
+                      tokenizer=tok)
+    loader = DataLoader(ds, BatchSampler(ds, batch_size=4, shuffle=False))
+
+    mesh = make_mesh(4, model=1)
+    out = str(tmp_path / "exp_fsdp")
+    trainer = Trainer(model, optax.adam(1e-3), frontend=frontend,
+                      output_dir=out, max_epoch=1, log_interval=1,
+                      save_checkpoint_interval=0, mesh=mesh, sharding="fsdp")
+    params = model.init_params(jax.random.PRNGKey(0))
+    # the policy must actually shard something over "data" at these sizes
+    specs = fsdp_param_shardings(params, mesh, min_size=256)
+    sharded_any = any(
+        "data" in (leaf.spec or ())
+        for leaf in jax.tree_util.tree_leaves(
+            specs, is_leaf=lambda x: hasattr(x, "spec")))
+    assert sharded_any, "fsdp policy sharded nothing over the data axis"
+    params = trainer.run(params, loader, loader)
+    logs = [json.loads(line)
+            for line in open(os.path.join(out, "train.log.jsonl"))]
+    assert np.isfinite(logs[-1]["loss"])
+
+
+def test_trainer_midepoch_resume(data_dir, tmp_path):
+    """A mid-epoch step checkpoint resumes into the SAME epoch and skips the
+    consumed batches (no batch re-seen), per reference trainer.py:287-366."""
+    import optax
+    from funasr_tpu.datasets.audio_datasets.datasets import AudioDataset
+    from funasr_tpu.datasets.audio_datasets.samplers import BatchSampler
+    from funasr_tpu.datasets.dataloader_entry import DataLoader
+    from funasr_tpu.parallel.sharding import make_mesh
+    from funasr_tpu.train_utils.trainer import Trainer
+
+    model, frontend, tok = _build(tmp_path)
+    ds = AudioDataset(index_ds="IndexDSJsonl",
+                      index_ds_conf={"path": str(data_dir / "train.jsonl")},
+                      tokenizer=tok)
+
+    class CountingLoader:
+        def __init__(self, base):
+            self.base = base
+            self.seen = []
+
+        @property
+        def sampler(self):
+            return self.base.sampler
+
+        def __iter__(self):
+            for i, b in enumerate(self.base):
+                self.seen.append(i)
+                yield b
+
+    base = DataLoader(ds, BatchSampler(ds, batch_size=4, shuffle=False))
+    out = str(tmp_path / "exp_resume")
+    mesh = make_mesh(1, model=1)
+    # 12 utts / batch 4 = 3 batches per epoch; checkpoint every 2 steps ->
+    # a mid-epoch ckpt at step 2 (epoch 0, epoch_step 2)
+    tr1 = Trainer(model, optax.adam(1e-3), frontend=frontend, output_dir=out,
+                  max_epoch=1, log_interval=1, save_checkpoint_interval=2,
+                  mesh=mesh, resume=False)
+    params = model.init_params(jax.random.PRNGKey(0))
+    tr1.run(params, DataLoader(ds, BatchSampler(ds, batch_size=4, shuffle=False)))
+    # rewrite 'latest' to the mid-epoch ckpt (end-of-epoch save overwrote it)
+    mid = "model.pt.ep0.2"
+    assert os.path.exists(os.path.join(out, mid))
+    with open(os.path.join(out, "model.pt.latest"), "w") as f:
+        f.write(mid)
+
+    tr2 = Trainer(model, optax.adam(1e-3), frontend=frontend, output_dir=out,
+                  max_epoch=1, log_interval=1, save_checkpoint_interval=0,
+                  mesh=mesh, resume=True)
+    p2 = model.init_params(jax.random.PRNGKey(1))
+    loader2 = CountingLoader(base)
+    tr2.run(p2, loader2)
+    assert tr2.start_epoch == 0, "mid-epoch resume must re-enter the same epoch"
+    # batches 0 and 1 were consumed pre-checkpoint; only batch index 2 may train.
+    # CountingLoader.seen records yielded indices; the trainer must skip 0,1
+    # without stepping on them: total optimizer steps = 2 (pre) + 1 (post)
+    assert tr2.step == 3, f"expected 3 total steps after resume, got {tr2.step}"
+
+
+def test_prune_keeps_latest(tmp_path):
+    """_prune_nbest never deletes the checkpoint model.pt.latest points at."""
+    import optax
+    from funasr_tpu.parallel.sharding import make_mesh
+    from funasr_tpu.train_utils.trainer import Trainer
+
+    model, frontend, tok = _build(tmp_path)
+    out = str(tmp_path / "exp_prune")
+    tr = Trainer(model, optax.adam(1e-3), output_dir=out, max_epoch=1,
+                 keep_nbest_models=1, avg_keep_nbest_models_type="loss",
+                 mesh=make_mesh(1, model=1), resume=False)
+    params = model.init_params(jax.random.PRNGKey(0))
+    opt_state = tr.tx.init(params)
+    tr.save_checkpoint(params, opt_state, 0, metric=1.0)   # best
+    tr.save_checkpoint(params, opt_state, 1, metric=2.0)   # worse, but latest
+    assert os.path.exists(os.path.join(out, "model.pt.ep1")), \
+        "latest checkpoint must survive n-best pruning"
+    assert os.path.exists(os.path.join(out, "model.pt.ep0"))
