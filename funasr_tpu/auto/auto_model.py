@@ -60,20 +60,27 @@ def prepare_data_iterator(data_in, input_len=None, data_type=None, key=None):
                     data_list.append(data)
                     key_list.append(k)
         else:
+            if isinstance(key, (list, tuple)):
+                key = key[0] if key else None
             k = key if key is not None else os.path.splitext(
                 os.path.basename(data_in))[0]
             data_list, key_list = [data_in], [k]
     elif isinstance(data_in, (list, tuple)):
         data_list = list(data_in)
-        for d in data_list:
-            if isinstance(d, str) and os.path.exists(d):
+        keys = (list(key) if isinstance(key, (list, tuple)) else None)
+        for i, d in enumerate(data_list):
+            if keys is not None and i < len(keys):
+                key_list.append(keys[i])
+            elif isinstance(d, str) and os.path.exists(d):
                 key_list.append(os.path.splitext(os.path.basename(d))[0])
             else:
-                key_list.append(key if key is not None else _rand_key())
+                key_list.append(_rand_key())
     else:
         if isinstance(data_in, bytes):
             from funasr_tpu.utils.load_utils import load_bytes
             data_in = load_bytes(data_in)
+        if isinstance(key, (list, tuple)):
+            key = key[0] if key else None
         key_list = [key if key is not None else _rand_key()]
         data_list = [data_in]
     return key_list, data_list
@@ -406,6 +413,12 @@ class AutoModel:
                         result[k] = v if k not in result else result[k] + v
 
             if not result.get("text", "").strip():
+                # still emit one row per input key (reference always emits,
+                # funasr/auto/auto_model.py:1040+) so output aligns with inputs
+                result.pop("spk_embedding", None)
+                result["key"] = key
+                result.setdefault("text", "")
+                results_ret.append(result)
                 continue
             return_raw_text = kwargs.get("return_raw_text", False)
 
@@ -473,6 +486,9 @@ class AutoModel:
 
 def _strip(kwargs: Dict[str, Any]) -> Dict[str, Any]:
     """Drop orchestration-only keys before forwarding to model.inference."""
+    # "key" is carried per-batch (already in ``batch``); a user-level key list
+    # merged into kwargs via deep_update would collide with it
     drop = {"model", "model_conf", "init_param", "vad_model", "vad_kwargs",
-            "punc_model", "punc_kwargs", "spk_model", "spk_kwargs", "model_path"}
+            "punc_model", "punc_kwargs", "spk_model", "spk_kwargs", "model_path",
+            "key"}
     return {k: v for k, v in kwargs.items() if k not in drop}

@@ -40,6 +40,13 @@ class TwoPassSession:
         self.audio_buffer = np.zeros((0,), np.float32)  # since last endpoint
         self.online_buffer = np.zeros((0,), np.float32)
         self.text_online = ""
+        # server-side endpointing (reference 2pass server: offline finals fire
+        # on VAD endpoints, not only on client is_speaking=false)
+        self.vad = None
+        if server.vad is not None:
+            from funasr_tpu.models.fsmn_vad_streaming.dynamic_vad import (
+                DynamicStreamingVAD)
+            self.vad = DynamicStreamingVAD(server.vad)
 
     def config(self, msg: dict):
         self.mode = msg.get("mode", self.mode)
@@ -82,6 +89,12 @@ class WSServer:
             pcm = np.frombuffer(msg, np.int16).astype(np.float32) / 32768.0
             sess.audio_buffer = np.concatenate([sess.audio_buffer, pcm])
             sess.online_buffer = np.concatenate([sess.online_buffer, pcm])
+            if sess.vad is not None and sess.mode in ("2pass", "offline") \
+                    and self.asr is not None:
+                events = await loop.run_in_executor(None, sess.vad.feed, pcm)
+                if any(ev[1] != -1 for ev in events):  # utterance endpoint
+                    await loop.run_in_executor(None, self._finalize, sess)
+                    await self._emit_final(ws, sess, is_final=False)
             stride = int(sess.chunk_size[1] * 960)
             if sess.mode in ("2pass", "online") and self.asr_online is not None \
                     and len(sess.online_buffer) >= stride:
@@ -107,6 +120,14 @@ class WSServer:
         return text
 
     def _finalize(self, sess):
+        # flush the streaming model first: leftover online_buffer (< one stride)
+        # plus is_final=True triggers the CIF tail-threshold fire, else the last
+        # words are dropped in online-only mode
+        if self.asr_online is not None and sess.mode in ("2pass", "online") \
+                and sess.online_cache:
+            chunk = sess.online_buffer
+            sess.online_buffer = np.zeros((0,), np.float32)
+            self._online_chunk(sess, chunk, True)
         if self.asr is None or len(sess.audio_buffer) == 0:
             sess.final_text = sess.text_online
             return
@@ -117,11 +138,12 @@ class WSServer:
             text = punc_res[0]["text"] if punc_res else text
         sess.final_text = text
 
-    async def _emit_final(self, ws, sess):
+    async def _emit_final(self, ws, sess, is_final: bool = True):
         mode = "2pass-offline" if sess.mode == "2pass" else sess.mode
         await ws.send(json.dumps({
             "mode": mode, "text": getattr(sess, "final_text", ""),
-            "wav_name": sess.wav_name, "is_final": True}, ensure_ascii=False))
+            "wav_name": sess.wav_name, "is_final": is_final},
+            ensure_ascii=False))
         sess.audio_buffer = np.zeros((0,), np.float32)
         sess.online_buffer = np.zeros((0,), np.float32)
         sess.online_cache = {}
@@ -136,7 +158,10 @@ def build_server(args) -> WSServer:
     punc = None  # punctuation is folded into the offline AutoModel above
     online = AutoModel(model=args.asr_model_online,
                        disable_pbar=True) if args.asr_model_online else None
-    return WSServer(asr_model=asr, asr_model_online=online, punc_model=punc)
+    vad = AutoModel(model=args.vad_model,
+                    disable_pbar=True) if args.vad_model else None
+    return WSServer(asr_model=asr, asr_model_online=online, vad_model=vad,
+                    punc_model=punc)
 
 
 def main_cli():

@@ -55,10 +55,15 @@ class WavFrontend:
     # device pipeline (jitted; one compile per (B, N) bucket)
     # ------------------------------------------------------------------
 
-    def _pipeline(self, waveforms, lengths):
+    def _pipeline(self, waveforms, lengths, dither_rng=None):
+        # dither (reference wav_frontend.py:120, default 1.0 in train configs) is
+        # applied only when a PRNG key is passed — i.e. on the training path;
+        # inference stays deterministic with dither off.
         scale = float(1 << 15) if self.upsacle_samples else 1.0
         feats, flens = fbank_batch(
             waveforms * scale, lengths,
+            dither=self.dither,
+            dither_rng=dither_rng,
             num_mel_bins=self.n_mels,
             frame_length=self.frame_length,
             frame_shift=self.frame_shift,

@@ -104,7 +104,7 @@ def _next_pow2(n: int) -> int:
     static_argnames=(
         "num_mel_bins", "frame_length", "frame_shift", "sample_frequency",
         "window_type", "snip_edges", "low_freq", "high_freq",
-        "remove_dc_offset", "preemphasis_coefficient", "use_power",
+        "remove_dc_offset", "preemphasis_coefficient", "use_power", "dither",
     ),
 )
 def fbank(
@@ -171,13 +171,21 @@ def fbank(
     return jnp.log(jnp.maximum(mel, EPSILON))
 
 
-def fbank_batch(waveforms, lengths, **kwargs):
+def fbank_batch(waveforms, lengths, dither: float = 0.0, dither_rng=None, **kwargs):
     """(B, N) waveforms + (B,) sample lengths -> ((B, T, M) feats, (B,) frame lengths).
 
     Frames whose window crosses a sample-length boundary are garbage for that row; the
-    returned frame lengths mask them. Static shapes: T from the padded N.
+    returned frame lengths mask them. Static shapes: T from the padded N. ``dither``
+    (kaldi-style gaussian noise, reference wav_frontend.py:120) is applied only when
+    ``dither_rng`` is given (training); each row gets an independent key.
     """
-    feats = jax.vmap(lambda w: fbank(w, **kwargs))(waveforms)
+    if dither != 0.0 and dither_rng is not None:
+        keys = jax.random.split(dither_rng, waveforms.shape[0])
+        feats = jax.vmap(
+            lambda w, k: fbank(w, dither=dither, dither_rng=k, **kwargs)
+        )(waveforms, keys)
+    else:
+        feats = jax.vmap(lambda w: fbank(w, **kwargs))(waveforms)
     frame_length = kwargs.get("frame_length", 400)
     frame_shift = kwargs.get("frame_shift", 160)
     flens = jnp.where(

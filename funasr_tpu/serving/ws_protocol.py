@@ -18,6 +18,15 @@ _GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
 
 OP_CONT, OP_TEXT, OP_BIN, OP_CLOSE, OP_PING, OP_PONG = 0x0, 0x1, 0x2, 0x8, 0x9, 0xA
 
+# Cap on a single frame AND on a fragmented message's total size; an
+# unauthenticated client declaring a 64-bit length must not make readexactly
+# buffer it (matches the C++ runtime's 64 MiB frame cap in websocket.cc).
+MAX_MESSAGE_BYTES = 64 * 1024 * 1024
+
+
+class MessageTooBig(Exception):
+    pass
+
 
 class ConnectionClosed(Exception):
     pass
@@ -44,6 +53,8 @@ class WebSocket:
             length = struct.unpack(">H", await self.reader.readexactly(2))[0]
         elif length == 127:
             length = struct.unpack(">Q", await self.reader.readexactly(8))[0]
+        if length > MAX_MESSAGE_BYTES:
+            raise MessageTooBig(length)
         mask = await self.reader.readexactly(4) if masked else None
         payload = await self.reader.readexactly(length) if length else b""
         if mask:
@@ -62,6 +73,9 @@ class WebSocket:
             except (asyncio.IncompleteReadError, ConnectionResetError):
                 self.closed = True
                 raise ConnectionClosed from None
+            except MessageTooBig:
+                await self.close(code=1009)  # RFC6455: message too big
+                raise ConnectionClosed from None
             if opcode == OP_PING:
                 await self._send_frame(OP_PONG, payload)
                 continue
@@ -79,6 +93,9 @@ class WebSocket:
                 buffer = payload
             elif opcode == OP_CONT:
                 buffer += payload
+            if len(buffer) > MAX_MESSAGE_BYTES:
+                await self.close(code=1009)
+                raise ConnectionClosed
             if fin:
                 return buffer.decode("utf-8") if msg_op == OP_TEXT else buffer
 

@@ -86,14 +86,16 @@ class Trainer:
 
     # ------------------------------------------------------------------
 
-    def _features(self, batch):
+    def _features(self, batch, dither_rng=None):
         if self.frontend is not None and batch["speech"].ndim == 2:
-            return self.frontend._pipeline(batch["speech"], batch["speech_lengths"])
+            return self.frontend._pipeline(batch["speech"], batch["speech_lengths"],
+                                           dither_rng=dither_rng)
         return batch["speech"], batch["speech_lengths"]
 
     def _build_step(self):
-        def loss_fn(params, batch, rng):
-            feats, flens = self._features(batch)
+        def loss_fn(params, batch, rng, train=True):
+            dither_rng, rng = (jax.random.split(rng) if train else (None, rng))
+            feats, flens = self._features(batch, dither_rng=dither_rng)
             loss, stats, weight = self.model.forward_jit(
                 params, feats, flens, batch["text"], batch["text_lengths"], rng)
             return loss, stats
@@ -117,7 +119,7 @@ class Trainer:
         self._step_jit = jax.jit(step_fn, donate_argnums=(0, 1))
 
         def val_fn(params, batch, rng):
-            return loss_fn(params, batch, rng)[1]
+            return loss_fn(params, batch, rng, train=False)[1]
 
         self._val_jit = jax.jit(val_fn)
 

@@ -79,3 +79,28 @@ def test_fbank_batch_lengths(rng):
     # row 1's valid frames must equal standalone extraction
     solo = np.asarray(fbank(w1))
     np.testing.assert_allclose(np.asarray(feats)[1, :48], solo, rtol=1e-4, atol=1e-4)
+
+
+def test_dither_training_path():
+    """dither applies only when a PRNG key is given (training); inference path
+    stays deterministic (reference wav_frontend.py:120, dither=1.0 in train)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from funasr_tpu.frontends.wav_frontend import WavFrontend
+
+    fe = WavFrontend(fs=16000, lfr_m=7, lfr_n=6, n_mels=80, dither=1.0)
+    rng = np.random.default_rng(0)
+    wav = jnp.asarray(rng.standard_normal((2, 8000)), jnp.float32)
+    lens = jnp.asarray([8000, 6000], jnp.int32)
+    base, _ = fe._pipeline(wav, lens)
+    base2, _ = fe._pipeline(wav, lens)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(base2))
+
+    d1, _ = fe._pipeline(wav, lens, dither_rng=jax.random.PRNGKey(1))
+    d2, _ = fe._pipeline(wav, lens, dither_rng=jax.random.PRNGKey(2))
+    assert not np.allclose(np.asarray(d1), np.asarray(base))
+    assert not np.allclose(np.asarray(d1), np.asarray(d2))
+    # rows get independent noise
+    delta = np.asarray(d1) - np.asarray(base)
+    assert not np.allclose(delta[0], delta[1])

@@ -144,3 +144,81 @@ def test_openai_http_endpoint(offline_automodel):
     health, models = asyncio.run(probes())
     assert health["status"] == "ok"
     assert models["data"][0]["object"] == "model"
+
+
+def test_ws_frame_size_cap():
+    """A client declaring an oversized frame length gets 1009, not an OOM buffer."""
+    import struct
+
+    from funasr_tpu.serving import ws_protocol
+    from funasr_tpu.serving.ws_protocol import ConnectionClosed, connect, serve
+
+    port = _free_port()
+    got = {}
+
+    async def handler(ws):
+        try:
+            got["msg"] = await ws.recv()
+        except ConnectionClosed:
+            got["closed"] = True
+
+    async def scenario():
+        srv = await serve(handler, "127.0.0.1", port)
+        try:
+            ws = await connect("127.0.0.1", port)
+            # masked binary frame header claiming 2^33 bytes, no payload follows
+            header = bytes([0x80 | 0x2, 0x80 | 127]) + struct.pack(">Q", 1 << 33)
+            ws.writer.write(header + b"\x00\x00\x00\x00")
+            await ws.writer.drain()
+            # server must close (1009) instead of buffering 8 GiB
+            try:
+                await asyncio.wait_for(ws.recv(), 10)
+            except ConnectionClosed:
+                pass
+            await ws.close()
+        finally:
+            srv.close()
+            await srv.wait_closed()
+
+    asyncio.run(scenario())
+    assert got.get("closed") is True
+    assert ws_protocol.MAX_MESSAGE_BYTES == 64 * 1024 * 1024
+
+
+def test_vad_pipeline_emits_row_per_key(offline_automodel, tmp_path):
+    """inference_with_vad emits one result row per input key even when a clip
+    produces empty text (reference always emits; auto_model.py:1040+)."""
+    fake_segments = {"k0": [[0, 900]], "k1": []}
+
+    class FakeVAD:
+        pass
+
+    am = offline_automodel
+    # monkeypatch the vad step: route through inference_with_vad with a stubbed
+    # self.inference for the VAD model call
+    orig_inference = am.inference
+    am.vad_model = FakeVAD()
+    am.vad_kwargs = {}
+
+    def fake_inference(data_in, input_len=None, model=None, kwargs=None, key=None,
+                       **cfg):
+        if isinstance(model, FakeVAD):
+            keys = key if key is not None else [f"k{i}" for i in
+                                                range(len(data_in))]
+            return [{"key": k, "value": fake_segments.get(k, [])} for k in keys]
+        return orig_inference(data_in, input_len=input_len, model=model,
+                              kwargs=kwargs, key=key, **cfg)
+
+    am.inference = fake_inference
+    try:
+        wavs = [(_pcm(1.0, seed=1).astype(np.float32) / 32768.0),
+                (_pcm(1.0, seed=2).astype(np.float32) / 32768.0)]
+        res = am.inference_with_vad(wavs, key=["k0", "k1"], fs=16000)
+    finally:
+        am.inference = orig_inference
+        am.vad_model = None
+    assert len(res) == 2, f"expected 2 rows, got {len(res)}: {res}"
+    keys = {r["key"] for r in res}
+    assert keys == {"k0", "k1"}
+    empty = [r for r in res if r["key"] == "k1"][0]
+    assert empty["text"] == ""
