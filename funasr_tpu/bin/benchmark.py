@@ -9,7 +9,13 @@ Usage:
         ++audio_dir=wavs/ ++label_json=labels.json [++vad_model=...] \
         [++batch_size_s=300] [++warmup=1] [++language=zh]
 
+    # CER mode over a Kaldi-style pair (AISHELL-1 layout;
+    # reference benchmarks/benchmark_pipeline_cer.md methodology):
+    python -m funasr_tpu.bin.benchmark ++model=<dir-or-alias> ++mode=cer \
+        ++wav_scp=test/wav.scp ++text=test/text [++batch_size=16]
+
 label_json: {"utt_id_or_filename": "reference text", ...}
+wav_scp:    "<utt_id> <path>" lines; text: "<utt_id> <transcript>" lines.
 """
 
 from __future__ import annotations
@@ -62,17 +68,92 @@ def run_benchmark(model, audio_files, labels=None, warmup: int = 1, **cfg):
     return report, results
 
 
+def _read_kaldi_pairs(path):
+    out = {}
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            parts = line.strip().split(maxsplit=1)
+            if len(parts) == 2:
+                out[parts[0]] = parts[1]
+    return out
+
+
+def run_cer_eval(model, wav_scp: str, text_path: str, batch_size: int = 16,
+                 hyp_out: str = None, **cfg):
+    """Kaldi pair (wav.scp + text) -> CER report + per-utt hyps.
+
+    Mirrors the reference's pipeline CER methodology
+    (``benchmarks/benchmark_pipeline_cer.md`` / ``benchmark_vllm.py``): decode
+    every utterance, strip whitespace for zh scoring, report corpus CER and
+    sub/del/ins plus RTFx over the decode wall time.
+    """
+    from funasr_tpu.metrics.wer import compute_cer
+    from funasr_tpu.utils.load_utils import load_audio
+
+    wavs = _read_kaldi_pairs(wav_scp)
+    refs_map = _read_kaldi_pairs(text_path)
+    keys = [k for k in wavs if k in refs_map]
+    if not keys:
+        raise SystemExit(f"no overlapping utt ids between {wav_scp} and {text_path}")
+    paths = [wavs[k] for k in keys]
+
+    total_audio_s = sum(len(load_audio(p)) / 16000.0 for p in paths)
+    # warmup compile on the first utterance
+    model.generate(input=paths[0], batch_size=batch_size, **cfg)
+    t0 = time.perf_counter()
+    results = model.generate(input=paths, key=keys, batch_size=batch_size, **cfg)
+    wall = time.perf_counter() - t0
+
+    hyps_map = {r["key"]: r.get("text", "") for r in results}
+    refs = [refs_map[k].replace(" ", "") for k in keys]
+    hyps = [hyps_map.get(k, "").replace(" ", "") for k in keys]
+    cer = compute_cer(refs, hyps)
+    report = {"mode": "cer", "n_utts": len(keys),
+              "audio_seconds": round(total_audio_s, 1),
+              "wall_seconds": round(wall, 2),
+              "rtfx": round(total_audio_s / wall, 1),
+              "cer": round(cer["cer"] * 100, 2),
+              "sub": round(cer["sub"] * 100, 2),
+              "del": round(cer["del"] * 100, 2),
+              "ins": round(cer["ins"] * 100, 2)}
+    if hyp_out:
+        with open(hyp_out, "w", encoding="utf-8") as f:
+            for k in keys:
+                f.write(f"{k} {hyps_map.get(k, '')}\n")
+    return report
+
+
 def main_cli():
     from funasr_tpu.auto.auto_model import AutoModel
     from funasr_tpu.bin.train import parse_overrides
 
     logging.basicConfig(level=logging.INFO)
     cfg = parse_overrides(sys.argv[1:])
+    mode = cfg.pop("mode", "rtfx")
     audio_dir = cfg.pop("audio_dir", None)
     label_json = cfg.pop("label_json", None)
+    wav_scp = cfg.pop("wav_scp", None)
+    text_path = cfg.pop("text", None)
+    hyp_out = cfg.pop("hyp_out", None)
     warmup = int(cfg.pop("warmup", 1))
-    assert "model" in cfg and audio_dir, __doc__
+    assert "model" in cfg, __doc__
 
+    model_keys = {"model", "vad_model", "punc_model", "spk_model", "hub",
+                  "disable_pbar", "batch_size", "device", "quant"}
+    model = AutoModel(**{k: v for k, v in cfg.items() if k in model_keys},
+                      disable_pbar=True)
+    run_cfg = {k: v for k, v in cfg.items() if k not in model_keys}
+
+    if mode == "cer":
+        assert wav_scp and text_path, "++mode=cer needs ++wav_scp= and ++text="
+        report = run_cer_eval(model, wav_scp, text_path, hyp_out=hyp_out,
+                              batch_size=int(cfg.get("batch_size", 16)),
+                              **{k: v for k, v in run_cfg.items()
+                                 if k != "batch_size"})
+        print(json.dumps(report, ensure_ascii=False))
+        return
+
+    assert audio_dir, __doc__
     files = sorted(glob.glob(os.path.join(audio_dir, "*.wav"))
                    + glob.glob(os.path.join(audio_dir, "*.pcm")))
     assert files, f"no audio in {audio_dir}"
@@ -81,11 +162,6 @@ def main_cli():
         with open(label_json, encoding="utf-8") as f:
             labels = json.load(f)
 
-    model_keys = {"model", "vad_model", "punc_model", "spk_model", "hub",
-                  "disable_pbar", "batch_size", "device"}
-    model = AutoModel(**{k: v for k, v in cfg.items() if k in model_keys},
-                      disable_pbar=True)
-    run_cfg = {k: v for k, v in cfg.items() if k not in model_keys}
     report, _ = run_benchmark(model, files, labels, warmup=warmup, **run_cfg)
     print(json.dumps(report, ensure_ascii=False))
 

@@ -401,6 +401,144 @@ def convert_paraformer_v2(state_dict, model):
     return params
 
 
+def _lstm_layer(sd: SD, name: str, layer: int):
+    """torch.nn.LSTM layer ``l{layer}`` -> our lstm params (kernels transposed)."""
+    return {
+        "w_ih": sd.get(f"{name}.weight_ih_l{layer}").T,
+        "w_hh": sd.get(f"{name}.weight_hh_l{layer}").T,
+        "b_ih": sd.get(f"{name}.bias_ih_l{layer}"),
+        "b_hh": sd.get(f"{name}.bias_hh_l{layer}"),
+    }
+
+
+def convert_seaco_paraformer(state_dict: Dict[str, Any], model) -> Dict[str, Any]:
+    """SeACo-Paraformer (the ``paraformer-zh`` default class; reference
+    ``funasr/models/seaco_paraformer/model.py:49-148``): BiCifParaformer base +
+    2-layer LSTM bias encoder + seaco decoder + hotword output layer."""
+    params = convert_paraformer(state_dict, model)
+    sd = SD(_strip_module_prefix(state_dict))
+    params["bias_encoder"] = [_lstm_layer(sd, "bias_encoder", 0),
+                              _lstm_layer(sd, "bias_encoder", 1)]
+    if model.seaco_decoder is not None and sd.has("seaco_decoder.after_norm.weight"):
+        params["seaco_decoder"] = convert_paraformer_decoder(
+            sd.sub("seaco_decoder"), model.seaco_decoder.cfg.att_layer_num,
+            model.seaco_decoder.cfg.num_blocks,
+            model.seaco_decoder.cfg.use_output_layer)
+    params["hotword_output_layer"] = sd.linear("hotword_output_layer")
+    return params
+
+
+def convert_contextual_paraformer(state_dict: Dict[str, Any], model) -> Dict[str, Any]:
+    """ContextualParaformer (reference ``funasr/models/contextual_paraformer/
+    decoder.py:216-300``): the torch decoder stores ``att_layer_num - 1`` plain
+    layers plus ``last_decoder``; we stack them all into ``decoders`` (the apply
+    path splits off the last layer), plus bias_decoder/bias_output and the
+    model-level bias_embed + 1-layer LSTM bias encoder."""
+    sd = SD(_strip_module_prefix(state_dict))
+    dec = sd.sub("decoder")
+    att = model.decoder.cfg.att_layer_num
+    num_blocks = model.decoder.cfg.num_blocks
+    dec_layers = [_dec_layer(dec.sub(f"decoders.{i}"), True, True)
+                  for i in range(att - 1)]
+    dec_layers.append(_dec_layer(dec.sub("last_decoder"), True, True))
+    dec_params = {
+        "decoders": stack_params(dec_layers),
+        "decoders3": _dec_layer(dec.sub("decoders3.0"), False, False),
+        "after_norm": dec.norm("after_norm"),
+        "bias_decoder": {
+            "norm3": dec.norm("bias_decoder.norm3"),
+            "src_attn": {
+                "linear_q": dec.linear("bias_decoder.src_attn.linear_q"),
+                "linear_k_v": dec.linear("bias_decoder.src_attn.linear_k_v"),
+                "linear_out": dec.linear("bias_decoder.src_attn.linear_out"),
+            },
+        },
+        "bias_output": {"w": dec.get("bias_output.weight").transpose(2, 1, 0)},
+    }
+    if num_blocks - att > 0:
+        dec_params["decoders2"] = stack_params(
+            [_dec_layer(dec.sub(f"decoders2.{i}"), True, False)
+             for i in range(num_blocks - att)])
+    if model.decoder.cfg.use_output_layer:
+        dec_params["output_layer"] = dec.linear("output_layer")
+    if dec.has("embed.0.weight"):
+        dec_params["embed"] = dec.embedding("embed.0")
+    params = {
+        "encoder": convert_sanm_encoder(sd.sub("encoder"),
+                                        model.encoder.cfg.num_blocks),
+        "decoder": dec_params,
+        "predictor": convert_cif_predictor(sd.sub("predictor")),
+        "bias_embed": sd.embedding("bias_embed"),
+        "bias_encoder": _lstm_layer(sd, "bias_encoder", 0),
+    }
+    if model.ctc is not None and "ctc.ctc_lo.weight" in sd.sd:
+        params["ctc"] = convert_ctc(sd.sub("ctc"))
+    return params
+
+
+def convert_monotonic_aligner(state_dict: Dict[str, Any], model) -> Dict[str, Any]:
+    """MonotonicAligner / fa-zh (reference ``funasr/models/monotonic_aligner/
+    model.py:24``): SANM encoder + CifPredictorV3 (upsample timestamp head)."""
+    sd = SD(_strip_module_prefix(state_dict))
+    return {
+        "encoder": convert_sanm_encoder(sd.sub("encoder"),
+                                        model.encoder.cfg.num_blocks),
+        "predictor": convert_cif_predictor(sd.sub("predictor")),
+    }
+
+
+def convert_openai_whisper(state_dict: Dict[str, Any], model) -> Dict[str, Any]:
+    """OpenAI ``whisper`` package checkpoint layout (``encoder.blocks.N.attn.query``
+    etc., the format the reference loads via the whisper pkg,
+    ``funasr/models/whisper/model.py:20-190``) -> our whisper param tree."""
+    sd = SD(_strip_module_prefix(state_dict))
+
+    def mha(prefix):
+        return {"linear_q": sd.linear(prefix + ".query"),
+                "linear_k": {"w": sd.get(prefix + ".key.weight").T},
+                "linear_v": sd.linear(prefix + ".value"),
+                "linear_out": sd.linear(prefix + ".out")}
+
+    cfg = model.cfg
+    enc = {
+        "conv1": sd.conv1d("encoder.conv1"),
+        "conv2": sd.conv1d("encoder.conv2"),
+        "layers": [],
+        "layer_norm": sd.norm("encoder.ln_post"),
+    }
+    for i in range(cfg.encoder_layers):
+        p = f"encoder.blocks.{i}"
+        enc["layers"].append({
+            "self_attn_layer_norm": sd.norm(p + ".attn_ln"),
+            "self_attn": mha(p + ".attn"),
+            "final_layer_norm": sd.norm(p + ".mlp_ln"),
+            "fc1": sd.linear(p + ".mlp.0"), "fc2": sd.linear(p + ".mlp.2")})
+    dec = {
+        "embed_tokens": sd.get("decoder.token_embedding.weight"),
+        "embed_positions": sd.get("decoder.positional_embedding"),
+        "layers": [],
+        "layer_norm": sd.norm("decoder.ln"),
+    }
+    for i in range(cfg.decoder_layers):
+        p = f"decoder.blocks.{i}"
+        dec["layers"].append({
+            "self_attn_layer_norm": sd.norm(p + ".attn_ln"),
+            "self_attn": mha(p + ".attn"),
+            "encoder_attn_layer_norm": sd.norm(p + ".cross_attn_ln"),
+            "encoder_attn": mha(p + ".cross_attn"),
+            "final_layer_norm": sd.norm(p + ".mlp_ln"),
+            "fc1": sd.linear(p + ".mlp.0"), "fc2": sd.linear(p + ".mlp.2")})
+    return {"encoder": enc, "decoder": dec}
+
+
+def convert_whisper(state_dict: Dict[str, Any], model) -> Dict[str, Any]:
+    sd = _strip_module_prefix(state_dict)
+    if any(k.startswith("model.encoder.conv1") for k in sd):  # HF layout
+        from funasr_tpu.models.whisper.model import convert_hf_whisper
+        return convert_hf_whisper(sd, model)
+    return convert_openai_whisper(sd, model)
+
+
 def _strip_module_prefix(sd: Dict[str, Any]) -> Dict[str, Any]:
     """Tolerate DDP 'module.' prefixes (reference ``trainer.py:303-323`` behavior)."""
     if any(k.startswith("module.") for k in sd):
@@ -415,6 +553,8 @@ def load_torch_checkpoint(path: str) -> Dict[str, Any]:
     obj = torch.load(path, map_location="cpu", weights_only=True)
     if isinstance(obj, dict) and "state_dict" in obj:
         obj = obj["state_dict"]
+    if isinstance(obj, dict) and "model_state_dict" in obj:  # openai whisper .pt
+        obj = obj["model_state_dict"]
     return obj
 
 
@@ -422,8 +562,12 @@ CONVERTERS = {
     "Paraformer": convert_paraformer,
     "BiCifParaformer": convert_paraformer,
     "EParaformer": convert_paraformer,
+    "ParaformerStreaming": convert_paraformer,
     "Paraformer_v2_community": convert_paraformer_v2,
     "ParaformerV2": convert_paraformer_v2,
+    "SeacoParaformer": convert_seaco_paraformer,
+    "ContextualParaformer": convert_contextual_paraformer,
+    "MonotonicAligner": convert_monotonic_aligner,
     "FsmnVADStreaming": convert_fsmn_vad,
     "CTTransformer": convert_ct_transformer,
     "CTTransformerStreaming": convert_ct_transformer,
@@ -431,6 +575,11 @@ CONVERTERS = {
     "SenseVoiceSmall": convert_sense_voice,
     "ERes2NetV2": convert_eres2netv2,
 }
+
+for _name in ("OpenAIWhisperModel", "WhisperWarp", "Whisper-large-v3",
+              "Whisper-large-v2", "Whisper-large-v1", "Whisper-medium",
+              "Whisper-small", "Whisper-base", "Whisper-tiny"):
+    CONVERTERS[_name] = convert_whisper
 
 
 def convert_state_dict(state_dict, model, model_class: str | None = None):

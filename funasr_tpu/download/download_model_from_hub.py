@@ -1,9 +1,12 @@
-"""Model resolution: alias -> hub id -> local snapshot dir -> merged config kwargs.
+"""Model resolution: alias -> hub id -> snapshot download -> merged config kwargs.
 
-Counterpart of FunASR ``funasr/download/download_model_from_hub.py:9-160``. In
-network-less environments the hub download is skipped: aliases resolve through a local
-cache (``FUNASR_TPU_CACHE`` or ``~/.cache/funasr_tpu`` / modelscope cache layouts);
-a local directory containing ``config.yaml`` is always accepted directly.
+Counterpart of FunASR ``funasr/download/download_model_from_hub.py:9-160``
+(``download_from_ms:44`` / ``download_from_hf:122``): aliases resolve through a local
+cache (``FUNASR_TPU_CACHE`` or ``~/.cache/funasr_tpu`` / modelscope cache layouts); on
+a cache miss the snapshot is downloaded from ModelScope or HuggingFace via stdlib
+urllib (no modelscope/huggingface_hub dependency), falling back gracefully to a clear
+offline error. ``FUNASR_TPU_OFFLINE=1`` disables network entirely. A local directory
+containing ``config.yaml`` is always accepted directly.
 """
 
 from __future__ import annotations
@@ -34,6 +37,59 @@ def _candidate_cache_dirs(model_id: str):
     yield os.path.join(home, ".cache", "modelscope", "hub", model_id)
 
 
+def _http_get(url: str, timeout: int = 60) -> bytes:
+    import urllib.request
+    req = urllib.request.Request(url, headers={"User-Agent": "funasr-tpu"})
+    with urllib.request.urlopen(req, timeout=timeout) as resp:
+        return resp.read()
+
+
+def _list_ms_files(model_id: str):
+    """ModelScope repo file listing (reference ``download_from_ms:44`` role)."""
+    import json
+    url = (f"https://modelscope.cn/api/v1/models/{model_id}/repo/files"
+           f"?Recursive=true")
+    data = json.loads(_http_get(url))
+    files = data.get("Data", {}).get("Files", [])
+    return [(f["Path"],
+             f"https://modelscope.cn/api/v1/models/{model_id}/repo?"
+             f"FilePath={f['Path']}")
+            for f in files if f.get("Type") != "tree"]
+
+
+def _list_hf_files(model_id: str):
+    """HuggingFace repo file listing (reference ``download_from_hf:122`` role)."""
+    import json
+    data = json.loads(_http_get(f"https://huggingface.co/api/models/{model_id}"))
+    return [(s["rfilename"],
+             f"https://huggingface.co/{model_id}/resolve/main/{s['rfilename']}")
+            for s in data.get("siblings", [])]
+
+
+def snapshot_download(model_id: str, hub: str = "ms",
+                      cache_dir: str = None) -> str:
+    """Download every repo file into the cache; atomic via a .partial dir."""
+    import shutil
+    cache_dir = cache_dir or os.environ.get("FUNASR_TPU_CACHE") or os.path.join(
+        os.path.expanduser("~"), ".cache", "funasr_tpu")
+    target = os.path.join(cache_dir, model_id)
+    partial = target + ".partial"
+    files = _list_hf_files(model_id) if hub == "hf" else _list_ms_files(model_id)
+    if not files:
+        raise FileNotFoundError(f"hub '{hub}' lists no files for {model_id}")
+    os.makedirs(partial, exist_ok=True)
+    for rel, url in files:
+        dst = os.path.join(partial, rel)
+        os.makedirs(os.path.dirname(dst) or partial, exist_ok=True)
+        logging.info("downloading %s", rel)
+        with open(dst, "wb") as f:
+            f.write(_http_get(url, timeout=600))
+    if os.path.isdir(target):
+        shutil.rmtree(target)
+    os.replace(partial, target)
+    return target
+
+
 def resolve_model_dir(model: str, hub: str = "ms") -> str:
     if os.path.isdir(model) and os.path.exists(os.path.join(model, "config.yaml")):
         return model
@@ -42,9 +98,20 @@ def resolve_model_dir(model: str, hub: str = "ms") -> str:
     for cand in _candidate_cache_dirs(model_id):
         if os.path.isdir(cand) and os.path.exists(os.path.join(cand, "config.yaml")):
             return cand
+    offline = os.environ.get("FUNASR_TPU_OFFLINE", "").lower() in ("1", "true")
+    net_err = "network download disabled (FUNASR_TPU_OFFLINE)"
+    if not offline and "/" in model_id:
+        try:
+            snap = snapshot_download(model_id, hub=hub)
+            if os.path.exists(os.path.join(snap, "config.yaml")):
+                return snap
+            net_err = f"snapshot at {snap} has no config.yaml"
+        except Exception as e:  # URLError/timeout/API shape — degrade offline
+            net_err = f"hub download failed: {e}"
+            logging.warning("%s", net_err)
     raise FileNotFoundError(
-        f"model '{model}' (id '{model_id}') not found locally and network download is "
-        f"unavailable; place the snapshot (config.yaml + model.pt + assets) under "
+        f"model '{model}' (id '{model_id}') not found locally ({net_err}); place "
+        f"the snapshot (config.yaml + model.pt + assets) under "
         f"$FUNASR_TPU_CACHE/{model_id} or pass a local directory path")
 
 

@@ -100,8 +100,10 @@ class SeacoParaformer(BiCifParaformer):
                 params["seaco_decoder"], contextual_info, ctx_lens,
                 decoder_hidden, ys_pad_lens)
             scores = np.asarray(jnp.sum(scores[0], axis=(0, 1)))
-            top = np.argsort(-scores[: num_hot_word - 1])[: min(nfilter,
-                                                                num_hot_word - 1)]
+            # reference model.py:329-333: topk over ALL entries (the no-bias tail
+            # included, so it may appear twice in the kept memory), then the
+            # no-bias index is appended unconditionally
+            top = np.argsort(-scores)[: min(nfilter, num_hot_word - 1)]
             keep = list(top) + [num_hot_word - 1]
             selected = selected[np.asarray(keep)]
             contextual_info, ctx_lens = ctx(selected)
@@ -174,14 +176,17 @@ class SeacoParaformer(BiCifParaformer):
                                     self.blank_id))
         token_lens_np = np.asarray(token_lens)
 
-        # timestamps from the upsample head
-        mask = make_pad_mask(encoder_out_lens, encoder_out.shape[1])
-        _, _, us_alphas, us_peaks = self.predictor.get_upsample_timestamp(
-            params["predictor"], encoder_out, mask,
-            token_num=token_lens.astype(jnp.float32))
-        us_alphas, us_peaks = np.asarray(us_alphas), np.asarray(us_peaks)
+        # timestamps from the upsample head (production seaco uses CifPredictorV3;
+        # a V2-configured variant has no upsample head, so skip timestamps)
+        us_alphas = us_peaks = None
+        if hasattr(self.predictor, "get_upsample_timestamp"):
+            mask = make_pad_mask(encoder_out_lens, encoder_out.shape[1])
+            _, _, us_alphas, us_peaks = self.predictor.get_upsample_timestamp(
+                params["predictor"], encoder_out, mask,
+                token_num=token_lens.astype(jnp.float32))
+            us_alphas, us_peaks = np.asarray(us_alphas), np.asarray(us_peaks)
+            up = self.predictor.upsample_times
         enc_lens = np.asarray(encoder_out_lens)
-        up = self.predictor.upsample_times
 
         results = []
         b = yseq.shape[0]
@@ -194,11 +199,16 @@ class SeacoParaformer(BiCifParaformer):
                 results.append({"key": key[i], "token_int": token_int})
                 continue
             token = tokenizer.ids2tokens(token_int)
-            n_us = int(enc_lens[i]) * up
-            _, timestamp = ts_prediction_lfr6_standard(
-                us_alphas[i, :n_us], us_peaks[i, :n_us], list(token),
-                vad_offset=kwargs.get("begin_time", 0), upsample_rate=up)
-            text, timestamp, _ = postprocess_utils.sentence_postprocess(token,
-                                                                        timestamp)
-            results.append({"key": key[i], "text": text, "timestamp": timestamp})
+            if us_alphas is not None:
+                n_us = int(enc_lens[i]) * up
+                _, timestamp = ts_prediction_lfr6_standard(
+                    us_alphas[i, :n_us], us_peaks[i, :n_us], list(token),
+                    vad_offset=kwargs.get("begin_time", 0), upsample_rate=up)
+                text, timestamp, _ = postprocess_utils.sentence_postprocess(
+                    token, timestamp)
+                results.append({"key": key[i], "text": text,
+                                "timestamp": timestamp})
+            else:
+                text, _ = postprocess_utils.sentence_postprocess(token)
+                results.append({"key": key[i], "text": text})
         return results, meta

@@ -77,6 +77,40 @@ def load_bytes(data: bytes) -> np.ndarray:
     return np.frombuffer(data, dtype=np.int16).astype(np.float32) / 32768.0
 
 
+def _ffmpeg_decode(data: bytes, fs: int) -> np.ndarray:
+    """ffmpeg-subprocess fallback (reference load_utils.py:272-306 role)."""
+    import shutil
+    import subprocess
+    if shutil.which("ffmpeg") is None:
+        raise RuntimeError("ffmpeg binary not found")
+    proc = subprocess.run(
+        ["ffmpeg", "-nostdin", "-v", "error", "-i", "pipe:0", "-f", "f32le",
+         "-ac", "1", "-ar", str(fs), "pipe:1"],
+        input=data, stdout=subprocess.PIPE, stderr=subprocess.PIPE, check=False)
+    if proc.returncode != 0 or not proc.stdout:
+        raise RuntimeError(f"ffmpeg decode failed: {proc.stderr[:200]!r}")
+    return np.frombuffer(proc.stdout, np.float32).copy()
+
+
+def decode_container(data: bytes, fs: int) -> np.ndarray:
+    """Compressed container bytes (mp3/flac/ogg/mp4/webm/opus) -> mono f32 @ fs.
+
+    Chain: native runtime codec (libav* via ctypes) -> ffmpeg subprocess.
+    WAV is parsed natively before reaching here.
+    """
+    from funasr_tpu.utils import native_codec
+    wav = native_codec.decode_bytes(data, target_rate=fs)
+    if wav is not None:
+        return wav
+    try:
+        return _ffmpeg_decode(data, fs)
+    except RuntimeError as e:
+        raise RuntimeError(
+            "cannot decode compressed audio: build the native runtime "
+            "(runtime/funasr_tpu_runtime, links system libav*) or install "
+            f"ffmpeg ({e})") from e
+
+
 def resample(wav: np.ndarray, orig_fs: int, target_fs: int) -> np.ndarray:
     if orig_fs == target_fs:
         return wav
@@ -95,17 +129,34 @@ def load_audio(source: Any, fs: int = 16000, audio_fs: int = 16000) -> np.ndarra
     if isinstance(source, (bytes, bytearray)):
         data = bytes(source)
         if is_audio_container(data):
-            wav, sr = _parse_wav_bytes(data)
-            return resample(wav, sr, fs)
+            if data[:4] == b"RIFF":
+                wav, sr = _parse_wav_bytes(data)
+                return resample(wav, sr, fs)
+            return decode_container(data, fs)
         return resample(load_bytes(data), audio_fs, fs)
     if isinstance(source, str):
         if source.startswith(("http://", "https://")):
-            raise RuntimeError("URL inputs require network access (disabled)")
+            import urllib.error
+            import urllib.request
+            try:
+                with urllib.request.urlopen(source, timeout=30) as resp:
+                    data = resp.read()
+            except (urllib.error.URLError, OSError) as e:
+                raise RuntimeError(
+                    f"failed to fetch {source} (network unavailable?): {e}"
+                ) from e
+            return load_audio(data, fs=fs, audio_fs=audio_fs)
         ext = os.path.splitext(source)[1].lower()
         with open(source, "rb") as f:
             data = f.read()
         if ext == ".pcm":
             return resample(load_bytes(data), audio_fs, fs)
+        if data[:4] == b"RIFF":
+            wav, sr = _parse_wav_bytes(data)
+            return resample(wav, sr, fs)
+        if is_audio_container(data) or ext in (".mp3", ".flac", ".ogg", ".m4a",
+                                               ".mp4", ".webm", ".opus", ".aac"):
+            return decode_container(data, fs)
         wav, sr = _parse_wav_bytes(data)
         return resample(wav, sr, fs)
     if isinstance(source, (list, tuple)):
