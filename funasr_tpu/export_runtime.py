@@ -139,3 +139,133 @@ def _listify(node):
 def save_params_npz(params, path: str):
     """Write a params pytree as a flat npz (used by funasr-tpu-export)."""
     np.savez(path, **_flatten_params(params))
+
+
+# ---------------------------------------------------------------------------
+# FTR export: weights for the pure-C++ native engine
+# (runtime/funasr_tpu_runtime/src/{ftr,paraformer-engine}.cc)
+# ---------------------------------------------------------------------------
+
+_QUANT_MIN_SIZE = 4096  # only matmul-sized tensors are worth int8
+
+
+def _ftr_meta(model) -> dict:
+    """Flat key->value meta for the C++ engine (Paraformer-family models)."""
+    enc, dec, pred = model.encoder.cfg, model.decoder.cfg, model.predictor.cfg
+    meta = {
+        "model": type(model).__name__,
+        "input_size": enc.input_size,
+        "encoder.output_size": enc.output_size,
+        "encoder.attention_heads": enc.attention_heads,
+        "encoder.linear_units": enc.linear_units,
+        "encoder.num_blocks": enc.num_blocks,
+        "encoder.kernel_size": enc.kernel_size,
+        "encoder.sanm_shift": enc.sanm_shift,
+        "decoder.attention_heads": dec.attention_heads,
+        "decoder.linear_units": dec.linear_units,
+        "decoder.num_blocks": dec.num_blocks,
+        "decoder.att_layer_num": dec.att_layer_num,
+        "decoder.kernel_size": dec.kernel_size,
+        "decoder.sanm_shift": dec.sanm_shift,
+        "vocab_size": model.vocab_size,
+        "blank_id": model.blank_id,
+        "sos": model.sos,
+        "eos": model.eos,
+        "predictor.l_order": pred.l_order,
+        "predictor.r_order": pred.r_order,
+        "predictor.tail_threshold": pred.tail_threshold,
+        "predictor.smooth_factor": pred.smooth_factor,
+        "predictor.noise_threshold": pred.noise_threshold,
+    }
+    return meta
+
+
+def _unstack_for_ftr(params, model):
+    """Expand scan-stacked layer arrays to per-layer entries ("encoders.{i}")."""
+    from funasr_tpu.core.module import unstack_params
+
+    out = dict(params)
+    enc = dict(out["encoder"])
+    if "encoders" in enc:
+        n = model.encoder.cfg.num_blocks - 1
+        for i, layer in enumerate(unstack_params(enc.pop("encoders"), n)):
+            enc[f"encoders.{i}"] = layer
+    out["encoder"] = enc
+    dec = dict(out["decoder"])
+    if "decoders" in dec:
+        n = model.decoder.cfg.att_layer_num
+        for i, layer in enumerate(unstack_params(dec.pop("decoders"), n)):
+            dec[f"decoders.{i}"] = layer
+    if "decoders2" in dec:
+        n = model.decoder.cfg.num_blocks - model.decoder.cfg.att_layer_num
+        for i, layer in enumerate(unstack_params(dec.pop("decoders2"), n)):
+            dec[f"decoders2.{i}"] = layer
+    out["decoder"] = dec
+    return out
+
+
+def export_ftr(model, params, path: str, quant: str = None,
+               extra_meta: dict = None):
+    """Write a ``weights.ftr`` for the C++ engine.
+
+    quant="int8": weight-only per-output-channel symmetric int8 for 2D matmul
+    kernels (the ggml-Q8 role, reference runtime/llama.cpp/DESIGN.md); norms,
+    biases, convs stay fp32.
+    """
+    import struct
+
+    flat = _flatten_params(_unstack_for_ftr(params, model))
+    meta = _ftr_meta(model)
+    meta.update(extra_meta or {})
+    meta_str = "".join(f"{k} {v}\n" for k, v in meta.items()).encode()
+
+    with open(path, "wb") as f:
+        f.write(b"FTR1")
+        f.write(struct.pack("<I", len(meta_str)))
+        f.write(meta_str)
+        f.write(struct.pack("<I", len(flat)))
+        for name, arr in flat.items():
+            arr = np.asarray(arr, np.float32)
+            name_b = name.encode()
+            f.write(struct.pack("<I", len(name_b)))
+            f.write(name_b)
+            do_quant = (quant == "int8" and arr.ndim == 2 and name.endswith("/w")
+                        and arr.size >= _QUANT_MIN_SIZE)
+            f.write(struct.pack("<BB", 1 if do_quant else 0, arr.ndim))
+            f.write(np.asarray(arr.shape, "<i8").tobytes())
+            if do_quant:
+                scales = np.maximum(np.abs(arr).max(axis=0), 1e-12) / 127.0
+                q = np.clip(np.round(arr / scales[None, :]), -127, 127).astype(np.int8)
+                f.write(struct.pack("<q", scales.size))
+                f.write(scales.astype("<f4").tobytes())
+                f.write(q.tobytes())
+            else:
+                f.write(arr.astype("<f4").tobytes())
+    return path
+
+
+def export_native_dir(model, params, model_dir: str, output_dir: str,
+                      quant: str = None):
+    """Package a model dir for the C++ runtime: weights.ftr + tokens.txt + am.mvn.
+
+    ``model_dir`` supplies tokens/cmvn (a hub snapshot or local config dir).
+    """
+    import shutil
+
+    os.makedirs(output_dir, exist_ok=True)
+    frontend_meta = {}
+    import yaml
+    cfg_path = os.path.join(model_dir, "config.yaml")
+    if os.path.exists(cfg_path):
+        with open(cfg_path, encoding="utf-8") as f:
+            cfg = yaml.safe_load(f) or {}
+        fc = cfg.get("frontend_conf", {})
+        frontend_meta = {"lfr_m": fc.get("lfr_m", 7), "lfr_n": fc.get("lfr_n", 6),
+                         "n_mels": fc.get("n_mels", 80)}
+    export_ftr(model, params, os.path.join(output_dir, "weights.ftr"),
+               quant=quant, extra_meta=frontend_meta)
+    for name in ("tokens.txt", "am.mvn"):
+        src = os.path.join(model_dir, name)
+        if os.path.exists(src):
+            shutil.copy(src, os.path.join(output_dir, name))
+    return output_dir

@@ -1,0 +1,93 @@
+#include "ftr.h"
+
+#include <cstdio>
+#include <cstring>
+#include <sstream>
+
+namespace funasr_tpu {
+
+namespace {
+
+bool ReadExact(FILE* f, void* buf, size_t n) {
+  return std::fread(buf, 1, n, f) == n;
+}
+
+}  // namespace
+
+bool FtrFile::Load(const std::string& path) {
+  FILE* f = std::fopen(path.c_str(), "rb");
+  if (!f) return false;
+  char magic[4];
+  if (!ReadExact(f, magic, 4) || std::memcmp(magic, "FTR1", 4) != 0) {
+    std::fclose(f);
+    return false;
+  }
+  uint32_t meta_len = 0;
+  if (!ReadExact(f, &meta_len, 4)) { std::fclose(f); return false; }
+  std::string meta_str(meta_len, '\0');
+  if (!ReadExact(f, meta_str.data(), meta_len)) { std::fclose(f); return false; }
+  std::istringstream ms(meta_str);
+  std::string line;
+  while (std::getline(ms, line)) {
+    const size_t sp = line.find(' ');
+    if (sp != std::string::npos) meta[line.substr(0, sp)] = line.substr(sp + 1);
+  }
+  uint32_t n_tensors = 0;
+  if (!ReadExact(f, &n_tensors, 4)) { std::fclose(f); return false; }
+  for (uint32_t i = 0; i < n_tensors; ++i) {
+    uint32_t name_len = 0;
+    if (!ReadExact(f, &name_len, 4)) break;
+    std::string name(name_len, '\0');
+    if (!ReadExact(f, name.data(), name_len)) break;
+    uint8_t dtype = 0, ndim = 0;
+    if (!ReadExact(f, &dtype, 1) || !ReadExact(f, &ndim, 1)) break;
+    WTensor t;
+    t.shape.resize(ndim);
+    if (!ReadExact(f, t.shape.data(), ndim * sizeof(int64_t))) break;
+    int64_t numel = 1;
+    for (int64_t d : t.shape) numel *= d;
+    bool ok = true;
+    if (dtype == 1) {
+      int64_t n_scales = 0;
+      ok = ReadExact(f, &n_scales, 8);
+      if (ok) {
+        t.scales.resize(n_scales);
+        ok = ReadExact(f, t.scales.data(), n_scales * sizeof(float));
+      }
+      if (ok) {
+        t.i8.resize(numel);
+        ok = ReadExact(f, t.i8.data(), numel);
+      }
+    } else {
+      t.f32.resize(numel);
+      ok = ReadExact(f, t.f32.data(), numel * sizeof(float));
+    }
+    if (!ok) break;
+    tensors.emplace(std::move(name), std::move(t));
+  }
+  std::fclose(f);
+  return n_tensors == tensors.size();
+}
+
+const WTensor* FtrFile::Find(const std::string& name) const {
+  auto it = tensors.find(name);
+  return it == tensors.end() ? nullptr : &it->second;
+}
+
+int FtrFile::MetaInt(const std::string& key, int dflt) const {
+  auto it = meta.find(key);
+  return it == meta.end() ? dflt : std::atoi(it->second.c_str());
+}
+
+float FtrFile::MetaFloat(const std::string& key, float dflt) const {
+  auto it = meta.find(key);
+  return it == meta.end() ? dflt : static_cast<float>(std::atof(it->second.c_str()));
+}
+
+std::string FtrFile::MetaStr(const std::string& key,
+                             const std::string& dflt) const {
+  auto it = meta.find(key);
+  return it == meta.end() ? dflt : it->second;
+}
+
+}  // namespace funasr_tpu

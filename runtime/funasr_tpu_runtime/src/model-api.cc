@@ -5,9 +5,11 @@
 //  - DSP path (always available): audio decode -> fbank -> LFR -> CMVN; results
 //    carry the feature tensor (this is the feature_extractor stage of the
 //    reference's Triton BLS pipeline, runtime/triton_gpu/.../feature_extractor).
-//  - PJRT path (when built with FUNASR_TPU_HAVE_PJRT): loads the exported
-//    StableHLO function and runs encoder+decoder on device, then greedy decode
-//    via Vocab. The PJRT glue is isolated in pjrt-backend.cc.
+//  - Native neural path: when the model dir holds a weights.ftr export
+//    (funasr_tpu.export_runtime.export_ftr), ParaformerEngine runs the full
+//    SANM encoder -> CIF -> decoder in pure C++ (fp32 or weight-only int8) —
+//    the role of the reference's onnxruntime/ggml engines
+//    (runtime/onnxruntime/src/paraformer.cpp:428).
 
 #include <memory>
 #include <string>
@@ -16,6 +18,7 @@
 #include "../include/funasr-tpu-runtime.h"
 #include "audio.h"
 #include "fbank.h"
+#include "paraformer-engine.h"
 #include "vocab.h"
 
 namespace {
@@ -23,6 +26,7 @@ namespace {
 using funasr_tpu::Cmvn;
 using funasr_tpu::Fbank;
 using funasr_tpu::FbankOptions;
+using funasr_tpu::ParaformerEngine;
 using funasr_tpu::Vocab;
 
 struct Handle {
@@ -35,6 +39,7 @@ struct Handle {
   Vocab vocab;
   bool has_vocab = false;
   std::string model_dir;
+  std::unique_ptr<ParaformerEngine> engine;
 };
 
 struct Result {
@@ -51,12 +56,20 @@ extern "C" {
 FUNASR_HANDLE FunASRInit(const char* model_dir, int /*thread_num*/) {
   auto* h = new Handle();
   h->model_dir = model_dir ? model_dir : "";
-  FbankOptions opts;
-  h->fbank = std::make_unique<Fbank>(opts);
   if (!h->model_dir.empty()) {
     h->has_cmvn = h->cmvn.Load(h->model_dir + "/am.mvn");
     h->has_vocab = h->vocab.Load(h->model_dir + "/tokens.txt");
+    auto engine = std::make_unique<ParaformerEngine>();
+    if (engine->Load(h->model_dir)) {
+      h->lfr_m = engine->lfr_m();
+      h->lfr_n = engine->lfr_n();
+      h->n_mels = engine->n_mels();
+      h->engine = std::move(engine);
+    }
   }
+  FbankOptions opts;
+  opts.n_mels = h->n_mels;
+  h->fbank = std::make_unique<Fbank>(opts);
   return h;
 }
 
@@ -101,15 +114,15 @@ FUNASR_RESULT FunFrontendExtract(FUNASR_HANDLE handle, const char* data,
 FUNASR_RESULT FunOfflineInfer(FUNASR_HANDLE handle, const char* data,
                               int data_len, FUNASR_MODE /*mode*/,
                               int sampling_rate) {
-  // DSP stage always runs; the neural stage needs the PJRT backend.
+  auto* h = static_cast<Handle*>(handle);
   auto* r = static_cast<Result*>(
       FunFrontendExtract(handle, data, data_len, sampling_rate));
   if (r == nullptr) return nullptr;
-#ifdef FUNASR_TPU_HAVE_PJRT
-  // pjrt-backend.cc: RunStableHlo(handle, r) fills r->texts.
-#else
-  r->texts.push_back("");  // no neural backend in this build
-#endif
+  if (h != nullptr && h->engine != nullptr) {
+    r->texts.push_back(h->engine->Infer(r->features, r->frames));
+  } else {
+    r->texts.push_back("");  // DSP-only handle: no weights.ftr in model dir
+  }
   return r;
 }
 

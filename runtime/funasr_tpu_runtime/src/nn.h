@@ -1,0 +1,56 @@
+// Minimal fp32/int8 NN primitives for the pure-C++ SAN-M engine.
+// The engine role mirrors the reference's python-free runtimes
+// (FunASR runtime/onnxruntime/src/paraformer.cpp:428 Forward; ggml edge engine
+// runtime/llama.cpp/DESIGN.md) with weights exported from the JAX param trees.
+
+#ifndef FUNASR_TPU_NN_H_
+#define FUNASR_TPU_NN_H_
+
+#include <cstdint>
+#include <map>
+#include <string>
+#include <vector>
+
+namespace funasr_tpu {
+
+// A weight tensor: fp32, or int8 with per-output-channel scales.
+struct WTensor {
+  std::vector<int64_t> shape;
+  std::vector<float> f32;
+  std::vector<int8_t> i8;
+  std::vector<float> scales;  // int8: one per last-dim column
+  bool quantized() const { return !i8.empty(); }
+  int64_t rows() const {  // product of all dims but last
+    int64_t r = 1;
+    for (size_t i = 0; i + 1 < shape.size(); ++i) r *= shape[i];
+    return r;
+  }
+  int64_t cols() const { return shape.empty() ? 0 : shape.back(); }
+};
+
+// y (m,n) = x (m,k) @ w (k,n) [+ bias (n)]; w may be int8 per-column quantized.
+void MatMul(const float* x, int m, int k, const WTensor& w, const float* bias,
+            float* y);
+
+// x (t,c): per-row layer norm with eps 1e-12 (FunASR convention).
+void LayerNorm(float* x, int t, int c, const float* scale, const float* bias);
+
+void Relu(float* x, int64_t n);
+void SigmoidV(float* x, int64_t n);
+void SoftmaxRow(float* x, int n);  // in-place over one row
+
+// Depthwise conv over time: x (t,c), kernel w (k,c), zero pads; out (t,c)
+// where t_out = t + left + right - k + 1 == t for SAME-style pads.
+void DepthwiseConv1d(const float* x, int t, int c, const float* w, int k,
+                     int left_pad, int right_pad, float* out);
+
+// Full conv1d: x (t,c_in), w (k,c_in,c_out) + bias, SAME-style pads -> (t,c_out).
+void Conv1d(const float* x, int t, int c_in, const WTensor& w, const float* bias,
+            int left_pad, int right_pad, float* out);
+
+// FunASR SinusoidalPositionEncoder: x (t,d) += pe(positions start at 1).
+void AddSinusoidalPe(float* x, int t, int d, int start_pos = 1);
+
+}  // namespace funasr_tpu
+
+#endif  // FUNASR_TPU_NN_H_

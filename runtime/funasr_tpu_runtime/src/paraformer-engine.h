@@ -1,0 +1,66 @@
+// Pure-C++ Paraformer inference engine over FTR-exported weights:
+// SANM encoder -> CIF predictor -> SANM NAR decoder -> greedy decode.
+// Role: the reference's python-free engines (onnxruntime paraformer.cpp:428
+// Forward / ggml edge runtime), re-targeted at our JAX-exported weights.
+
+#ifndef FUNASR_TPU_PARAFORMER_ENGINE_H_
+#define FUNASR_TPU_PARAFORMER_ENGINE_H_
+
+#include <string>
+#include <vector>
+
+#include "ftr.h"
+#include "vocab.h"
+
+namespace funasr_tpu {
+
+class ParaformerEngine {
+ public:
+  // model_dir must hold weights.ftr + tokens.txt (+ am.mvn consumed by the
+  // caller's frontend).
+  bool Load(const std::string& model_dir);
+  bool loaded() const { return loaded_; }
+  int lfr_m() const { return lfr_m_; }
+  int lfr_n() const { return lfr_n_; }
+  int n_mels() const { return n_mels_; }
+
+  // feats: (t, feat_dim) LFR+CMVN features -> transcript.
+  std::string Infer(const std::vector<float>& feats, int t);
+
+ private:
+  std::vector<float> Encode(const std::vector<float>& x, int t);
+  // returns acoustic embeds (n_tok, d) via out; fires count as return value
+  int Cif(const std::vector<float>& enc, int t, std::vector<float>* out);
+  std::vector<float> Decode(const std::vector<float>& enc, int t,
+                            const std::vector<float>& embeds, int n_tok);
+
+  void EncLayer(const std::string& prefix, std::vector<float>* x, int t,
+                int in_feat);
+  void DecLayer(const std::string& prefix, std::vector<float>* x, int n_tok,
+                const std::vector<float>& memory, int t_mem, bool has_self,
+                bool has_src);
+  void SelfAttention(const std::string& prefix, const std::vector<float>& x,
+                     int t, int in_feat, std::vector<float>* out);
+  void CrossAttention(const std::string& prefix, const std::vector<float>& x,
+                      int n_tok, const std::vector<float>& memory, int t_mem,
+                      std::vector<float>* out);
+
+  const WTensor& W(const std::string& name) const;
+
+  FtrFile ftr_;
+  Vocab vocab_;
+  bool loaded_ = false;
+  // config (from FTR meta)
+  int input_size_ = 560, d_ = 512, heads_ = 4, ffn_ = 2048, blocks_ = 50;
+  int kernel_ = 11, shift_ = 0;
+  int dec_heads_ = 16, dec_ffn_ = 2048, dec_blocks_ = 16, dec_att_ = 16;
+  int dec_kernel_ = 11, dec_shift_ = 0;
+  int vocab_size_ = 0, blank_ = 0, sos_ = 1, eos_ = 2;
+  int l_order_ = 1, r_order_ = 1;
+  int lfr_m_ = 7, lfr_n_ = 6, n_mels_ = 80;
+  float tail_threshold_ = 0.45f, smooth_factor_ = 1.0f, noise_threshold_ = 0.0f;
+};
+
+}  // namespace funasr_tpu
+
+#endif  // FUNASR_TPU_PARAFORMER_ENGINE_H_

@@ -92,3 +92,95 @@ def test_c_api_via_ctypes(built):
     assert dim == 560 and frames == int(np.ceil(98 / 6))
     lib.FunASRFreeResult(r)
     lib.FunASRUninit(h)
+
+
+@pytest.fixture(scope="module")
+def tiny_model_dir(tmp_path_factory):
+    """Tiny Paraformer dir (config.yaml + reference-layout model.pt)."""
+    import pathlib
+    import sys
+    sys.path.insert(0, str(pathlib.Path(__file__).parent))
+    from test_auto_model import asr_dir as asr_fixture
+
+    class FakeTPF:
+        def mktemp(self, name):
+            return tmp_path_factory.mktemp(name)
+
+    return asr_fixture.__wrapped__(FakeTPF())
+
+
+@pytest.mark.parametrize("quant", [None, "int8"])
+def test_native_engine_transcribes(built, tiny_model_dir, tmp_path, quant):
+    """The pure-C++ engine (weights.ftr) produces the SAME transcript as the
+    JAX AutoModel pipeline — the neural path the round-1 runtime lacked
+    (reference role: runtime/onnxruntime/src/paraformer.cpp:428 Forward)."""
+    import wave
+
+    from funasr_tpu.auto.auto_model import AutoModel
+    from funasr_tpu.export_runtime import export_native_dir
+
+    am = AutoModel(model=tiny_model_dir, disable_pbar=True)
+    out_dir = str(tmp_path / f"native_{quant}")
+    export_native_dir(am.model, am.model_params, tiny_model_dir, out_dir,
+                      quant=quant)
+
+    rng = np.random.default_rng(9)
+    sig = (rng.standard_normal(24000) * 0.1 * 32767).astype(np.int16)
+    wav_path = str(tmp_path / "t.wav")
+    with wave.open(wav_path, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(sig.tobytes())
+
+    py_text = am.generate(input=wav_path)[0]["text"]
+    assert py_text.strip(), "tiny model produced no text"
+
+    cli = str(built / "funasr-tpu-offline")
+    r = subprocess.run([cli, out_dir, wav_path], capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    cpp_text = r.stdout.strip().split("\t")[-1]
+    assert cpp_text.replace(" ", "") == py_text.replace(" ", ""), \
+        (cpp_text, py_text)
+
+
+def test_native_engine_c_api_text(built, tiny_model_dir, tmp_path):
+    """FunOfflineInfer returns non-empty transcript text through ctypes."""
+    import wave
+
+    from funasr_tpu.auto.auto_model import AutoModel
+    from funasr_tpu.export_runtime import export_native_dir
+
+    am = AutoModel(model=tiny_model_dir, disable_pbar=True)
+    out_dir = str(tmp_path / "native_api")
+    export_native_dir(am.model, am.model_params, tiny_model_dir, out_dir)
+
+    rng = np.random.default_rng(3)
+    sig = (rng.standard_normal(16000) * 0.1 * 32767).astype(np.int16)
+    wav_path = str(tmp_path / "t.wav")
+    with wave.open(wav_path, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(sig.tobytes())
+
+    lib = ctypes.CDLL(str(built / "libfunasr_tpu_runtime.so"))
+    lib.FunASRInit.restype = ctypes.c_void_p
+    lib.FunASRInit.argtypes = [ctypes.c_char_p, ctypes.c_int]
+    lib.FunOfflineInfer.restype = ctypes.c_void_p
+    lib.FunOfflineInfer.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                    ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    lib.FunASRGetResult.restype = ctypes.c_char_p
+    lib.FunASRGetResult.argtypes = [ctypes.c_void_p, ctypes.c_int]
+
+    h = lib.FunASRInit(out_dir.encode(), 1)
+    assert h
+    data = open(wav_path, "rb").read()
+    res = lib.FunOfflineInfer(h, data, len(data), 0, 16000)
+    assert res
+    text = lib.FunASRGetResult(res, 0).decode()
+    assert text.strip(), "FunOfflineInfer returned empty text"
+    py_text = am.generate(input=wav_path)[0]["text"]
+    assert text.replace(" ", "") == py_text.replace(" ", "")
+    lib.FunASRFreeResult(ctypes.c_void_p(res))
+    lib.FunASRUninit(ctypes.c_void_p(h))
