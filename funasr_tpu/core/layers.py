@@ -283,10 +283,16 @@ def make_pad_mask(lengths, maxlen: int):
 
 
 def masked_softmax(scores, mask, *, axis=-1):
-    """Softmax in fp32 with a boolean valid-mask (True = attend)."""
+    """Softmax in fp32 with a boolean valid-mask (True = attend).
+
+    Uses a large-finite fill (not -inf) so fully-masked rows — e.g. the
+    fsmn-shift rows of overlap-chunk training masks — produce finite values and
+    finite gradients (then zeroed), matching the torch reference's
+    masked_fill(min) -> softmax -> masked_fill(0) sequence.
+    """
     sf = scores.astype(jnp.float32)
     if mask is not None:
-        sf = jnp.where(mask, sf, -jnp.inf)
+        sf = jnp.where(mask, sf, jnp.finfo(jnp.float32).min)
     out = jax.nn.softmax(sf, axis=axis)
     if mask is not None:
         out = jnp.where(mask, out, 0.0)

@@ -33,6 +33,154 @@ class ParaformerStreaming(Paraformer):
         self.kwargs_conf = kwargs
 
     # ------------------------------------------------------------------
+    # training with overlap-chunk streaming masks
+    # ------------------------------------------------------------------
+
+    def _stacked_chunk_masks(self, l_max: int):
+        """Build the per-config overlap-chunk masks at trace time and pad them
+        to one common shape, so a single jitted program covers every training
+        chunk size and the config is picked at runtime from the step rng
+        (reference samples via ``overlap_chunk.random_choice``,
+        paraformer_streaming/model.py:107-111)."""
+        oc = self.encoder.overlap_chunk_cls
+        n_cfg = len(oc.chunk_size)
+        assert len(set(oc.pad_left)) == 1, "mixed pad_left is unsupported"
+        per_cfg = [oc.gen_chunk_mask(np.asarray([l_max]), ind)
+                   for ind in range(n_cfg)]
+        lc = max(m["x_add_mask"].shape[0] for m in per_cfg)
+        tp = max(m["x_add_mask"].shape[1] for m in per_cfg)
+
+        def padto(a, shape):
+            out = np.zeros(shape, a.dtype)
+            out[tuple(slice(0, s) for s in a.shape)] = a
+            return out
+
+        stacked = {
+            "x_add_mask": np.stack([padto(m["x_add_mask"], (lc, tp))
+                                    for m in per_cfg]),
+            "x_rm_mask": np.stack([padto(m["x_rm_mask"], (l_max, lc))
+                                   for m in per_cfg]),
+            "mask_shfit_chunk": np.stack(
+                [padto(m["mask_shfit_chunk"], (lc,)) for m in per_cfg]),
+            "mask_chunk_predictor": np.stack(
+                [padto(m["mask_chunk_predictor"], (lc,)) for m in per_cfg]),
+            "mask_att_chunk_encoder": np.stack(
+                [padto(m["mask_att_chunk_encoder"], (lc, lc)) for m in per_cfg]),
+        }
+        cfgs = {
+            "stride": np.asarray(oc.stride, np.int32),
+            "shift": np.asarray([c + oc.shfit_fsmn for c in oc.chunk_size],
+                                np.int32),
+            "pad_left": np.asarray(oc.pad_left, np.int32),
+        }
+        return stacked, cfgs, oc.pad_left[0]
+
+    def forward_jit(self, params, speech, speech_lengths, text, text_lengths,
+                    rng):
+        """Training step with randomly-sampled streaming chunk masks: chunked
+        encoder attention (own chunk + look-back), predictor alphas restricted
+        to stride regions, CTC/decoder on the un-chunked sequence (reference
+        ``paraformer_streaming/model.py`` forward with overlap_chunk; the
+        non-scama decoder branch removes chunks before attention)."""
+        import jax
+        from funasr_tpu.core.layers import make_pad_mask
+        from funasr_tpu.losses.label_smoothing_loss import (label_smoothing_loss,
+                                                            th_accuracy)
+        from funasr_tpu.models.paraformer.cif_predictor import mae_token_loss
+        from funasr_tpu.models.paraformer.model import add_sos_eos_out
+        from funasr_tpu.models.scama.chunk_utils import OverlapChunk
+
+        batch_size = speech.shape[0]
+        l_max = speech.shape[1]
+        stacked, cfgs, pad_left = self._stacked_chunk_masks(int(l_max))
+        k_enc, k_smp, k_cfg = jax.random.split(rng, 3)
+        n_cfg = stacked["x_add_mask"].shape[0]
+        ind = jax.random.randint(k_cfg, (), 0, n_cfg)
+
+        stride = jnp.asarray(cfgs["stride"])[ind]
+        shift = jnp.asarray(cfgs["shift"])[ind]
+        # x_len_chunk = (n-1)*shift + shfit_fsmn + pad_left + len - (n-1)*stride
+        shfit_fsmn = (self.encoder.cfg.kernel_size - 1) // 2
+        n_chunks_row = jnp.ceil(speech_lengths / stride).astype(jnp.int32)
+        lens_chunk = ((n_chunks_row - 1) * shift + shfit_fsmn + pad_left
+                      + speech_lengths - (n_chunks_row - 1) * stride
+                      ).astype(jnp.int32)
+
+        masks = {
+            "x_add_mask": jnp.asarray(stacked["x_add_mask"])[ind],
+            "x_rm_mask": jnp.asarray(stacked["x_rm_mask"])[ind],
+            "mask_shfit_chunk": jnp.asarray(stacked["mask_shfit_chunk"])[ind],
+            "mask_chunk_predictor": jnp.asarray(
+                stacked["mask_chunk_predictor"])[ind],
+            "mask_att_chunk_encoder": jnp.asarray(
+                stacked["mask_att_chunk_encoder"])[ind],
+            "x_len_chunk": lens_chunk,
+            "pad_left": pad_left,
+        }
+        if self.specaug is not None:
+            speech, speech_lengths = self.specaug(speech, speech_lengths, k_enc)
+        if self.normalize is not None:
+            speech, speech_lengths = self.normalize(speech, speech_lengths)
+        enc_chunk, enc_chunk_lens = self.encoder.forward_train_chunk(
+            params["encoder"], speech, speech_lengths, masks)
+
+        stats = {}
+        # CTC on the un-chunked sequence (reference removes chunks for CTC)
+        enc_plain = OverlapChunk.remove_chunk(enc_chunk, enc_chunk_lens, masks)
+        loss_ctc = 0.0
+        if self.ctc is not None and self.ctc_weight > 0.0:
+            loss_ctc = self.ctc.loss(params["ctc"], enc_plain, speech_lengths,
+                                     text, text_lengths)
+            stats["loss_ctc"] = loss_ctc
+
+        ys_pad, ys_pad_lens = text, text_lengths
+        if self.predictor_bias == 1:
+            ys_pad = add_sos_eos_out(text, text_lengths, self.eos, self.ignore_id)
+            ys_pad_lens = text_lengths + 1
+
+        # predictor on the chunked sequence: alphas only in stride regions
+        tc = enc_chunk.shape[1]
+        pad_ok = make_pad_mask(enc_chunk_lens, tc)
+        pred_mask = pad_ok & jnp.asarray(masks["mask_chunk_predictor"], bool)[None]
+        shfit_mask = jnp.asarray(masks["mask_shfit_chunk"],
+                                 enc_chunk.dtype)[None, :, None]
+        hidden = enc_chunk * shfit_mask
+        max_tok = ys_pad.shape[1]
+        pre_acoustic_embeds, pre_token_length, _, _ = self.predictor(
+            params["predictor"], hidden, pred_mask, max_tok,
+            target_length=ys_pad_lens)
+
+        # decoder attends the un-chunked memory (non-scama decoder branch)
+        if self.sampling_ratio > 0.0:
+            sematic_embeds, dec_out_1st = self._sampler(
+                params, k_smp, enc_plain, speech_lengths, ys_pad, ys_pad_lens,
+                pre_acoustic_embeds)
+        else:
+            sematic_embeds, dec_out_1st = pre_acoustic_embeds, None
+        decoder_out, _ = self.decoder(params["decoder"], enc_plain,
+                                      speech_lengths, sematic_embeds,
+                                      ys_pad_lens)
+        if dec_out_1st is None:
+            dec_out_1st = decoder_out
+
+        loss_att = label_smoothing_loss(
+            decoder_out, ys_pad, ignore_id=self.ignore_id,
+            smoothing=self.lsm_weight, vocab_size=self.vocab_size,
+            normalize_length=self.length_normalized_loss)
+        loss_pre = mae_token_loss(ys_pad_lens, pre_token_length)
+        acc_att = th_accuracy(dec_out_1st, ys_pad, self.ignore_id)
+        if self.ctc is not None and self.ctc_weight > 0.0:
+            loss = (self.ctc_weight * loss_ctc + (1 - self.ctc_weight) * loss_att
+                    + loss_pre * self.predictor_weight)
+        else:
+            loss = loss_att + loss_pre * self.predictor_weight
+        stats.update({"loss_att": loss_att, "loss_pre": loss_pre,
+                      "acc": acc_att, "loss": loss, "batch_size": batch_size})
+        weight = (jnp.sum(text_lengths + self.predictor_bias)
+                  if self.length_normalized_loss else batch_size)
+        return loss, stats, weight
+
+    # ------------------------------------------------------------------
 
     def init_cache(self, cache: Optional[Dict] = None, **kwargs) -> Dict:
         if cache is None:

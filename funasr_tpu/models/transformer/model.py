@@ -133,7 +133,10 @@ class Transformer:
                                self.sos, self.eos,
                                beam_size=kwargs.get("beam_size", 10),
                                maxlenratio=kwargs.get("maxlenratio", 0.0),
-                               minlenratio=kwargs.get("minlenratio", 0.0))
+                               minlenratio=kwargs.get("minlenratio", 0.0),
+                               lm=kwargs.get("lm"),
+                               lm_params=kwargs.get("lm_params"),
+                               lm_weight=kwargs.get("lm_weight", 0.3))
             best = hyps[0]
             token_int = [t for t in best.yseq[1:-1]
                          if t not in (self.sos, self.eos, self.blank_id)]

@@ -28,8 +28,16 @@ class Hypothesis:
 def beam_search(decoder, params, memory, memory_mask, sos: int, eos: int,
                 beam_size: int = 10, max_len: Optional[int] = None,
                 penalty: float = 0.0, maxlenratio: float = 0.0,
-                minlenratio: float = 0.0) -> List[Hypothesis]:
-    """memory: (1, T, D) single utterance. Returns sorted hypotheses."""
+                minlenratio: float = 0.0, lm=None, lm_params=None,
+                lm_weight: float = 0.3) -> List[Hypothesis]:
+    """memory: (1, T, D) single utterance. Returns sorted hypotheses.
+
+    ``lm``/``lm_params``/``lm_weight``: shallow fusion with a language model
+    exposing ``score_step(params, ys, ys_len) -> (n, V) next-token log-probs``
+    (TransformerLM / SeqRNNLM); combined score is ``am + lm_weight * lm``
+    (reference ``funasr/models/transformer/search.py`` weighted-scorer
+    semantics with the full_scorers {decoder, lm} set).
+    """
     t_mem = int(np.asarray(memory_mask).sum())
     max_len = max_len or (int(t_mem * maxlenratio) if maxlenratio > 0 else t_mem)
     max_len = max(max_len, 2)
@@ -49,6 +57,10 @@ def beam_search(decoder, params, memory, memory_mask, sos: int, eos: int,
         mmask = jnp.repeat(memory_mask, n, axis=0)
         logp = np.asarray(decoder.score_step(params, jnp.asarray(ys),
                                              jnp.asarray(ylen), mem, mmask))
+        if lm is not None and lm_weight != 0.0:
+            lm_logp = np.asarray(lm.score_step(lm_params, jnp.asarray(ys),
+                                               jnp.asarray(ylen)))
+            logp = logp + lm_weight * lm_logp
         cand: List[Hypothesis] = []
         for i, h in enumerate(hyps):
             top = np.argsort(-logp[i])[: beam_size]
