@@ -15,6 +15,26 @@ SCALES = {"hundred": 100, "thousand": 1000, "million": 10 ** 6,
           "billion": 10 ** 9}
 NUM_WORDS = set(ONES) | set(TENS) | set(SCALES) | {"and"}
 
+# ordinal word -> the cardinal it terminates ("twenty first" = 20 + 1st)
+ORDINALS = {"first": 1, "second": 2, "third": 3, "fourth": 4, "fifth": 5,
+            "sixth": 6, "seventh": 7, "eighth": 8, "ninth": 9, "tenth": 10,
+            "eleventh": 11, "twelfth": 12, "thirteenth": 13,
+            "fourteenth": 14, "fifteenth": 15, "sixteenth": 16,
+            "seventeenth": 17, "eighteenth": 18, "nineteenth": 19,
+            "twentieth": 20, "thirtieth": 30, "fortieth": 40, "fiftieth": 50,
+            "sixtieth": 60, "seventieth": 70, "eightieth": 80,
+            "ninetieth": 90, "hundredth": 100, "thousandth": 1000,
+            "millionth": 10 ** 6}
+
+CURRENCIES = {"dollar": "$", "dollars": "$", "buck": "$", "bucks": "$",
+              "euro": "€", "euros": "€", "pound": "£", "pounds": "£"}
+
+
+def ordinal_suffix(n: int) -> str:
+    if n % 100 in (11, 12, 13):
+        return "th"
+    return {1: "st", 2: "nd", 3: "rd"}.get(n % 10, "th")
+
 
 def parse_en_number(words):
     """List of number words -> int, or None."""
@@ -43,38 +63,91 @@ def parse_en_number(words):
     return total + current if seen else None
 
 
+def _clean(w: str) -> str:
+    return re.sub(r"[^\w']", "", w).lower()
+
+
 def inverse_normalize_en(text: str) -> str:
-    """Spoken en -> written numbers/percent ("twenty five percent" -> "25%")."""
+    """Spoken en -> written: cardinals, percent, ordinals ("twenty first" ->
+    "21st"), money ("three dollars fifty" -> "$3.50"), dates via ordinals
+    ("january third" -> "january 3rd"). Counterpart of the reference en
+    taggers (``fun_text_processing/inverse_text_normalization/en/taggers/``)."""
     words = text.split()
     out = []
     i = 0
+
+    def span_end(start):
+        j = start
+        while j < len(words):
+            wj = _clean(words[j])
+            if wj == "and":
+                # "and" joins a number only after a scale word ("hundred and")
+                prev = _clean(words[j - 1]) if j > start else ""
+                nxt = _clean(words[j + 1]) if j + 1 < len(words) else ""
+                if prev in SCALES and nxt in NUM_WORDS and nxt != "and":
+                    j += 1
+                    continue
+                break
+            if wj in NUM_WORDS:
+                j += 1
+            else:
+                break
+        return j
+
     while i < len(words):
-        w = re.sub(r"[^\w']", "", words[i]).lower()
+        w = _clean(words[i])
+
+        # standalone ordinal ("third" -> "3rd")
+        if w in ORDINALS:
+            v = ORDINALS[w]
+            out.append(f"{v}{ordinal_suffix(v)}")
+            i += 1
+            continue
+
         if w in NUM_WORDS and w != "and":
-            j = i
-            while j < len(words):
-                wj = re.sub(r"[^\w']", "", words[j]).lower()
-                if wj == "and":
-                    # "and" joins a number only after a scale word ("hundred and")
-                    prev = re.sub(r"[^\w']", "", words[j - 1]).lower()
-                    nxt = (re.sub(r"[^\w']", "", words[j + 1]).lower()
-                           if j + 1 < len(words) else "")
-                    if prev in SCALES and nxt in NUM_WORDS and nxt != "and":
-                        j += 1
-                        continue
-                    break
-                if wj in NUM_WORDS:
-                    j += 1
-                else:
-                    break
-            val = parse_en_number(
-                [re.sub(r"[^\w']", "", x) for x in words[i:j]])
+            j = span_end(i)
+            val = parse_en_number([_clean(x) for x in words[i:j]])
             if val is not None:
-                if j < len(words) and words[j].lower().startswith("percent"):
+                nxt = _clean(words[j]) if j < len(words) else ""
+                # "twenty first" / "one hundred and first" -> ordinal
+                ord_j, ord_w = j, nxt
+                if nxt == "and" and j + 1 < len(words) \
+                        and _clean(words[j + 1]) in ORDINALS:
+                    ord_j, ord_w = j + 1, _clean(words[j + 1])
+                if ord_w in ORDINALS:
+                    ov = ORDINALS[ord_w]
+                    total = val * ov if ov >= 100 else val + ov
+                    out.append(f"{total}{ordinal_suffix(total)}")
+                    i = ord_j + 1
+                    continue
+                if nxt.startswith("percent"):
                     out.append(f"{val}%")
-                    j += 1
-                else:
-                    out.append(str(val))
+                    i = j + 1
+                    continue
+                if nxt in ("cent", "cents"):  # "fifty cents" -> "$0.50"
+                    if val < 100:
+                        out.append(f"$0.{val:02d}")
+                        i = j + 1
+                        continue
+                if nxt in CURRENCIES:
+                    sym = CURRENCIES[nxt]
+                    k = j + 1
+                    if k < len(words) and _clean(words[k]) == "and":
+                        k += 1
+                    k2 = span_end(k)
+                    cents = parse_en_number([_clean(x) for x in words[k:k2]]) \
+                        if k2 > k else None
+                    if cents is not None and cents < 100:
+                        if k2 < len(words) and _clean(words[k2]) in ("cent",
+                                                                     "cents"):
+                            k2 += 1
+                        out.append(f"{sym}{val}.{cents:02d}")
+                        i = k2
+                    else:
+                        out.append(f"{sym}{val}")
+                        i = j + 1
+                    continue
+                out.append(str(val))
                 i = j
                 continue
         out.append(words[i])

@@ -78,6 +78,10 @@ _TIME_RE = re.compile(
     f"([{_NUM_CHARS}]{{1,3}})点(?:([{_NUM_CHARS}]{{1,3}})分)?"
     f"(?:([{_NUM_CHARS}]{{1,3}})秒)?(半)?")
 _MONEY_RE = re.compile(f"([{_NUM_CHARS}]+)(块钱|块|元|美元|欧元|英镑|日元)")
+# month-day without a year ("十二月三十一日" -> "12月31日"); bounded to real
+# calendar ranges so "三百万日元" never matches
+_MONTH_DAY_RE = re.compile(
+    f"([{_NUM_CHARS}]{{1,3}})月(?:([{_NUM_CHARS}]{{1,3}})[日号])?")
 
 
 def inverse_normalize_zh(text: str) -> str:
@@ -105,7 +109,27 @@ def inverse_normalize_zh(text: str) -> str:
 
     text = _DATE_RE.sub(date, text)
 
+    def month_day(m):
+        mo = parse_cn_number(m.group(1))
+        if mo is None or "." in mo or not 1 <= int(mo) <= 12:
+            return m.group(0)
+        out = f"{mo}月"
+        if m.group(2):
+            d = parse_cn_number(m.group(2))
+            if d is None or "." in d or not 1 <= int(d) <= 31:
+                return m.group(0)
+            out += f"{d}日"
+        return out
+
+    text = _MONTH_DAY_RE.sub(month_day, text)
+
     def tm(m):
+        # bare "N点" immediately followed by digit chars is a spoken decimal
+        # ("三点一四" = 3.14), not a clock time — defer to the number pass
+        if m.group(2) is None and m.group(3) is None and m.group(4) is None:
+            nxt = m.string[m.end(): m.end() + 1]
+            if nxt and nxt in DIGITS:
+                return m.group(0)
         h = parse_cn_number(m.group(1))
         if h is None or int(float(h)) > 24:
             return m.group(0)

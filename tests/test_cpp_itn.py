@@ -34,10 +34,21 @@ def _cpp_itn(so, text, lang):
 
 
 ZH_CASES = ["一共三百二十五元", "二零二三", "五千四百零三", "一亿二千万",
-            "百分之五十", "他说了三万五千字", "你好世界"]
+            "百分之五十", "他说了三万五千字", "你好世界",
+            # dates / times / money / decimals (round-2 grammar depth)
+            "十二月三十一日", "二零二三年五月一号", "十月一号国庆节",
+            "三点十五分", "两点半", "下午四点零五分二十秒开会", "三点一四",
+            "三点", "十二点零一分", "五块钱", "三百万日元",
+            "我有一百二十三块钱和百分之三十的股份", "二十一世纪",
+            "他一个人去了"]
 EN_CASES = ["twenty three dollars", "one hundred and five people",
             "three thousand five hundred", "fifty percent done",
-            "no numbers here"]
+            "no numbers here",
+            # ordinals / dates / money (round-2 grammar depth)
+            "three dollars fifty", "three dollars and fifty cents",
+            "fifty cents", "twenty first", "january third",
+            "one hundred and first", "second place", "the third of may",
+            "one million bucks", "two hundred dollars"]
 
 
 def test_cpp_zh_matches_python(lib):

@@ -60,3 +60,32 @@ def test_unknown_language():
         InverseNormalizer(lang="xx")
     itn = InverseNormalizer(lang="ja")  # known but unimplemented -> passthrough
     assert itn.inverse_normalize("こんにちは") == "こんにちは"
+
+
+def test_itn_zh_dates_times_money():
+    from funasr_tpu.text.zh_numbers import inverse_normalize_zh as itn
+
+    assert itn("十二月三十一日") == "12月31日"
+    assert itn("二零二三年五月一号") == "2023年5月1日"
+    assert itn("十月一号国庆节") == "10月1日国庆节"
+    assert itn("三点十五分") == "3:15"
+    assert itn("两点半") == "2:30"
+    assert itn("下午四点零五分二十秒开会") == "下午4:05:20开会"
+    assert itn("三点一四") == "3.14"  # decimal, not a clock time
+    assert itn("五块钱") == "5块钱"
+    # month-day bounds: "三百万日元" must not become a date
+    assert itn("三百万日元") == "3000000日元"
+
+
+def test_itn_en_ordinals_money():
+    from funasr_tpu.text.en_numbers import inverse_normalize_en as itn
+
+    assert itn("three dollars fifty") == "$3.50"
+    assert itn("three dollars and fifty cents") == "$3.50"
+    assert itn("fifty cents") == "$0.50"
+    assert itn("two hundred dollars") == "$200"
+    assert itn("twenty first") == "21st"
+    assert itn("january third") == "january 3rd"
+    assert itn("one hundred and first") == "101st"
+    assert itn("second place") == "2nd place"
+    assert itn("the twenty second of may") == "the 22nd of may"
