@@ -476,6 +476,91 @@ def convert_contextual_paraformer(state_dict: Dict[str, Any], model) -> Dict[str
     return params
 
 
+def convert_eend_ola(state_dict: Dict[str, Any], model) -> Dict[str, Any]:
+    """EEND-OLA (reference ``funasr/models/eend/e2e_diar_eend_ola.py:90``):
+    flat-attribute transformer encoder (``enc.lnorm1_i`` / ``enc.self_att_i``)
+    + EDA LSTMs + PostNet LSTM + powerlabel output layer."""
+    sd = SD(_strip_module_prefix(state_dict))
+    enc = sd.sub("enc")
+    enc_params = {
+        "linear_in": enc.linear("linear_in"),
+        "lnorm_out": enc.norm("lnorm_out"),
+        "layers": [],
+    }
+    for i in range(model.encoder.n_layers):
+        att = enc.sub(f"self_att_{i}")
+        ff = enc.sub(f"ff_{i}")
+        enc_params["layers"].append({
+            "lnorm1": enc.norm(f"lnorm1_{i}"),
+            "att": {"linearQ": att.linear("linearQ"),
+                    "linearK": att.linear("linearK"),
+                    "linearV": att.linear("linearV"),
+                    "linearO": att.linear("linearO")},
+            "lnorm2": enc.norm(f"lnorm2_{i}"),
+            "ff": {"linear1": ff.linear("linear1"),
+                   "linear2": ff.linear("linear2")},
+        })
+    return {
+        "encoder": enc_params,
+        "eda_encoder": _lstm_layer(sd, "encoder_decoder_attractor.encoder", 0),
+        "eda_decoder": _lstm_layer(sd, "encoder_decoder_attractor.decoder", 0),
+        "counter": sd.linear("encoder_decoder_attractor.counter"),
+        "postnet": _lstm_layer(sd, "postnet", 0),
+        "output_layer": sd.linear("output_layer"),
+    }
+
+
+def convert_emotion2vec(state_dict: Dict[str, Any], model) -> Dict[str, Any]:
+    """emotion2vec / data2vec-2.0 audio (reference ``funasr/models/emotion2vec/
+    model.py:40``): conv feature extractor + feature projection + grouped
+    positional convs + alibi scale + extra tokens + prenet/main AltBlocks +
+    emotion head."""
+    sd = SD(_strip_module_prefix(state_dict))
+    aud = sd.sub("modality_encoders.AUDIO")
+
+    def alt_block(s: SD):
+        return {
+            "norm1": s.norm("norm1"),
+            "attn": {"qkv": s.linear("attn.qkv"),
+                     "proj": s.linear("attn.proj")},
+            "norm2": s.norm("norm2"),
+            "mlp": {"fc1": s.linear("mlp.fc1"), "fc2": s.linear("mlp.fc2")},
+        }
+
+    params: Dict[str, Any] = {
+        "local_encoder": [],
+        "project_features": {"norm": aud.norm("project_features.1"),
+                             "linear": aud.linear("project_features.2")},
+        "pos_conv": [],
+        "extra_tokens": aud.get("extra_tokens"),
+        "alibi_scale": aud.get("alibi_scale"),
+        "prenet_norm": aud.norm("context_encoder.norm"),
+        "prenet_blocks": [
+            alt_block(aud.sub(f"context_encoder.blocks.{i}"))
+            for i in range(model.prenet_depth)],
+        "blocks": [alt_block(sd.sub(f"blocks.{i}"))
+                   for i in range(model.depth)],
+    }
+    for i in range(len(model.FEATURE_SPEC)):
+        params["local_encoder"].append({
+            # torch conv1d (C_out, C_in, K) -> (K, C_in, C_out)
+            "conv": {"w": aud.get(f"local_encoder.conv_layers.{i}.0.weight")
+                     .transpose(2, 1, 0)},
+            "norm": aud.norm(f"local_encoder.conv_layers.{i}.2.1"),
+        })
+    for i in range(model.conv_pos_depth):
+        # Sequential: [TransposeLast, block x depth, TransposeLast]; grouped
+        # conv weight (C_out, C_in/groups, K) -> (K, C_in/groups, C_out)
+        params["pos_conv"].append({
+            "w": aud.get(f"relative_positional_encoder.{i + 1}.0.weight")
+            .transpose(2, 1, 0),
+            "b": aud.get(f"relative_positional_encoder.{i + 1}.0.bias"),
+        })
+    if sd.has("proj.weight"):
+        params["proj"] = sd.linear("proj")
+    return params
+
+
 def convert_monotonic_aligner(state_dict: Dict[str, Any], model) -> Dict[str, Any]:
     """MonotonicAligner / fa-zh (reference ``funasr/models/monotonic_aligner/
     model.py:24``): SANM encoder + CifPredictorV3 (upsample timestamp head)."""
@@ -568,6 +653,9 @@ CONVERTERS = {
     "SeacoParaformer": convert_seaco_paraformer,
     "ContextualParaformer": convert_contextual_paraformer,
     "MonotonicAligner": convert_monotonic_aligner,
+    "DiarEENDOLA": convert_eend_ola,
+    "EENDOLA": convert_eend_ola,
+    "Emotion2vec": convert_emotion2vec,
     "FsmnVADStreaming": convert_fsmn_vad,
     "CTTransformer": convert_ct_transformer,
     "CTTransformerStreaming": convert_ct_transformer,

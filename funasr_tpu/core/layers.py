@@ -206,8 +206,13 @@ def lstm_init(rng, in_dim: int, hidden: int):
     }
 
 
-def lstm_apply(p, x, reverse: bool = False):
-    """x: (B, T, D) -> (B, T, H) single-layer LSTM via lax.scan."""
+def lstm_apply(p, x, reverse: bool = False, init=None, return_state: bool = False):
+    """x: (B, T, D) -> (B, T, H) single-layer LSTM via lax.scan.
+
+    ``init``: optional (h, c) initial state, each (B, H) — torch LSTM's (h0, c0)
+    role (used by the EEND encoder-decoder attractor). ``return_state`` also
+    returns the final (h, c).
+    """
     h_dim = p["w_hh"].shape[0]
     b = x.shape[0]
     xf = x.astype(jnp.float32)
@@ -222,10 +227,17 @@ def lstm_apply(p, x, reverse: bool = False):
         h = jax.nn.sigmoid(o) * jnp.tanh(c)
         return (h, c), h
 
-    init = (jnp.zeros((b, h_dim), jnp.float32), jnp.zeros((b, h_dim), jnp.float32))
+    if init is None:
+        init = (jnp.zeros((b, h_dim), jnp.float32),
+                jnp.zeros((b, h_dim), jnp.float32))
+    else:
+        init = (init[0].astype(jnp.float32), init[1].astype(jnp.float32))
     seq = pre.swapaxes(0, 1)
-    _, hs = jax.lax.scan(step, init, seq, reverse=reverse)
-    return hs.swapaxes(0, 1).astype(x.dtype)
+    state, hs = jax.lax.scan(step, init, seq, reverse=reverse)
+    out = hs.swapaxes(0, 1).astype(x.dtype)
+    if return_state:
+        return out, state
+    return out
 
 
 def lstm_step(p, x_t, state):

@@ -14,11 +14,26 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from typing import NamedTuple
+
 from funasr_tpu.core.layers import (
     layer_norm_apply, layer_norm_init, linear_apply, linear_init)
-from funasr_tpu.models.emotion2vec.model import CONV_LAYERS, E2VConfig
 from funasr_tpu.models.transformer.attention import MHAConfig, mha_apply, mha_init
 from funasr_tpu.register import tables
+
+# wav2vec2/data2vec conv feature extractor spec: (channels, kernel, stride)
+CONV_LAYERS = [(512, 10, 5)] + [(512, 3, 2)] * 4 + [(512, 2, 2)] * 2
+
+
+class D2VConfig(NamedTuple):
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+
+    @property
+    def mha(self) -> MHAConfig:
+        return MHAConfig(n_head=self.num_heads, n_feat=self.embed_dim)
 
 
 @tables.register("model_classes", "Data2VecAudio")
@@ -28,7 +43,7 @@ class Data2VecAudio:
                  mask_length: int = 10, top_k_layers: int = 8,
                  ema_decay: float = 0.999, **kwargs):
         conf = dict(model_conf or {})
-        self.cfg = E2VConfig(embed_dim=conf.get("embed_dim", 768),
+        self.cfg = D2VConfig(embed_dim=conf.get("embed_dim", 768),
                              depth=conf.get("depth", 12),
                              num_heads=conf.get("num_heads", 12),
                              mlp_ratio=conf.get("mlp_ratio", 4.0))
@@ -38,15 +53,33 @@ class Data2VecAudio:
         self.ema_decay = ema_decay
 
     def init_params(self, rng):
-        # reuse the emotion2vec tower (identical data2vec trunk)
-        from funasr_tpu.models.emotion2vec.model import Emotion2vec
-        trunk = Emotion2vec(model_conf=self.cfg._asdict(), vocab_size=1)
-        student = trunk.init_params(rng)
-        student.pop("proj", None)
-        k = jax.random.fold_in(rng, 99)
-        student["mask_emb"] = jax.random.normal(k, (self.cfg.embed_dim,)) * 0.02
-        student["regression_head"] = linear_init(
-            jax.random.fold_in(rng, 100), self.cfg.embed_dim, self.cfg.embed_dim)
+        cfg = self.cfg
+        d = cfg.embed_dim
+        hid = int(d * cfg.mlp_ratio)
+        keys = iter(jax.random.split(rng, 12 + cfg.depth * 3))
+        import math
+        student = {"local_encoder": [], "blocks": []}
+        c_in = 1
+        for (c_out, k, _s) in CONV_LAYERS:
+            student["local_encoder"].append({
+                "w": jax.random.normal(next(keys), (k, c_in, c_out))
+                * (1.0 / math.sqrt(k * c_in)),
+                "norm": layer_norm_init(c_out),
+            })
+            c_in = c_out
+        student["post_extract_norm"] = layer_norm_init(CONV_LAYERS[-1][0])
+        student["post_extract_proj"] = linear_init(next(keys),
+                                                   CONV_LAYERS[-1][0], d)
+        for _ in range(cfg.depth):
+            student["blocks"].append({
+                "norm1": layer_norm_init(d),
+                "attn": mha_init(next(keys), cfg.mha),
+                "norm2": layer_norm_init(d),
+                "fc1": linear_init(next(keys), d, hid),
+                "fc2": linear_init(jax.random.fold_in(next(keys), 1), hid, d),
+            })
+        student["mask_emb"] = jax.random.normal(next(keys), (d,)) * 0.02
+        student["regression_head"] = linear_init(next(keys), d, d)
         teacher = jax.tree_util.tree_map(lambda x: x, student)
         return {"student": student, "teacher": teacher}
 

@@ -51,15 +51,27 @@ def test_uniasr_two_pass():
 
 def test_emotion2vec():
     from funasr_tpu.models.emotion2vec.model import Emotion2vec
-    model = Emotion2vec(model_conf=dict(embed_dim=32, depth=2, num_heads=4,
-                                        mlp_ratio=2.0), vocab_size=9)
+
+    class Tok:  # labels come from the tokenizer, as in the reference
+        token_list = [f"emo{i}" for i in range(9)]
+
+    model = Emotion2vec(
+        model_conf=dict(embed_dim=32, depth=2, num_heads=4, mlp_ratio=2.0,
+                        modalities=dict(audio=dict(
+                            prenet_depth=1, num_extra_tokens=2,
+                            num_alibi_heads=4, conv_pos_depth=2,
+                            conv_pos_groups=4,
+                            feature_encoder_spec="[(16, 10, 5), (16, 3, 2)]"))),
+        vocab_size=9)
     params = model.init_params(jax.random.PRNGKey(0))
     wav = (np.random.default_rng(0).standard_normal(16000) * 0.1).astype(np.float32)
-    res, _ = model.inference(params, wav, granularity="utterance")
+    res, _ = model.inference(params, wav, granularity="utterance",
+                             tokenizer=Tok())
     assert len(res[0]["labels"]) == 9
     assert abs(sum(res[0]["scores"]) - 1.0) < 1e-3
     assert res[0]["feats"].shape == (32,)
-    res2, _ = model.inference(params, wav, granularity="frame")
+    res2, _ = model.inference(params, wav, granularity="frame",
+                              tokenizer=Tok())
     assert res2[0]["feats"].ndim == 2
 
 
