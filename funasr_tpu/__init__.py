@@ -70,6 +70,8 @@ _REGISTRABLE_MODULES = [
     "funasr_tpu.tokenizer.extra_tokenizers",
     "funasr_tpu.frontends.whisper_frontend",
     "funasr_tpu.frontends.default",
+    "funasr_tpu.frontends.mel23",
+    "funasr_tpu.frontends.fused",
     "funasr_tpu.datasets.audio_datasets.datasets",
     "funasr_tpu.datasets.audio_datasets.index_ds",
     "funasr_tpu.datasets.audio_datasets.samplers",

@@ -71,26 +71,49 @@ int HotwordTrie::Compile(const std::string& hotwords, const Vocab& vocab,
   return compiled;
 }
 
-int HotwordTrie::Step(int state, int token, float* delta) const {
-  if (state < 0 || state >= static_cast<int>(nodes_.size())) state = 0;
-  const Node& cur = nodes_[state];
-  auto it = cur.next.find(token);
-  if (it != cur.next.end()) {
-    const Node& nxt = nodes_[it->second];
-    *delta += nxt.accum - cur.accum;        // earn this step's boost
-    if (nxt.is_end) return 0;               // word completed: bonus kept
-    return it->second;
+void HotwordTrie::Build() {
+  // BFS Aho-Corasick failure links: fail(child of u via t) = the deepest
+  // proper-suffix state reachable via t from fail(u)'s chain.
+  std::vector<int> queue;
+  nodes_[0].fail = 0;
+  for (auto& kv : nodes_[0].next) {
+    nodes_[kv.second].fail = 0;
+    queue.push_back(kv.second);
   }
-  // fall off a partial match: refund, then retry the token from the root
-  *delta -= cur.accum;
-  if (state != 0) {
-    auto root_it = nodes_[0].next.find(token);
-    if (root_it != nodes_[0].next.end()) {
-      const Node& nxt = nodes_[root_it->second];
-      *delta += nxt.accum;
-      if (nxt.is_end) return 0;
-      return root_it->second;
+  for (size_t qi = 0; qi < queue.size(); ++qi) {
+    int u = queue[qi];
+    for (auto& kv : nodes_[u].next) {
+      int tok = kv.first, child = kv.second;
+      int f = nodes_[u].fail;
+      while (f != 0 && !nodes_[f].next.count(tok)) f = nodes_[f].fail;
+      auto it = nodes_[f].next.find(tok);
+      nodes_[child].fail = (it != nodes_[f].next.end() && it->second != child)
+                               ? it->second
+                               : 0;
+      queue.push_back(child);
     }
+  }
+  built_ = true;
+}
+
+int HotwordTrie::Step(int state, int token, float* delta) const {
+  if (!built_) const_cast<HotwordTrie*>(this)->Build();
+  if (state < 0 || state >= static_cast<int>(nodes_.size())) state = 0;
+  int node = state;
+  // follow failure links until a state with the transition (or the root);
+  // refund only the boost of the prefix part that does NOT survive as the
+  // fail state's suffix
+  while (node != 0 && !nodes_[node].next.count(token)) {
+    int f = nodes_[node].fail;
+    *delta += nodes_[f].accum - nodes_[node].accum;
+    node = f;
+  }
+  auto it = nodes_[node].next.find(token);
+  if (it != nodes_[node].next.end()) {
+    const Node& nxt = nodes_[it->second];
+    *delta += nxt.accum - nodes_[node].accum;  // earn this step's boost
+    if (nxt.is_end) return 0;                  // word completed: bonus kept
+    return it->second;
   }
   return 0;
 }
@@ -109,6 +132,7 @@ void* FunASRHotwordCompile(const char* hotwords, const char* tokens_file,
   }
   auto* trie = new HotwordTrie();
   trie->Compile(hotwords, *vocab, boost);
+  trie->Build();  // eager: Step() is then safe from concurrent decoders
   delete vocab;
   return trie;
 }

@@ -33,10 +33,16 @@ class HotwordTrie {
   int Compile(const std::string& hotwords, const Vocab& vocab,
               float boost = 3.0f);
 
+  // Build Aho-Corasick failure links (call once after the last Add/Compile;
+  // Step() builds lazily if needed). Falling off a prefix follows the longest
+  // proper-suffix state instead of resetting to the root, so overlapping
+  // hotwords ("abx" active while "bcd" starts) keep their earned boost.
+  void Build();
+
   // Advance from `state` with `token`. Returns the new state and adds the
   // incremental score to *delta: +boost on extending a hotword prefix,
-  // +final bonus on completing one, minus the accumulated partial bonus on
-  // falling off a prefix (so dead-end partial matches are score-neutral).
+  // +final bonus on completing one, minus the non-reusable part of the
+  // accumulated partial bonus on falling back (suffix overlap is kept).
   int Step(int state, int token, float* delta) const;
 
   int NumStates() const { return static_cast<int>(nodes_.size()); }
@@ -46,8 +52,10 @@ class HotwordTrie {
     std::map<int, int> next;
     float accum = 0.0f;   // bonus earned to reach this node
     bool is_end = false;
+    int fail = 0;         // Aho-Corasick failure link
   };
   std::vector<Node> nodes_{Node{}};
+  bool built_ = false;
 };
 
 }  // namespace funasr_tpu

@@ -184,3 +184,36 @@ def test_native_engine_c_api_text(built, tiny_model_dir, tmp_path):
     assert text.replace(" ", "") == py_text.replace(" ", "")
     lib.FunASRFreeResult(ctypes.c_void_p(res))
     lib.FunASRUninit(ctypes.c_void_p(h))
+
+
+def test_hotword_aho_corasick(built, tmp_path):
+    """Failure links: overlapping hotwords keep their boost ("abcd" earns the
+    full "bcd" completion even while "abx" was being matched), and dead-end
+    partial matches stay score-neutral."""
+    tokens = tmp_path / "hw_tokens.txt"
+    tokens.write_text("\n".join(list("abcdxyz")))
+    lib = ctypes.CDLL(str(built / "libfunasr_tpu_runtime.so"))
+    lib.FunASRHotwordCompile.restype = ctypes.c_void_p
+    lib.FunASRHotwordCompile.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
+                                         ctypes.c_float]
+    lib.FunASRHotwordStep.restype = ctypes.c_int
+    lib.FunASRHotwordStep.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                      ctypes.c_int,
+                                      ctypes.POINTER(ctypes.c_float)]
+    trie = lib.FunASRHotwordCompile(b"abx bcd", str(tokens).encode(), 2.0)
+    assert trie
+    tok = {ch: i for i, ch in enumerate("abcdxyz")}
+
+    def run(seq):
+        state, total = 0, 0.0
+        for ch in seq:
+            d = ctypes.c_float(0.0)
+            state = lib.FunASRHotwordStep(trie, state, tok[ch],
+                                          ctypes.byref(d))
+            total += d.value
+        return total
+
+    assert abs(run("abcd") - 6.0) < 1e-4   # bcd completes via the fail link
+    assert abs(run("abz")) < 1e-4          # dead end refunds everything
+    assert abs(run("abx") - 6.0) < 1e-4    # plain completion
+    lib.FunASRHotwordFree(ctypes.c_void_p(trie))
