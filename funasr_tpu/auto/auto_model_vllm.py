@@ -11,11 +11,32 @@ from __future__ import annotations
 import logging
 from typing import List, Optional
 
-_LLM_BASED_MODELS = {"FunASRNano", "LLMASR", "GLMASR", "Qwen3ASR"}
+_LLM_BASED_MODELS = {"FunASRNano", "LLMASR", "LLMASR2", "LLMASR3", "LLMASR4",
+                     "LLMASRNAR", "GLMASR", "QwenAudioWarp", "QwenAudio",
+                     "QwenAudioChat"}
+
+# reference auto_model_vllm.py:59-66 explains WHY each family is excluded
+_NON_LLM_MODELS = {
+    "Paraformer": "non-autoregressive CIF model — no LLM decoding",
+    "SenseVoice": "CTC encoder model — not LLM-based",
+    "CTTransformer": "small punctuation model — no benefit from batched LLM",
+    "Conformer": "CTC/attention encoder-decoder — no LLM",
+    "Transformer": "CTC/attention encoder-decoder — no LLM",
+    "Qwen3ASR": "served by the external qwen-asr package in the reference",
+}
 
 
 def check_vllm_applicable(model_class: str) -> bool:
-    return model_class in _LLM_BASED_MODELS
+    """True for LLM-decoder models; raises with the reason for known non-LLM
+    families (reference ``check_vllm_applicable:67``)."""
+    if model_class in _LLM_BASED_MODELS:
+        return True
+    for non_llm, reason in _NON_LLM_MODELS.items():
+        if non_llm in model_class:
+            raise ValueError(
+                f"Model '{model_class}' cannot use the batched-LLM path: "
+                f"{reason}. Use funasr_tpu.AutoModel instead.")
+    return False
 
 
 class AutoModelVLLM:

@@ -616,6 +616,81 @@ def convert_openai_whisper(state_dict: Dict[str, Any], model) -> Dict[str, Any]:
     return {"encoder": enc, "decoder": dec}
 
 
+def merge_lora_weights(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """Fold peft-style LoRA adapters into their base weights and strip the peft
+    wrapper prefixes (reference loads LoRA via peft at
+    ``funasr/models/fun_asr_nano/model.py:133-147``): W <- W + scale * B @ A.
+    The scale (lora_alpha / r) is taken as 1.0 when not recoverable from keys
+    (merged production checkpoints ship without adapters anyway)."""
+    out: Dict[str, Any] = {}
+    loras: Dict[str, Dict[str, Any]] = {}
+    for k, v in sd.items():
+        k2 = k.replace("base_model.model.", "")
+        if ".lora_A." in k2 or ".lora_B." in k2:
+            for tag in (".lora_A.", ".lora_B."):
+                if tag in k2:
+                    base, _, _rest = k2.partition(tag)
+                    loras.setdefault(base, {})[tag.strip(".")] = v
+            continue
+        out[k2.replace(".base_layer.", ".")] = v
+    for base, ab in loras.items():
+        if "lora_A" not in ab or "lora_B" not in ab:
+            continue
+        wkey = base + ".weight"
+        if wkey in out:
+            a = _np(ab["lora_A"])
+            b = _np(ab["lora_B"])
+            out[wkey] = _np(out[wkey]) + b @ a
+    return out
+
+
+def convert_fun_asr_nano(state_dict: Dict[str, Any], model) -> Dict[str, Any]:
+    """Fun-ASR-Nano (reference ``funasr/models/fun_asr_nano/model.py:33``):
+    SANM audio encoder + Linear/Transformer adaptor + HF Qwen LLM (LoRA merged)
+    + optional ctc_decoder/CTC timestamp branch."""
+    from funasr_tpu.models.llm.qwen import convert_hf_qwen
+
+    sd_raw = merge_lora_weights(_strip_module_prefix(state_dict))
+    sd = SD(sd_raw)
+
+    def adaptor_params(view: SD):
+        p = {"linear1": view.linear("linear1"),
+             "linear2": view.linear("linear2")}
+        i = 0
+        blocks = []
+        # espnet EncoderLayer blocks of the Transformer adaptor (ref
+        # adaptor.py:150-170): self_attn MHA + half-dim FFN, pre-norm
+        while view.has(f"blocks.{i}.norm1.weight"):
+            s = view.sub(f"blocks.{i}")
+            blocks.append({
+                "norm1": s.norm("norm1"),
+                "norm2": s.norm("norm2"),
+                "self_attn": {"linear_q": s.linear("self_attn.linear_q"),
+                              "linear_k": s.linear("self_attn.linear_k"),
+                              "linear_v": s.linear("self_attn.linear_v"),
+                              "linear_out": s.linear("self_attn.linear_out")},
+                "feed_forward": s.ffn("feed_forward"),
+            })
+            i += 1
+        if blocks:
+            p["blocks"] = blocks
+        return p
+
+    params: Dict[str, Any] = {
+        "audio_encoder": convert_sanm_encoder(
+            sd.sub("audio_encoder"), model.audio_encoder.cfg.num_blocks),
+        "audio_adaptor": adaptor_params(sd.sub("audio_adaptor")),
+        "llm": convert_hf_qwen(
+            {k[len("llm."):]: v for k, v in sd_raw.items()
+             if k.startswith("llm.")}, model.llm_cfg),
+    }
+    if model.ctc_decoder is not None and sd.has("ctc_decoder.linear1.weight"):
+        params["ctc_decoder"] = adaptor_params(sd.sub("ctc_decoder"))
+    if model.ctc is not None and "ctc.ctc_lo.weight" in sd_raw:
+        params["ctc"] = convert_ctc(sd.sub("ctc"))
+    return params
+
+
 def convert_whisper(state_dict: Dict[str, Any], model) -> Dict[str, Any]:
     sd = _strip_module_prefix(state_dict)
     if any(k.startswith("model.encoder.conv1") for k in sd):  # HF layout
@@ -656,6 +731,8 @@ CONVERTERS = {
     "DiarEENDOLA": convert_eend_ola,
     "EENDOLA": convert_eend_ola,
     "Emotion2vec": convert_emotion2vec,
+    "FunASRNano": convert_fun_asr_nano,
+    "LLMASR": convert_fun_asr_nano,
     "FsmnVADStreaming": convert_fsmn_vad,
     "CTTransformer": convert_ct_transformer,
     "CTTransformerStreaming": convert_ct_transformer,

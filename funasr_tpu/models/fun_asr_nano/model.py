@@ -46,11 +46,30 @@ class FunASRNano:
         adaptor_conf.setdefault("llm_dim", self.llm_cfg.hidden_size)
         self.audio_adaptor = tables.adaptor_classes[audio_adaptor](**adaptor_conf)
         self.llm = QwenLM(self.llm_cfg)
+        # CTC branch (reference model.py:153-206): an adaptor-class module over
+        # the encoder output + a CTC head over the CTC tokenizer's vocab — used
+        # for character timestamps via forced alignment and as a fast fallback
         self.ctc = None
-        if ctc_weight > 0:
+        self.ctc_decoder = None
+        self.blank_id = kwargs.get("blank_id", 0)
+        ctc_decoder = kwargs.get("ctc_decoder")
+        if ctc_decoder is not None or ctc_weight > 0:
             from funasr_tpu.models.ctc.ctc import CTC
-            self.ctc = CTC(odim=vocab_size, encoder_output_size=enc_out,
-                           **(ctc_conf or {}))
+            ctc_dec_conf = dict(kwargs.get("ctc_decoder_conf") or {})
+            ctc_dec_conf.setdefault("encoder_dim", enc_out)
+            ctc_dim = enc_out
+            if ctc_decoder is not None:
+                self.ctc_decoder = tables.adaptor_classes[ctc_decoder](
+                    **ctc_dec_conf)
+                ctc_dim = ctc_dec_conf.get("llm_dim",
+                                           getattr(self.ctc_decoder, "llm_dim",
+                                                   enc_out))
+            ctc_conf = dict(ctc_conf or {})
+            ctc_vocab = int(ctc_conf.pop("ctc_vocab_size",
+                                         vocab_size if vocab_size > 0 else 8404))
+            self.ctc = CTC(odim=ctc_vocab, encoder_output_size=ctc_dim,
+                           **ctc_conf)
+        self.ctc_weight = ctc_weight
         self._engine: Optional[LLMEngine] = None
         self.kwargs = kwargs
 
@@ -59,9 +78,75 @@ class FunASRNano:
         p = {"audio_encoder": self.audio_encoder.init(k1),
              "audio_adaptor": self.audio_adaptor.init(k2),
              "llm": self.llm.init_params(k3)}
+        if self.ctc_decoder is not None:
+            p["ctc_decoder"] = self.ctc_decoder.init(jax.random.fold_in(rng, 3))
         if self.ctc is not None:
             p["ctc"] = self.ctc.init(jax.random.fold_in(rng, 4))
         return p
+
+    # ------------------------------------------------------------------
+
+    def forward_jit(self, params, speech, speech_lengths, text, text_lengths,
+                    rng=None, prompt_ids=None, suffix_ids=None):
+        """LLM fine-tune objective (reference ``forward:287-408``): splice
+        [prompt | audio embeds | suffix | target embeds] and apply CE on the
+        target positions (+ weighted CTC on the encoder branch)."""
+        from funasr_tpu.core.layers import make_pad_mask
+
+        b = speech.shape[0]
+        audio, audio_lens = self.encode_audio(params, speech, speech_lengths)
+        t_a = audio.shape[1]
+        if prompt_ids is None:
+            prompt_ids = jnp.asarray([151644], jnp.int32)  # <|im_start|>
+        if suffix_ids is None:
+            suffix_ids = jnp.asarray([151645], jnp.int32)  # <|im_end|>
+        dt = jnp.float32
+        prefix = jnp.broadcast_to(
+            self.llm.embed(params["llm"], prompt_ids, dt)[None],
+            (b, prompt_ids.shape[0], self.llm_cfg.hidden_size))
+        suffix = jnp.broadcast_to(
+            self.llm.embed(params["llm"], suffix_ids, dt)[None],
+            (b, suffix_ids.shape[0], self.llm_cfg.hidden_size))
+        tgt = jnp.maximum(text, 0)
+        tgt_emb = self.llm.embed(params["llm"], tgt, dt)
+        inputs = jnp.concatenate(
+            [prefix, audio.astype(dt), suffix, tgt_emb], axis=1)
+        logits = self.llm.forward_embeds(params["llm"], inputs)
+        # CE on target positions: logits predicting token t sit one step left
+        off = prefix.shape[1] + t_a + suffix.shape[1]
+        pred = logits[:, off - 1: off - 1 + tgt.shape[1]]
+        logp = jax.nn.log_softmax(pred.astype(jnp.float32), -1)
+        tgt_mask = (make_pad_mask(text_lengths, tgt.shape[1])
+                    & (text >= 0)).astype(jnp.float32)
+        ce = -jnp.take_along_axis(logp, tgt[..., None], -1)[..., 0]
+        denom = jnp.maximum(jnp.sum(tgt_mask), 1.0)
+        loss_llm = jnp.sum(ce * tgt_mask) / denom
+        acc = jnp.sum((jnp.argmax(pred, -1) == tgt) * tgt_mask) / denom
+        stats = {"loss_llm": loss_llm, "acc": acc}
+        loss = loss_llm
+        if self.ctc is not None and self.ctc_weight > 0:
+            enc, enc_lens = self.audio_encoder(params["audio_encoder"], speech,
+                                               speech_lengths)
+            if self.ctc_decoder is not None:
+                enc, enc_lens = self.ctc_decoder(params["ctc_decoder"], enc,
+                                                 enc_lens)
+            loss_ctc = self.ctc.loss(params["ctc"], enc, enc_lens, text,
+                                     text_lengths)
+            stats["loss_ctc"] = loss_ctc
+            loss = loss_llm + self.ctc_weight * loss_ctc
+        stats["loss"] = loss
+        return loss, stats, b
+
+    def ctc_branch(self, params, speech, speech_lengths):
+        """Encoder -> ctc_decoder -> CTC log-probs (host arrays)."""
+        enc, enc_lens = self.audio_encoder(params["audio_encoder"],
+                                           jnp.asarray(speech),
+                                           jnp.asarray(speech_lengths))
+        if self.ctc_decoder is not None and "ctc_decoder" in params:
+            enc, enc_lens = self.ctc_decoder(params["ctc_decoder"], enc,
+                                             enc_lens)
+        logp = self.ctc.log_softmax(params["ctc"], enc)
+        return np.asarray(logp, np.float32), np.asarray(enc_lens)
 
     # ------------------------------------------------------------------
 
@@ -160,4 +245,47 @@ class FunASRNano:
             out_ids = [t for t in req.output_ids if t not in eos_ids]
             text = tokenizer.decode(out_ids) if tokenizer is not None else ""
             results.append({"key": key[i], "text": text})
+
+        # CTC branch: greedy ctc_text + character timestamps by forced
+        # alignment of both texts (reference model.py:965-1070; 60 ms frames)
+        ctc_tokenizer = kwargs.get("ctc_tokenizer")
+        if self.ctc is not None and "ctc" in params and ctc_tokenizer is not None:
+            from funasr_tpu.ops.ctc_align import ctc_forced_align
+            logp, ctc_lens = self.ctc_branch(params, speech, speech_lengths)
+            frame_s = 0.06  # lfr6 x 10 ms
+
+            def path_to_ts(path):
+                out = []
+                prev = self.blank_id
+                for t, lab in enumerate(path):
+                    if lab != self.blank_id:
+                        if lab != prev:  # new emission starts
+                            out.append({
+                                "token": ctc_tokenizer.decode([int(lab)]),
+                                "start_time": round(t * frame_s, 3),
+                                "end_time": round((t + 1) * frame_s, 3)})
+                        else:  # same emission continues
+                            out[-1]["end_time"] = round((t + 1) * frame_s, 3)
+                    prev = lab
+                return out
+
+            def align(x, text):
+                ids = np.asarray(ctc_tokenizer.encode(text), np.int64)
+                ids = ids[(ids >= 0) & (ids < x.shape[-1])]  # drop OOV ids
+                if ids.size == 0 or 2 * ids.size + 1 > x.shape[0]:
+                    return []
+                return path_to_ts(ctc_forced_align(x, ids, x.shape[0],
+                                                   len(ids),
+                                                   blank_id=self.blank_id))
+
+            for i, res in enumerate(results):
+                x = logp[i, : int(ctc_lens[i])]
+                yseq = x.argmax(-1)
+                keep = np.concatenate([[True], yseq[1:] != yseq[:-1]])
+                toks = yseq[keep]
+                toks = toks[toks != self.blank_id].tolist()
+                ctc_text = ctc_tokenizer.decode(toks)
+                res["ctc_text"] = ctc_text.replace("<|nospeech|>", "")
+                res["ctc_timestamps"] = align(x, res["ctc_text"])
+                res["timestamps"] = align(x, res["text"])
         return results, meta

@@ -205,7 +205,22 @@ class QwenLM:
         return logits.astype(jnp.float32), new_cache
 
     def embed(self, params, token_ids, dtype=jnp.bfloat16):
-        return jnp.take(params["embed_tokens"], token_ids, axis=0).astype(dtype)
+        # mode="clip" matches jit semantics; eager default would NaN-fill
+        # out-of-range ids (e.g. ChatML ids against a tiny test vocab)
+        return jnp.take(params["embed_tokens"], token_ids, axis=0,
+                        mode="clip").astype(dtype)
+
+    def forward_embeds(self, params, input_embeds):
+        """Full-sequence causal forward without a persistent cache:
+        (B, T, D) embeds -> (B, T, V) logits (training / teacher forcing)."""
+        b, t, _ = input_embeds.shape
+        kv = self.init_kv_cache(b, t, dtype=input_embeds.dtype)
+        positions = jnp.broadcast_to(jnp.arange(t)[None], (b, t))
+        write_pos = jnp.zeros((b,), jnp.int32)
+        kv_lens = jnp.full((b,), t, jnp.int32)
+        logits, _ = self.forward(params, input_embeds, positions, kv,
+                                 write_pos, kv_lens)
+        return logits
 
 
 def _scatter_time(cache, new, idx):
