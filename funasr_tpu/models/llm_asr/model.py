@@ -40,9 +40,31 @@ class LLMASR(FunASRNano):
 
 @tables.register("model_classes", "GLMASR")
 class GLMASR(LLMASR):
-    """GLM-decoder flavored speech LLM (reference ``glm_asr/model.py``); the decoder
-    config comes from the checkpoint's llm_conf (GLM-edge is GQA+RMSNorm compatible
-    with the QwenLM block layout)."""
+    """GLM-ASR-Nano (reference ``glm_asr/model.py:14``): whisper-style audio
+    encoder + adaptor + GLM-edge decoder (GQA + RMSNorm — same block layout as
+    QwenLM, configured via llm_conf) with the GLM chat template
+    ("Please transcribe this audio into text" user turn around the audio span).
+    """
+
+    def __init__(self, audio_encoder: str = "TransformerEncoder",
+                 audio_encoder_conf: Optional[dict] = None,
+                 input_size: int = 128,
+                 prompt_template: str = "Please transcribe this audio into text",
+                 **kwargs):
+        enc_conf = dict(audio_encoder_conf or {})
+        if audio_encoder == "TransformerEncoder":
+            enc_conf.setdefault("input_layer", "conv2d")
+            enc_conf.setdefault("output_size", 256)
+        super().__init__(audio_encoder=audio_encoder,
+                         audio_encoder_conf=enc_conf, input_size=input_size,
+                         prompt_template=prompt_template, **kwargs)
+
+    def build_chatml_ids(self, tokenizer, prompt: str):
+        """GLM chat template: [gMASK]<sop><|user|> prompt + audio ...
+        <|assistant|> (the apply_chat_template layout of GLM-edge)."""
+        prefix = f"[gMASK]<sop><|user|>\n{prompt}\n<|begin_of_audio|>"
+        suffix = "<|end_of_audio|><|assistant|>\n"
+        return tokenizer.encode(prefix), tokenizer.encode(suffix)
 
 
 @tables.register("model_classes", "QwenAudio")

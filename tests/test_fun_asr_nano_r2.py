@@ -158,3 +158,41 @@ def test_vllm_gating():
     with pytest.raises(ValueError, match="punctuation"):
         check_vllm_applicable("CTTransformerStreaming")
     assert not check_vllm_applicable("SomethingUnknown")
+
+
+def test_glm_asr_distinct_pipeline(rng):
+    """GLMASR is a real pipeline (whisper-style encoder + GLM chat template),
+    not a registration alias: it builds, prompts differently from LLMASR, and
+    decodes end-to-end."""
+    import jax
+    import funasr_tpu  # noqa: F401
+    from funasr_tpu.models.llm_asr.model import GLMASR, LLMASR
+
+    glm = GLMASR(
+        input_size=80,
+        audio_encoder_conf=dict(output_size=32, attention_heads=4,
+                                linear_units=64, num_blocks=2,
+                                input_layer="conv2d"),
+        audio_adaptor_conf=dict(downsample_rate=2, encoder_dim=32, llm_dim=48,
+                                ffn_dim=64),
+        llm_conf=dict(LLM_CONF))
+    params = glm.init_params(jax.random.PRNGKey(0))
+
+    class Tok:
+        def encode(self, s):
+            return [hash(c) % 150 + 3 for c in s][:12]
+
+        def decode(self, ids):
+            return "".join(chr(ord("a") + (int(i) % 26)) for i in ids)
+
+    pre_glm, suf_glm = glm.build_chatml_ids(Tok(), glm.get_prompt())
+    llm_generic = LLMASR.__new__(LLMASR)
+    llm_generic.prompt_template = "Transcribe the speech to text:"
+    assert glm.get_prompt() != llm_generic.get_prompt()
+
+    from funasr_tpu.frontends.wav_frontend import WavFrontend
+    frontend = WavFrontend(fs=16000, lfr_m=1, lfr_n=1, n_mels=80, dither=0.0)
+    wav = (rng.standard_normal(8000) * 0.1).astype(np.float32)
+    res, _ = glm.inference(params, wav, tokenizer=Tok(), frontend=frontend,
+                           max_new_tokens=4, num_slots=2, max_model_len=256)
+    assert "text" in res[0]
