@@ -60,6 +60,7 @@ _REGISTRABLE_MODULES = [
     "funasr_tpu.models.uniasr.model",
     "funasr_tpu.models.emotion2vec.model",
     "funasr_tpu.models.eend.model",
+    "funasr_tpu.models.sond.encoders",
     "funasr_tpu.models.sond.model",
     "funasr_tpu.models.data2vec.model",
     "funasr_tpu.models.mossformer.model",

@@ -699,6 +699,110 @@ def convert_whisper(state_dict: Dict[str, Any], model) -> Dict[str, Any]:
     return convert_openai_whisper(sd, model)
 
 
+def _sond_resnet(sd: SD, model) -> Dict[str, Any]:
+    """ResNet34(SpL2Reg)Diar (ref ``sond/encoder/resnet34_encoder.py:345,451``)."""
+    p: Dict[str, Any] = {}
+    if sd.has("pre_conv.weight"):
+        p["pre_conv"] = _conv2d(sd, "pre_conv")
+        p["pre_conv_bn"] = _bn(sd, "pre_conv_bn")
+    for bi, n_layer in enumerate(model.layers_in_block):
+        layers = []
+        for li in range(n_layer):
+            s = sd.sub(f"block_{bi}.layer_{li}")
+            lp = {"bn1": _bn(s, "bn1"), "conv1": _conv2d(s, "conv1"),
+                  "bn2": _bn(s, "bn2"), "conv2": _conv2d(s, "conv2")}
+            if s.has("conv_sc.weight"):
+                lp["conv_sc"] = _conv2d(s, "conv_sc")
+                lp["bn_sc"] = _bn(s, "bn_sc")
+            layers.append(lp)
+        p[f"block_{bi}"] = layers
+    p["resnet0_dense"] = sd.conv1d("resnet0_dense") if model.sp_l2reg \
+        else _conv2d(sd, "resnet0_dense")
+    p["resnet0_bn"] = _bn(sd, "resnet0_bn")
+    for head in ("resnet1", "resnet2"):
+        if sd.has(f"{head}_dense.weight"):
+            p[f"{head}_dense"] = sd.linear(f"{head}_dense")
+            p[f"{head}_bn"] = _bn(sd, f"{head}_bn")
+    return p
+
+
+def _sond_fsmn(sd: SD, model) -> Dict[str, Any]:
+    """FsmnEncoder (ref ``sond/encoder/fsmn_encoder.py:110``)."""
+
+    def _ffn(s: SD):
+        return {"w_1": s.conv1d("w_1"), "norm": s.norm("norm"),
+                "w_2": s.conv1d("w_2")}
+
+    p = {"fsmn_layers": [], "dnn_layers": []}
+    for i in range(model.fsmn_num_layers):
+        s = sd.sub(f"fsmn_layers.{i}")
+        p["fsmn_layers"].append({"ffn": _ffn(s.sub("ffn")),
+                                 "memory": s.dwconv("memory.fsmn_block")})
+    for i in range(model.dnn_num_layers):
+        p["dnn_layers"].append(_ffn(sd.sub(f"dnn_layers.{i}")))
+    if sd.has("conv1d.weight"):
+        p["conv1d"] = sd.conv1d("conv1d")
+    return p
+
+
+def _sond_conv_encoder(sd: SD, model) -> Dict[str, Any]:
+    """ConvEncoder (ref ``sond/encoder/conv_encoder.py:89``)."""
+    p = {"layers": []}
+    for i in range(model.num_layers):
+        s = sd.sub(f"cnn_a.{i}")
+        lp = {"conv": s.conv1d("conv1d")}
+        if s.has("bn.weight"):
+            lp["bn"] = _bn(s, "bn")
+        p["layers"].append(lp)
+    if sd.has("conv_out.weight"):
+        p["conv_out"] = sd.conv1d("conv_out")
+    if sd.has("after_norm.weight"):
+        p["after_norm"] = sd.norm("after_norm")
+    return p
+
+
+def _sond_self_attention(sd: SD, model) -> Dict[str, Any]:
+    """SelfAttentionEncoder (ref ``sond/encoder/self_attention_encoder.py:120``)."""
+    p = {"encoders": []}
+    for i in range(model.num_blocks):
+        s = sd.sub(f"encoders.{i}")
+        p["encoders"].append({
+            "norm1": s.norm("norm1"), "norm2": s.norm("norm2"),
+            "self_attn": {"linear_q_k_v": s.linear("self_attn.linear_q_k_v"),
+                          "linear_out": s.linear("self_attn.linear_out")},
+            "feed_forward": s.ffn("feed_forward"),
+        })
+    if sd.has("embed.0.weight"):
+        p["embed"] = {"linear": sd.linear("embed.0"), "norm": sd.norm("embed.1")}
+    elif sd.has("embed.weight"):
+        p["embed"] = {"linear": sd.linear("embed")}
+    if sd.has("after_norm.weight"):
+        p["after_norm"] = sd.norm("after_norm")
+    if sd.has("output_linear.weight"):
+        p["output_linear"] = sd.linear("output_linear")
+    return p
+
+
+def convert_sond(state_dict: Dict[str, Any], model) -> Dict[str, Any]:
+    """DiarSondModel (reference ``funasr/models/sond/e2e_diar_sond.py:45``):
+    resnet34 speech encoder + conv speaker encoder + CI/CD scorers + FSMN
+    post-net, mapped onto our functional trees."""
+    sd = SD(_strip_module_prefix(state_dict))
+    params: Dict[str, Any] = {}
+    if model.encoder is not None:
+        params["encoder"] = _sond_resnet(sd.sub("encoder"), model.encoder)
+    if model.speaker_encoder is not None:
+        params["speaker_encoder"] = _sond_conv_encoder(
+            sd.sub("speaker_encoder"), model.speaker_encoder)
+    params["ci_scorer"] = {} if not model.ci_is_encoder else \
+        _sond_self_attention(sd.sub("ci_scorer"), model.ci_scorer)
+    if model.cd_scorer is not None:
+        params["cd_scorer"] = _sond_self_attention(sd.sub("cd_scorer"),
+                                                   model.cd_scorer)
+    params["decoder"] = _sond_fsmn(sd.sub("decoder"), model.decoder)
+    return params
+
+
 def _strip_module_prefix(sd: Dict[str, Any]) -> Dict[str, Any]:
     """Tolerate DDP 'module.' prefixes (reference ``trainer.py:303-323`` behavior)."""
     if any(k.startswith("module.") for k in sd):
@@ -737,6 +841,8 @@ CONVERTERS = {
     "CTTransformer": convert_ct_transformer,
     "CTTransformerStreaming": convert_ct_transformer,
     "CAMPPlus": convert_campplus,
+    "DiarSondModel": convert_sond,
+    "SOND": convert_sond,
     "SenseVoiceSmall": convert_sense_voice,
     "ERes2NetV2": convert_eres2netv2,
 }

@@ -38,6 +38,63 @@ def stub_reference_deps():
             sys.modules[name] = mod
 
 
+def stub_sond_legacy_deps():
+    """The reference's SOND/xvector files target an older internal API surface
+    (``funasr.models.{decoder,encoder,pooling}``, ``base_model``, ``hinter`` …)
+    that the snapshot no longer ships. Inject minimal stand-ins so the torch
+    modules import for parity testing."""
+    import importlib.machinery
+    import sys
+    import types
+
+    import torch
+
+    stub_reference_deps()
+
+    def _mod(name):
+        if name in sys.modules:
+            return sys.modules[name]
+        m = types.ModuleType(name)
+        m.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+        sys.modules[name] = m
+        if "." in name:
+            parent, leaf = name.rsplit(".", 1)
+            setattr(_mod(parent), leaf, m)
+        return m
+
+    oc = _mod("omegaconf")
+    if not hasattr(oc, "OmegaConf"):
+        oc.DictConfig = dict
+        oc.OmegaConf = types.SimpleNamespace(create=lambda *a, **k: dict(*a),
+                                             to_container=lambda c, **k: dict(c))
+
+    import funasr.models  # noqa: F401  (real package, ensure loaded first)
+
+    def _abs(name):
+        # distinct subclasses: the reference's isinstance(x, AbsEncoder)
+        # dispatch must not match unrelated modules
+        return type(name, (torch.nn.Module,), {})
+
+    _mod("funasr.models.decoder.abs_decoder").AbsDecoder = _abs("AbsDecoder")
+    _mod("funasr.models.encoder.abs_encoder").AbsEncoder = _abs("AbsEncoder")
+    _mod("funasr.layers.abs_normalize").AbsNormalize = _abs("AbsNormalize")
+    _mod("funasr.models.base_model").FunASRModel = _abs("FunASRModel")
+    spec_aug = _mod("funasr.models.specaug.abs_specaug")
+    spec_aug.AbsSpecAug = _abs("AbsSpecAug")
+    _mod("funasr.models.specaug.abs_profileaug").AbsProfileAug = \
+        _abs("AbsProfileAug")
+    _mod("funasr.utils.hinter").hint_once = lambda *a, **k: None
+    import funasr.models.ctc as _ctc_pkg
+    if not hasattr(_ctc_pkg, "CTC"):
+        from funasr.models.ctc.ctc import CTC as _CTC
+        _ctc_pkg.CTC = _CTC
+    from funasr.models.sond.pooling import statistic_pooling as _sp
+    pooling = _mod("funasr.models.pooling.statistic_pooling")
+    pooling.statistic_pooling = _sp.statistic_pooling
+    pooling.windowed_statistic_pooling = _sp.windowed_statistic_pooling
+    pooling.StatisticPooling = _sp.StatisticPooling
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
