@@ -43,18 +43,26 @@ def test_eend_ola_train_and_infer(rng):
 
 
 def test_data2vec_ssl(rng):
-    from funasr_tpu.models.data2vec.model import Data2VecAudio
-    model = Data2VecAudio(model_conf=dict(embed_dim=32, depth=2, num_heads=4,
-                                          mlp_ratio=2.0), mask_prob=0.5,
-                          mask_length=3, top_k_layers=2, ema_decay=0.9)
+    from funasr_tpu.models.data2vec.model import Data2VecPretrainModel
+    # raw-waveform config: wav2vec2-style 1-d conv front over samples
+    model = Data2VecPretrainModel(encoder_conf=dict(
+        input_size=1, conv_feature_layers="[(32,10,5)] + [(32,3,2)] * 2",
+        encoder_layers=2, encoder_embed_dim=32, encoder_ffn_embed_dim=64,
+        encoder_attention_heads=4, conv_pos=4, conv_pos_groups=2,
+        average_top_k_layers=2, instance_norm_target_layer=True,
+        mask_prob=0.5, mask_length=3, ema_decay=0.9, ema_end_decay=0.99))
     params = model.init_params(jax.random.PRNGKey(0))
     wav = jnp.asarray(rng.standard_normal((2, 8000)), jnp.float32)
-    loss, stats, _ = model.forward_jit(params, wav, jnp.asarray([8000, 8000]),
+    loss, stats, _ = model.forward_jit(params, wav, jnp.asarray([8000, 6000]),
                                        rng=jax.random.PRNGKey(1))
     assert np.isfinite(float(loss)) and float(stats["masked_frames"]) > 0
     # EMA moves teacher toward student
-    params["student"]["mask_emb"] = params["student"]["mask_emb"] + 1.0
-    before = np.asarray(params["teacher"]["mask_emb"]).copy()
-    params2 = model.ema_update(params)
-    after = np.asarray(params2["teacher"]["mask_emb"])
+    params["student"]["encoder"]["layer_norm"]["scale"] = \
+        params["student"]["encoder"]["layer_norm"]["scale"] + 1.0
+    before = np.asarray(params["ema"]["layer_norm"]["scale"]).copy()
+    params2 = model.ema_update(params, num_updates=0)
+    after = np.asarray(params2["ema"]["layer_norm"]["scale"])
     assert np.all(after > before)
+    # downstream feature extraction works without the teacher
+    feats, flens = model.extract_features(params, wav, jnp.asarray([8000, 6000]))
+    assert feats.shape[-1] == 32 and int(flens[1]) < int(flens[0])
