@@ -37,7 +37,10 @@ def conv2d_subsampling_apply(params, x, lengths, add_pe: bool = True):
     b, t, f, c = h.shape
     h = h.transpose(0, 1, 3, 2).reshape(b, t, c * f)
     h = linear_apply(params["out"], h)
-    out_lens = (((lengths - 1) // 2 - 1) // 2).astype(jnp.int32)
+    # espnet computes output lengths by slicing the mask ``[:, :, :-2:2]``
+    # twice: kept frame k maps to input index 4k, so the valid count is
+    # #{k < T' : 4k < len} — NOT the arithmetic conv formula.
+    out_lens = jnp.minimum((lengths + 3) // 4, t).astype(jnp.int32)
     if add_pe:
         h = add_espnet_pe(h)
     return h, out_lens
