@@ -36,6 +36,8 @@ _REGISTRABLE_MODULES = [
     "funasr_tpu.models.paraformer_v2.model",
     "funasr_tpu.models.seaco_paraformer.model",
     "funasr_tpu.models.paraformer_streaming.model",
+    "funasr_tpu.models.scama.decoder",
+    "funasr_tpu.models.scama.model",
     "funasr_tpu.models.fsmn_vad_streaming.model",
     "funasr_tpu.models.ct_transformer.model",
     "funasr_tpu.models.ct_transformer_streaming.model",
@@ -64,6 +66,7 @@ _REGISTRABLE_MODULES = [
     "funasr_tpu.models.sond.model",
     "funasr_tpu.models.data2vec.model",
     "funasr_tpu.models.mossformer.model",
+    "funasr_tpu.models.mfcca.encoder",
     "funasr_tpu.models.mfcca.model",
     "funasr_tpu.models.sa_asr.model",
     "funasr_tpu.models.branchformer.encoder",

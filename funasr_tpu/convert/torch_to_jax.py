@@ -783,6 +783,149 @@ def _sond_self_attention(sd: SD, model) -> Dict[str, Any]:
     return p
 
 
+def _conv2d_subsampling(sd: SD) -> Dict[str, Any]:
+    """espnet Conv2dSubsampling (ref ``transformer/utils/subsampling.py``):
+    conv.0 / conv.2 3x3-stride-2 convs + out.0 linear."""
+    return {"conv1": _conv2d(sd, "conv.0"), "conv2": _conv2d(sd, "conv.2"),
+            "out": sd.linear("out.0")}
+
+
+def _espnet_mha(s: SD) -> Dict[str, Any]:
+    return {n: s.linear(n) for n in ("linear_q", "linear_k", "linear_v",
+                                     "linear_out")}
+
+
+def convert_mfcca(state_dict: Dict[str, Any], model) -> Dict[str, Any]:
+    """MFCCA (reference ``funasr/models/mfcca/mfcca_encoder.py:104`` +
+    ``encoder_layer_mfcca.py:166``): cross-channel attention + conformer layers
+    + channel-fusion conv stack, plus the AED decoder/CTC."""
+    sd = SD(_strip_module_prefix(state_dict))
+    enc_model = model.encoder if hasattr(model, "encoder") and \
+        isinstance(getattr(model, "encoder", None), object) and \
+        hasattr(model.encoder, "num_blocks") else model
+    enc_sd = sd.sub("encoder") if sd.has("encoder.after_norm.weight") else sd
+
+    layers = []
+    for i in range(enc_model.num_blocks):
+        s = enc_sd.sub(f"encoders.{i}")
+        csa = s.sub("encoder_csa")
+        lp = {
+            "norm_mha_cca": s.norm("norm_mha"),
+            "cca": _espnet_mha(s.sub("encoder_cros_channel_atten")),
+            "norm_mha": csa.norm("norm_mha"),
+            "norm_ff": csa.norm("norm_ff"),
+            "feed_forward": csa.ffn("feed_forward"),
+        }
+        att = _espnet_mha(csa.sub("self_attn"))
+        if csa.has("self_attn.linear_pos.weight"):
+            att["linear_pos"] = {"w": csa.get("self_attn.linear_pos.weight").T}
+            att["pos_bias_u"] = csa.get("self_attn.pos_bias_u")
+            att["pos_bias_v"] = csa.get("self_attn.pos_bias_v")
+        lp["self_attn"] = att
+        if csa.has("conv_module.pointwise_conv1.weight"):
+            cm = csa.sub("conv_module")
+            lp["norm_conv"] = csa.norm("norm_conv")
+            lp["norm_final"] = csa.norm("norm_final")
+            dw = cm.get("depthwise_conv.weight")  # (C, 1, K)
+            lp["conv_module"] = {
+                "pointwise_conv1": cm.conv1d("pointwise_conv1"),
+                "depthwise_conv": {"w": dw[:, 0].T,
+                                   "b": cm.get("depthwise_conv.bias")},
+                "norm": _bn(cm, "norm"),
+                "pointwise_conv2": cm.conv1d("pointwise_conv2"),
+            }
+        layers.append(lp)
+    params: Dict[str, Any] = {"encoders": layers,
+                              "after_norm": enc_sd.norm("after_norm")}
+    if enc_sd.has("embed.conv.0.weight"):
+        params["embed"] = _conv2d_subsampling(enc_sd.sub("embed"))
+    elif enc_sd.has("embed.0.weight"):
+        params["embed"] = {"linear": enc_sd.linear("embed.0"),
+                           "norm": enc_sd.norm("embed.1")}
+    for name in ("conv1", "conv2", "conv3", "conv4"):
+        params[name] = _conv2d(enc_sd, name)
+    if enc_model is model:
+        return params
+    out = {"encoder": params}
+    if sd.has("decoder.embed.0.weight") and model.decoder is not None:
+        dec = sd.sub("decoder")
+        dec_layers = []
+        i = 0
+        while dec.has(f"decoders.{i}.norm1.weight"):
+            s = dec.sub(f"decoders.{i}")
+            dec_layers.append({
+                "norm1": s.norm("norm1"), "norm2": s.norm("norm2"),
+                "norm3": s.norm("norm3"),
+                "self_attn": _espnet_mha(s.sub("self_attn")),
+                "src_attn": _espnet_mha(s.sub("src_attn")),
+                "feed_forward": s.ffn("feed_forward"),
+            })
+            i += 1
+        from funasr_tpu.core.module import stack_params
+        out["decoder"] = {"embed": dec.embedding("embed.0"),
+                          "decoders": stack_params(dec_layers),
+                          "after_norm": dec.norm("after_norm"),
+                          "output_layer": dec.linear("output_layer")}
+    if sd.has("ctc.ctc_lo.weight") and model.ctc is not None:
+        out["ctc"] = {"ctc_lo": sd.linear("ctc.ctc_lo")}
+    return out
+
+
+def convert_data2vec(state_dict: Dict[str, Any], model) -> Dict[str, Any]:
+    """Data2VecEncoder / Data2VecPretrainModel (reference
+    ``funasr/models/data2vec/data2vec_encoder.py:38`` + ``wav2vec2.py``):
+    conv feature extractor, weight-normed pos_conv (folded to a plain conv),
+    fairseq post-norm transformer layers, final_proj."""
+    sd = SD(_strip_module_prefix(state_dict))
+    if sd.has("encoder.feature_extractor.conv_layers.0.0.weight"):
+        sd = sd.sub("encoder")  # pretrain-model checkpoint layout
+    enc_model = model.encoder if hasattr(model, "encoder") and \
+        hasattr(model.encoder, "conv_layers") else model
+
+    fe = []
+    for i in range(len(enc_model.conv_layers)):
+        s = sd.sub(f"feature_extractor.conv_layers.{i}")
+        lp = {"conv": s.conv1d("0")}
+        if enc_model.extractor_mode == "layer_norm":
+            lp["norm"] = s.norm("2.1")
+        elif i == 0:
+            lp["group_norm"] = {"scale": s.get("2.weight"),
+                                "bias": s.get("2.bias")}
+        fe.append(lp)
+
+    # fold the dim=2 weight norm: w[:, :, k] = g[k] * v[:, :, k] / ||v[:, :, k]||
+    v = sd.get("encoder.pos_conv.0.weight_v")  # (C_out, C_in/groups, K)
+    g = sd.get("encoder.pos_conv.0.weight_g")  # (1, 1, K)
+    norm = np.sqrt((v ** 2).sum(axis=(0, 1), keepdims=True))
+    pos_w = (v * (g / np.maximum(norm, 1e-12))).transpose(2, 1, 0)
+    layers = []
+    for i in range(enc_model.encoder_layers):
+        s = sd.sub(f"encoder.layers.{i}")
+        layers.append({
+            "self_attn": {k: s.linear(f"self_attn.{k}")
+                          for k in ("q_proj", "k_proj", "v_proj", "out_proj")},
+            "self_attn_layer_norm": s.norm("self_attn_layer_norm"),
+            "fc1": s.linear("fc1"), "fc2": s.linear("fc2"),
+            "final_layer_norm": s.norm("final_layer_norm"),
+        })
+    enc_params = {
+        "feature_extractor": fe,
+        "layer_norm": sd.norm("layer_norm"),
+        "post_extract_proj": sd.linear("post_extract_proj"),
+        "mask_emb": sd.get("mask_emb"),
+        "encoder": {"pos_conv": {"w": pos_w,
+                                 "b": sd.get("encoder.pos_conv.0.bias")},
+                    "layers": layers,
+                    "layer_norm": sd.norm("encoder.layer_norm")},
+    }
+    if sd.has("final_proj.weight"):
+        enc_params["final_proj"] = sd.linear("final_proj")
+    if enc_model is model:
+        return enc_params
+    return {"student": enc_params,
+            "ema": model.encoder.teacher_init(enc_params)}
+
+
 def convert_sond(state_dict: Dict[str, Any], model) -> Dict[str, Any]:
     """DiarSondModel (reference ``funasr/models/sond/e2e_diar_sond.py:45``):
     resnet34 speech encoder + conv speaker encoder + CI/CD scorers + FSMN
@@ -843,6 +986,11 @@ CONVERTERS = {
     "CAMPPlus": convert_campplus,
     "DiarSondModel": convert_sond,
     "SOND": convert_sond,
+    "MFCCA": convert_mfcca,
+    "MFCCAEncoder": convert_mfcca,
+    "Data2VecEncoder": convert_data2vec,
+    "Data2VecPretrainModel": convert_data2vec,
+    "Data2VecAudio": convert_data2vec,
     "SenseVoiceSmall": convert_sense_voice,
     "ERes2NetV2": convert_eres2netv2,
 }
