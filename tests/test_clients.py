@@ -1,0 +1,124 @@
+"""Client-library tests: the runtime/clients python WS client end-to-end
+against the 2pass server, plus protocol-constant checks on the static
+html5/java/go/c# clients."""
+
+import asyncio
+import json
+import os
+import pathlib
+import socket
+import sys
+import wave
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+REF = "/root/reference"
+if os.path.isdir(REF) and REF not in sys.path:
+    sys.path.insert(0, REF)
+from conftest import stub_reference_deps  # noqa: E402
+
+stub_reference_deps()
+
+CLIENTS = pathlib.Path(__file__).resolve().parents[1] / "runtime" / "clients"
+sys.path.insert(0, str(CLIENTS / "python"))
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_python_client_offline_roundtrip(tmp_path, tmp_path_factory):
+    sys.path.insert(0, str(pathlib.Path(__file__).parent))
+    from test_auto_model import asr_dir as asr_fixture
+
+    class FakeTPF:
+        def mktemp(self, name):
+            return tmp_path_factory.mktemp(name)
+
+    from funasr_tpu.auto.auto_model import AutoModel
+    from funasr_tpu.bin.funasr_wss_server import WSServer
+    from funasr_tpu.serving.ws_protocol import serve
+
+    from funasr_tpu_client import FunASRClient, read_pcm16
+
+    d = asr_fixture.__wrapped__(FakeTPF())
+    server = WSServer(asr_model=AutoModel(model=d, disable_pbar=True))
+    port = _free_port()
+
+    rng = np.random.default_rng(0)
+    wav_path = str(tmp_path / "a.wav")
+    with wave.open(wav_path, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes((rng.standard_normal(16000) * 0.1 * 32767)
+                      .astype(np.int16).tobytes())
+
+    async def scenario():
+        srv = await serve(server.handle, "127.0.0.1", port)
+        try:
+            partials = []
+            async with FunASRClient("127.0.0.1", port, mode="offline") as cli:
+                text = await cli.transcribe(read_pcm16(wav_path), "utt1",
+                                            on_partial=partials.append)
+            return text, partials
+        finally:
+            srv.close()
+            await srv.wait_closed()
+
+    text, partials = asyncio.run(scenario())
+    assert isinstance(text, str)
+    assert partials and partials[-1]["wav_name"] == "utt1"
+    assert partials[-1]["is_final"] is True
+
+
+@pytest.mark.parametrize("relpath, needles", [
+    ("html5/client.js", ['"mode"', "chunk_size", "is_speaking", "WebSocket"]),
+    ("html5/index.html", ["client.js"]),
+    ("java/FunasrTpuWsClient.java", ["chunk_size", "is_speaking",
+                                     "java.net.http.WebSocket"]),
+    ("golang/client.go", ["chunk_size", "is_speaking",
+                          "Sec-WebSocket-Key"]),
+    ("csharp/FunasrTpuWsClient.cs", ["chunk_size", "is_speaking",
+                                     "ClientWebSocket"]),
+    ("android/FunasrTpuClient.kt", ["chunk_size", "is_speaking",
+                                    "AudioRecord"]),
+    ("ios/FunasrTpuClient.swift", ["chunk_size", "is_speaking",
+                                   "URLSessionWebSocketTask"]),
+])
+def test_client_sources_speak_the_protocol(relpath, needles):
+    src = (CLIENTS / relpath).read_text()
+    for needle in needles:
+        assert needle in src, f"{relpath} missing {needle!r}"
+
+
+def test_langchain_tool_transcribes(tmp_path, tmp_path_factory):
+    sys.path.insert(0, str(pathlib.Path(__file__).parent))
+    from test_auto_model import asr_dir as asr_fixture
+
+    class FakeTPF:
+        def mktemp(self, name):
+            return tmp_path_factory.mktemp(name)
+
+    d = asr_fixture.__wrapped__(FakeTPF())
+    rng = np.random.default_rng(1)
+    wav_path = str(tmp_path / "b.wav")
+    with wave.open(wav_path, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes((rng.standard_normal(16000) * 0.1 * 32767)
+                      .astype(np.int16).tobytes())
+
+    from funasr_tpu.integrations.langchain_tool import FunASRTool
+    tool = FunASRTool(model=d, disable_pbar=True)
+    out = tool.run(wav_path)
+    assert isinstance(out, str)
+    spec = tool.as_openai_function()
+    assert spec["function"]["name"] == "transcribe_audio"
