@@ -76,6 +76,7 @@ _REGISTRABLE_MODULES = [
     "funasr_tpu.frontends.default",
     "funasr_tpu.frontends.mel23",
     "funasr_tpu.frontends.fused",
+    "funasr_tpu.frontends.s3prl",
     "funasr_tpu.datasets.audio_datasets.datasets",
     "funasr_tpu.datasets.audio_datasets.index_ds",
     "funasr_tpu.datasets.audio_datasets.samplers",

@@ -23,6 +23,40 @@ from funasr_tpu.models.sanm.attention import (
 from funasr_tpu.core.layers import ffn_dec_sanm_apply
 from funasr_tpu.register import tables
 
+from typing import NamedTuple, Optional
+
+from funasr_tpu.models.sanm.attention import (CrossAttentionConfig,
+                                              FSMNDecoderConfig)
+
+
+class SCAMADecoderConfig(NamedTuple):
+    """Like ParaformerDecoderConfig but with a decoder width (attention_dim)
+    decoupled from the encoder output size (ref scama/decoder.py:272-273:
+    UniASR uses attention_dim=256 over a 320-dim encoder)."""
+    vocab_size: int
+    encoder_output_size: int
+    attention_dim: int
+    attention_heads: int = 4
+    linear_units: int = 2048
+    num_blocks: int = 6
+    att_layer_num: int = 6
+    kernel_size: int = 21
+    sanm_shift: int = 0
+    use_output_layer: bool = True
+
+    @property
+    def dim(self) -> int:
+        return self.attention_dim
+
+    @property
+    def fsmn_cfg(self) -> FSMNDecoderConfig:
+        return FSMNDecoderConfig(self.dim, self.kernel_size, self.sanm_shift)
+
+    @property
+    def cross_cfg(self) -> CrossAttentionConfig:
+        return CrossAttentionConfig(self.attention_heads, self.dim,
+                                    self.encoder_output_size)
+
 
 def _cross_attention_3dmask(params, cfg, x, memory, mask3):
     """Cross attention with a per-query key mask (B, Tq, Tk) — the SCAMA
@@ -53,12 +87,12 @@ class FsmnDecoderSCAMAOpt:
             sanm_shfit = (kernel_size - 1) // 2
         dim = attention_dim or encoder_output_size
         assert input_layer == "embed", "SCAMA decoder uses token embeddings"
-        self.cfg = ParaformerDecoderConfig(
+        self.cfg = SCAMADecoderConfig(
             vocab_size=vocab_size, encoder_output_size=encoder_output_size,
-            attention_heads=attention_heads, linear_units=linear_units,
-            num_blocks=num_blocks, att_layer_num=att_layer_num,
-            kernel_size=kernel_size, sanm_shift=sanm_shfit,
-            use_output_layer=use_output_layer)
+            attention_dim=dim, attention_heads=attention_heads,
+            linear_units=linear_units, num_blocks=num_blocks,
+            att_layer_num=att_layer_num, kernel_size=kernel_size,
+            sanm_shift=sanm_shfit, use_output_layer=use_output_layer)
         self.concat_embeds = concat_embeds
 
     def init(self, rng):

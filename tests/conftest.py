@@ -63,10 +63,13 @@ def stub_sond_legacy_deps():
         return m
 
     oc = _mod("omegaconf")
+    # another test file may have installed a partial omegaconf shim first;
+    # fill in whichever names funasr.utils.misc imports are still missing
     if not hasattr(oc, "OmegaConf"):
-        oc.DictConfig = dict
         oc.OmegaConf = types.SimpleNamespace(create=lambda *a, **k: dict(*a),
                                              to_container=lambda c, **k: dict(c))
+    if not hasattr(oc, "DictConfig"):
+        oc.DictConfig = dict
 
     import funasr.models  # noqa: F401  (real package, ensure loaded first)
 

@@ -34,20 +34,35 @@ def test_xvector(rng):
 
 
 def test_sond(rng):
+    # SOND also composes with a SANM speech encoder (config flexibility on
+    # top of the default resnet34 pipeline, which test_sond_parity covers)
     from funasr_tpu.models.sond.model import DiarSondModel
-    m = DiarSondModel(encoder_conf=dict(output_size=16, attention_heads=2,
+    m = DiarSondModel(encoder="SANMEncoder",
+                      encoder_conf=dict(output_size=16, attention_heads=2,
                                         linear_units=32, num_blocks=2,
-                                        kernel_size=5),
-                      input_size=560, spk_embed_dim=8, max_speakers=3)
+                                        kernel_size=5, input_layer="pe"),
+                      decoder_conf=dict(in_units=8, filter_size=5,
+                                        fsmn_num_layers=1, dnn_num_layers=1,
+                                        num_memory_units=16, ffn_inner_dim=32,
+                                        out_units=16),
+                      cd_scorer_conf=dict(input_size=32, output_size=16,
+                                          attention_heads=2, linear_units=32,
+                                          num_blocks=1, input_layer="null",
+                                          out_units=1),
+                      token_list=[str(i) for i in range(16)],
+                      input_size=560, spk_embed_dim=8, max_spk_num=4)
     p = m.init_params(jax.random.PRNGKey(0))
     wav = (rng.standard_normal(16000) * 0.1).astype(np.float32)
-    profiles = rng.standard_normal((1, 3, 8)).astype(np.float32)
+    profiles = rng.standard_normal((1, 4, 8)).astype(np.float32)
     res, _ = m.inference(p, wav, frontend=_frontend(), profiles=profiles)
     assert isinstance(res[0]["value"], list)
     feats, flens = _frontend().extract([wav])
-    labels = jnp.asarray(rng.integers(0, 2, (1, feats.shape[1], 3)), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, 2, (1, feats.shape[1], 4)),
+                         jnp.float32)
     loss, _, _ = m.forward_jit(p, jnp.asarray(feats), jnp.asarray(flens),
-                               jnp.asarray(profiles), labels)
+                               jnp.asarray(profiles),
+                               binary_labels=labels,
+                               binary_labels_lengths=jnp.asarray(flens))
     assert np.isfinite(float(loss))
 
 
@@ -120,3 +135,29 @@ def test_dynamic_vad(rng):
     # random weights: just assert the protocol shape
     for ev in events:
         assert len(ev) == 2
+
+
+def test_s3prl_frontend(rng):
+    from funasr_tpu.frontends.s3prl import S3prlFrontend
+    fe = S3prlFrontend(frontend_conf=dict(
+        upstream="data2vec",
+        upstream_conf=dict(encoder_conf=dict(
+            input_size=1, conv_feature_layers="[(16,10,5)] + [(16,3,2)]",
+            encoder_layers=2, encoder_embed_dim=16, encoder_ffn_embed_dim=32,
+            encoder_attention_heads=2, conv_pos=4, conv_pos_groups=2,
+            average_top_k_layers=2))))
+    wavs = [(rng.standard_normal(4000) * 0.1).astype(np.float32),
+            (rng.standard_normal(3000) * 0.1).astype(np.float32)]
+    feats, lens = fe.extract(wavs)
+    assert feats.shape[0] == 2 and feats.shape[-1] == 16
+    assert lens[1] < lens[0]
+    # multilayer featurizer path (s3prl Featurizer role)
+    fe2 = S3prlFrontend(multilayer_feature=True, frontend_conf=dict(
+        upstream="data2vec",
+        upstream_conf=dict(encoder_conf=dict(
+            input_size=1, conv_feature_layers="[(16,10,5)] + [(16,3,2)]",
+            encoder_layers=2, encoder_embed_dim=16, encoder_ffn_embed_dim=32,
+            encoder_attention_heads=2, conv_pos=4, conv_pos_groups=2,
+            average_top_k_layers=2))))
+    feats2, lens2 = fe2.extract(wavs)
+    assert feats2.shape == feats.shape

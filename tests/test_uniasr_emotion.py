@@ -13,19 +13,23 @@ def test_uniasr_two_pass():
     from funasr_tpu.models.uniasr.model import UniASR
     from funasr_tpu.tokenizer.char_tokenizer import CharTokenizer
 
+    chunk = dict(chunk_size=(8,), stride=(5,), pad_left=(0,),
+                 encoder_att_look_back_factor=(1,),
+                 decoder_att_look_back_factor=(1,))
     model = UniASR(
-        encoder="SANMEncoder",
+        encoder="SANMEncoderChunkOpt",
         encoder_conf=dict(output_size=16, attention_heads=2, linear_units=32,
-                          num_blocks=2, kernel_size=5),
-        encoder2="SANMEncoder",
+                          num_blocks=2, kernel_size=5, **chunk),
+        encoder2="SANMEncoderChunkOpt",
         encoder2_conf=dict(output_size=16, attention_heads=2, linear_units=32,
-                           num_blocks=2, kernel_size=5),
-        decoder_conf=dict(attention_heads=2, linear_units=32, num_blocks=2,
-                          att_layer_num=2, kernel_size=5, sanm_shfit=0),
-        decoder2_conf=dict(attention_heads=2, linear_units=32, num_blocks=2,
+                           num_blocks=2, kernel_size=5, **chunk),
+        decoder_conf=dict(attention_heads=2, linear_units=32, num_blocks=3,
+                          att_layer_num=2, kernel_size=5, sanm_shfit=0,
+                          concat_embeds=True),
+        decoder2_conf=dict(attention_heads=2, linear_units=32, num_blocks=3,
                            att_layer_num=2, kernel_size=5, sanm_shfit=0),
         predictor_conf=dict(idim=16), predictor2_conf=dict(idim=16),
-        stride_conv_conf=dict(stride=2, odim=16),
+        stride_conv_conf=dict(kernel_size=2, stride=2, pad=(0, 1)),
         input_size=560, vocab_size=len(TOKENS), sos=1, eos=2,
         predictor_bias=1, predictor2_bias=1)
     params = model.init_params(jax.random.PRNGKey(0))
