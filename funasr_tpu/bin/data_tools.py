@@ -155,6 +155,15 @@ def scp2len(scp_file: str, out: str, fs: int = 16000, **kwargs):
             fo.write(f"{parts[0]} {len(load_audio(parts[1], fs=fs))}\n")
 
 
+def export_itn_grammar(out: str = "itn_grammar.json", **kwargs):
+    """Export the ITN grammar archive (FAR-export role; see
+    ``funasr_tpu/text/export_grammar.py``)."""
+    from funasr_tpu.text.export_grammar import export_grammar
+    archive = export_grammar(out)
+    print(f"wrote {out}: {len(archive['languages'])} languages "
+          f"(v{archive['version']})")
+
+
 def main_cli():
     from funasr_tpu.bin.train import parse_overrides
     assert len(sys.argv) > 1, __doc__
@@ -162,7 +171,7 @@ def main_cli():
     cfg = parse_overrides(sys.argv[2:])
     fn = {"scp2jsonl": scp2jsonl, "jsonl2scp": jsonl2scp,
           "compute_cmvn": compute_cmvn, "tokenize_text": tokenize_text,
-          "scp2len": scp2len}.get(cmd)
+          "scp2len": scp2len, "export_itn_grammar": export_itn_grammar}.get(cmd)
     assert fn is not None, f"unknown command {cmd}; {__doc__}"
     fn(**cfg)
 

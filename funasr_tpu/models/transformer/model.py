@@ -122,6 +122,13 @@ class Transformer:
 
         encoder_out, encoder_out_lens = self.encode(
             params, jnp.asarray(speech), jnp.asarray(speech_lengths))
+        hotword_scorer = None
+        if kwargs.get("hotword") and tokenizer is not None:
+            from funasr_tpu.models.transformer.hotword_scorer import \
+                build_hotword_scorer
+            hotword_scorer = build_hotword_scorer(
+                kwargs["hotword"], tokenizer,
+                weight=kwargs.get("hotword_weight", 3.0))
         results = []
         b = encoder_out.shape[0]
         if key is None:
@@ -136,7 +143,8 @@ class Transformer:
                                minlenratio=kwargs.get("minlenratio", 0.0),
                                lm=kwargs.get("lm"),
                                lm_params=kwargs.get("lm_params"),
-                               lm_weight=kwargs.get("lm_weight", 0.3))
+                               lm_weight=kwargs.get("lm_weight", 0.3),
+                               hotword_scorer=hotword_scorer)
             best = hyps[0]
             token_int = [t for t in best.yseq[1:-1]
                          if t not in (self.sos, self.eos, self.blank_id)]

@@ -29,7 +29,8 @@ def beam_search(decoder, params, memory, memory_mask, sos: int, eos: int,
                 beam_size: int = 10, max_len: Optional[int] = None,
                 penalty: float = 0.0, maxlenratio: float = 0.0,
                 minlenratio: float = 0.0, lm=None, lm_params=None,
-                lm_weight: float = 0.3) -> List[Hypothesis]:
+                lm_weight: float = 0.3,
+                hotword_scorer=None) -> List[Hypothesis]:
     """memory: (1, T, D) single utterance. Returns sorted hypotheses.
 
     ``lm``/``lm_params``/``lm_weight``: shallow fusion with a language model
@@ -37,6 +38,11 @@ def beam_search(decoder, params, memory, memory_mask, sos: int, eos: int,
     (TransformerLM / SeqRNNLM); combined score is ``am + lm_weight * lm``
     (reference ``funasr/models/transformer/search.py`` weighted-scorer
     semantics with the full_scorers {decoder, lm} set).
+
+    ``hotword_scorer``: decode-time contextual biasing (the reference C++
+    WFST bias-LM role, ``runtime/onnxruntime/src/bias-lm.cpp``) — an
+    Aho-Corasick ``HotwordScorer`` adding incremental credit along hotword
+    paths with rollback, tracked per hypothesis in ``Hypothesis.states``.
     """
     t_mem = int(np.asarray(memory_mask).sum())
     max_len = max_len or (int(t_mem * maxlenratio) if maxlenratio > 0 else t_mem)
@@ -61,12 +67,23 @@ def beam_search(decoder, params, memory, memory_mask, sos: int, eos: int,
             lm_logp = np.asarray(lm.score_step(lm_params, jnp.asarray(ys),
                                                jnp.asarray(ylen)))
             logp = logp + lm_weight * lm_logp
+        if hotword_scorer is not None:
+            v = logp.shape[-1]
+            logp = np.array(logp)  # device arrays arrive read-only
+            for i, h in enumerate(hyps):
+                node = h.states.get("hw", hotword_scorer.init_state())
+                logp[i] = logp[i] + hotword_scorer.score_step(node, v)
         cand: List[Hypothesis] = []
         for i, h in enumerate(hyps):
             top = np.argsort(-logp[i])[: beam_size]
             for tok in top:
+                states = dict(h.states)
+                if hotword_scorer is not None:
+                    node = h.states.get("hw", hotword_scorer.init_state())
+                    states["hw"] = hotword_scorer.advance(node, int(tok))
                 cand.append(Hypothesis(yseq=h.yseq + [int(tok)],
-                                       score=h.score + float(logp[i][tok])))
+                                       score=h.score + float(logp[i][tok]),
+                                       states=states))
         cand.sort(key=lambda h: h.score, reverse=True)
         hyps = []
         for h in cand[: beam_size * 2]:

@@ -1,0 +1,107 @@
+"""ITN/TN grammar archive export — the FAR-export role.
+
+Counterpart of the reference ``fun_text_processing/.../export_models.py``
+pipeline, which compiles pynini grammars into FAR archives consumed by the
+C++ runtime. Here the grammar source of truth is the rule tables in
+``funasr_tpu.text`` (lexicons + pattern classes); ``export_grammar`` serializes
+them into one versioned JSON archive, and ``load_grammar`` reconstructs
+runnable ITN functions from an archive alone — so the artifact, like a FAR, is
+a self-contained grammar interchange file (the C++ runtime's hotword/ITN
+loaders and third-party tools can consume the same JSON).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Dict
+
+GRAMMAR_VERSION = 2
+
+
+def export_grammar(path: str | None = None) -> Dict:
+    """Serialize every language's ITN lexicons + class-pattern inventory."""
+    from funasr_tpu.text import en_numbers, multilingual, zh_numbers
+
+    langs: Dict[str, Dict] = {}
+    # word-lexicon languages (de/es/fr/pt/ru/id/vi/tl …)
+    for code, lex_name in (("de", "_DE_LEX"), ("es", "_ES_LEX"),
+                           ("fr", "_FR_LEX"), ("pt", "_PT_LEX"),
+                           ("ru", "_RU_LEX"), ("id", "_ID_LEX"),
+                           ("vi", "_VI_LEX"), ("tl", "_TL_LEX")):
+        lex = getattr(multilingual, lex_name, None)
+        if lex is None:
+            continue
+        langs[code] = {
+            "type": "word_lexicon",
+            "ones": lex.ones, "tens": lex.tens,
+            "hundred_words": sorted(lex.hundred_words),
+            "scales": lex.scales,
+            "joiners": sorted(lex.joiners),
+            "hundreds_direct": lex.hundreds_direct,
+            "x10_words": sorted(lex.x10_words),
+            "pre": {"de": "de", "id": "id"}.get(code),
+        }
+    # CJK positional systems
+    langs["ja"] = {"type": "cjk", "digits": multilingual._JA_DIGITS,
+                   "units": multilingual._JA_UNITS,
+                   "big": multilingual._JA_BIG}
+    langs["ko"] = {"type": "cjk", "digits": multilingual._KO_DIGITS,
+                   "units": multilingual._KO_UNITS,
+                   "big": multilingual._KO_BIG}
+    langs["zh"] = {"type": "cjk",
+                   "digits": zh_numbers.DIGITS, "units": zh_numbers.UNITS,
+                   "big": zh_numbers.BIG_UNITS,
+                   "classes": ["number", "percent", "date", "time", "money",
+                               "month_day", "decimal"],
+                   "currency": ["块钱", "块", "元", "美元", "欧元", "英镑",
+                                "日元"]}
+    langs["en"] = {"type": "word_lexicon",
+                   "ones": en_numbers.ONES, "tens": en_numbers.TENS,
+                   "hundreds": ["hundred"], "scales": en_numbers.SCALES,
+                   "joiners": ["and"],
+                   "ordinals": en_numbers.ORDINALS,
+                   "classes": ["number", "ordinal", "date", "money",
+                               "decimal", "percent"]}
+    archive = {"format": "funasr_tpu_itn_grammar",
+               "version": GRAMMAR_VERSION, "languages": langs}
+    if path:
+        with open(path, "w", encoding="utf-8") as f:
+            json.dump(archive, f, ensure_ascii=False, indent=1)
+    return archive
+
+
+def load_grammar(path_or_dict) -> Dict[str, object]:
+    """Archive -> {lang: itn_fn}. Word-lexicon and CJK languages are rebuilt
+    purely from the archive tables (no module lexicons consulted), proving the
+    artifact is self-contained."""
+    from funasr_tpu.text.multilingual import _cjk_itn, _Lex, _word_itn
+
+    archive = path_or_dict
+    if isinstance(path_or_dict, str):
+        with open(path_or_dict, encoding="utf-8") as f:
+            archive = json.load(f)
+    assert archive.get("format") == "funasr_tpu_itn_grammar", "bad archive"
+    funcs: Dict[str, object] = {}
+    for code, g in archive["languages"].items():
+        if g["type"] == "word_lexicon" and code != "en":
+            lex = _Lex({k: int(v) for k, v in g["ones"].items()},
+                       {k: int(v) for k, v in g["tens"].items()},
+                       list(g.get("hundred_words", [])),
+                       {k: int(v) for k, v in g["scales"].items()},
+                       joiners=list(g.get("joiners", [])),
+                       hundreds_direct={k: int(v) for k, v in
+                                        g.get("hundreds_direct", {}).items()},
+                       x10_words=list(g.get("x10_words", [])))
+            from funasr_tpu.text import multilingual as _ml
+            pre = {"de": getattr(_ml, "_de_pre", None),
+                   "id": getattr(_ml, "_id_pre", None)}.get(g.get("pre"))
+            funcs[code] = (lambda lx, pr:
+                           lambda text: _word_itn(text, lx, pr))(lex, pre)
+        elif g["type"] == "cjk":
+            digits = {k: int(v) for k, v in g["digits"].items()}
+            units = {k: int(v) for k, v in g["units"].items()}
+            big = {k: int(v) for k, v in g["big"].items()}
+            funcs[code] = (lambda d, u, b:
+                           lambda text: _cjk_itn(text, d, u, b))(digits, units,
+                                                                 big)
+    return funcs
