@@ -25,13 +25,18 @@ class IndexDSJsonl:
                     if not line:
                         continue
                     obj = json.loads(line)
-                    self.contents.append({
+                    # keep every extra field (system/user/assistant turn
+                    # lists, hotword/emo/lid tags …) for specialized packs —
+                    # the reference index also hands the full row through
+                    row = dict(obj)
+                    row.update({
                         "source": obj["source"],
                         "target": obj.get("target", ""),
                         "source_len": int(obj.get("source_len", -1)),
                         "target_len": int(obj.get("target_len", -1)),
                         "key": obj.get("key"),
                     })
+                    self.contents.append(row)
 
     def __len__(self):
         return len(self.contents)

@@ -7,6 +7,8 @@ with family-specific target construction; the bucketed collator is shared.
 
 from __future__ import annotations
 
+import re
+
 from typing import Dict, Optional
 
 import numpy as np
@@ -80,7 +82,6 @@ class KWSDataset(AudioDataset):
 
 
 @tables.register("dataset_classes", "LLMDataset")
-@tables.register("dataset_classes", "OpenAIDataset")
 class LLMDataset(AudioDataset):
     """LLM-ASR training items: raw waveform + prompt/target token ids (ChatML
     construction happens in the model; reference ``llm_datasets/``)."""
@@ -97,3 +98,147 @@ class LLMDataset(AudioDataset):
         else:
             item["prompt_ids"] = np.zeros((0,), np.int32)
         return item
+
+
+@tables.register("dataset_classes", "LLMVicunaDataset")
+class LLMVicunaDataset(LLMDataset):
+    """Vicuna-style instruction items (reference ``llm_datasets_vicuna/
+    datasets.py:57-127``): ``USER: {prompt}\\n ASSISTANT:`` template prepended;
+    labels mask the prompt span with -100."""
+
+    def __init__(self, *args, prompt: str = "Transcribe speech to text.",
+                 ignore_index: int = -100, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.prompt = prompt
+        self.prompt_template = "USER: {}\n ASSISTANT:"
+        self.ignore_index = ignore_index
+
+    def __getitem__(self, idx: int):
+        item = super().__getitem__(idx)
+        pre = self.prompt_template.format(
+            self.index_ds[idx].get("prompt", self.prompt))
+        pre_ids = np.asarray(self.tokenizer.encode(pre), np.int32)
+        target_ids = item["text"]
+        input_ids = np.concatenate([pre_ids, target_ids])
+        labels = np.concatenate([np.full(len(pre_ids), self.ignore_index,
+                                         np.int32), target_ids])
+        item.update(input_ids=input_ids, labels_ids=labels,
+                    prompt_ids=pre_ids,
+                    attention_mask=np.ones(len(input_ids), np.int32))
+        return item
+
+
+@tables.register("dataset_classes", "LLMQwenAudioDataset")
+class LLMQwenAudioDataset(LLMDataset):
+    """QwenAudio-style items (reference ``llm_datasets_qwenaudio/datasets.py``):
+    audio framed by ``<audio>{path}</audio>`` tags inside the prompt; the audio
+    span is replaced by placeholder positions sized from the encoder output."""
+
+    AUDIO_START, AUDIO_END = "<audio>", "</audio>"
+
+    def __init__(self, *args, prompt: str = "Transcribe:",
+                 audio_token_id: int = 0, audio_downsample: int = 8,
+                 ignore_index: int = -100, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.prompt = prompt
+        self.audio_token_id = audio_token_id
+        self.audio_downsample = audio_downsample
+        self.ignore_index = ignore_index
+
+    def __getitem__(self, idx: int):
+        item = super().__getitem__(idx)
+        n_audio_tok = max(int(item["speech_lengths"])
+                          // (self.audio_downsample * 160), 1)
+        pre_ids = np.asarray(self.tokenizer.encode(
+            self.AUDIO_START), np.int32)
+        post_ids = np.asarray(self.tokenizer.encode(
+            self.AUDIO_END + self.index_ds[idx].get("prompt", self.prompt)),
+            np.int32)
+        audio_ids = np.full(n_audio_tok, self.audio_token_id, np.int32)
+        target_ids = item["text"]
+        input_ids = np.concatenate([pre_ids, audio_ids, post_ids, target_ids])
+        labels = np.concatenate([
+            np.full(len(pre_ids) + n_audio_tok + len(post_ids),
+                    self.ignore_index, np.int32), target_ids])
+        fbank_mask = np.zeros(len(input_ids), np.float32)
+        fbank_mask[len(pre_ids): len(pre_ids) + n_audio_tok] = 1.0
+        item.update(input_ids=input_ids, labels_ids=labels,
+                    fbank_mask=fbank_mask,
+                    fbank_beg=np.asarray([len(pre_ids)], np.int32),
+                    attention_mask=np.ones(len(input_ids), np.int32))
+        return item
+
+
+@tables.register("dataset_classes", "OpenAIDataset")
+@tables.register("dataset_classes", "OpenAIDatasetMultiTurn")
+class OpenAIDataset(AudioDataset):
+    """ChatML multiturn items with inline audio spans (reference
+    ``openai_datasets/datasets.py:103-213``): jsonl rows carry parallel
+    ``system``/``user``/``assistant`` turn lists; ``<|startofspeech|>!path
+    <|endofspeech|>`` spans inside user turns load audio and occupy placeholder
+    positions sized by the encoder/adaptor downsampling; labels mask every
+    non-assistant position with -100."""
+
+    PATTERN = re.compile(r"(<\|startofspeech\|>.*?<\|endofspeech\|>)")
+
+    def __init__(self, *args, max_token_length: int = 1024,
+                 audio_adaptor_downsample_rate: int = 2,
+                 audio_encoder_downsample_rate: int = 4,
+                 audio_token_id: int = 0, ignore_index: int = -100, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.max_token_length = max_token_length
+        self.adaptor_ds = audio_adaptor_downsample_rate
+        self.encoder_ds = audio_encoder_downsample_rate
+        self.audio_token_id = audio_token_id
+        self.ignore_index = ignore_index
+
+    def _audio_token_len(self, fbank_len: int) -> int:
+        olens = fbank_len
+        if self.encoder_ds == 4:  # two stride-2 convs (ref :168-171)
+            olens = 1 + (olens - 3 + 2) // 2
+            olens = 1 + (olens - 3 + 2) // 2
+        return (olens - 1) // self.adaptor_ds + 1
+
+    def __getitem__(self, idx: int):
+        from funasr_tpu.utils.load_utils import load_audio
+        row = self.index_ds[idx]
+        systems = row.get("system") or [""]
+        users = row.get("user") or [row.get("source", "")]
+        assistants = row.get("assistant") or [row.get("target", "")]
+        input_ids, labels, fbank_mask, fbank_beg = [], [], [], []
+        speech, speech_len = np.zeros((0,), np.float32), 0
+        for sys_p, user_p, target in zip(systems, users, assistants):
+            source = (f"<|im_start|>system\n{sys_p}<|im_end|>\n"
+                      f"<|im_start|>user\n{user_p}<|im_end|>\n"
+                      f"<|im_start|>assistant\n")
+            source_ids = []
+            for sub in self.PATTERN.split(source):
+                if not sub.startswith("<|startofspeech|>"):
+                    toks = list(self.tokenizer.encode(sub))
+                    source_ids += toks
+                    fbank_mask += [0.0] * len(toks)
+                else:
+                    path = sub.replace("<|startofspeech|>", "") \
+                        .replace("<|endofspeech|>", "")
+                    if path.startswith("!"):
+                        wav = load_audio(path[1:], fs=self.fs)
+                        speech, speech_len = wav, len(wav)
+                        # fbank frames at 10ms hop
+                        n = self._audio_token_len(max(speech_len // 160, 1))
+                        fbank_beg.append(len(input_ids) + len(source_ids))
+                        source_ids += [self.audio_token_id] * n
+                        fbank_mask += [1.0] * n
+            target_ids = list(self.tokenizer.encode(f"{target}<|im_end|>"))
+            input_ids += source_ids + target_ids
+            labels += [self.ignore_index] * len(source_ids) + target_ids
+            fbank_mask += [0.0] * len(target_ids)
+        input_ids = np.asarray(input_ids[: self.max_token_length], np.int32)
+        labels = np.asarray(labels[: self.max_token_length], np.int32)
+        return {"speech": speech, "speech_lengths": speech_len,
+                "input_ids": input_ids, "labels_ids": labels,
+                "text": input_ids, "text_lengths": len(input_ids),
+                "fbank_mask": np.asarray(fbank_mask[: self.max_token_length],
+                                         np.float32),
+                "fbank_beg": np.asarray(fbank_beg, np.int32),
+                "attention_mask": np.ones(len(input_ids), np.int32),
+                "key": row.get("key") or str(idx)}

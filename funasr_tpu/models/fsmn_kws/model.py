@@ -125,19 +125,45 @@ class FsmnKWS:
             data_in, fs=frontend.fs, audio_fs=kwargs.get("fs", 16000))
         speech, speech_lengths = extract_fbank(audio_list, frontend=frontend)
 
-        keywords = kwargs.get("keywords") or kwargs.get("keyword") or []
-        if isinstance(keywords, str):
-            keywords = keywords.split()
-        kw_tokens = [tokenizer.encode(k) for k in keywords] if tokenizer else []
+        keywords = kwargs.get("keywords") or kwargs.get("keyword") or ""
+        if isinstance(keywords, (list, tuple)):
+            keywords = ",".join(keywords)
+        if key is None:
+            key = [f"rand_key_{i}" for i in range(speech.shape[0])]
+        if not keywords or tokenizer is None:
+            return [{"key": k, "value": []} for k in key], meta
+        kw_list = [k for k in keywords.replace(" ", ",").split(",") if k]
+
+        if kwargs.get("decode_mode", "forced_align") == "prefix_beam":
+            # reference decode path: CTC prefix-beam keyword detector
+            # (KwsCtcPrefixDecoder, funasr/utils/kws_utils.py:90-308) —
+            # first-hit keyword with sqrt-compressed confidence + frame span
+            from funasr_tpu.utils.kws_utils import KwsCtcPrefixDecoder
+            decoder = KwsCtcPrefixDecoder(
+                keywords=",".join(kw_list),
+                token_list=list(getattr(tokenizer, "token_list", [])),
+                seg_dict=kwargs.get("seg_dict"), blank_id=self.blank_id)
+            logits, enc_lens = self._logits(params, jnp.asarray(speech),
+                                            jnp.asarray(speech_lengths))
+            probs = np.asarray(jax.nn.softmax(logits.astype(jnp.float32), -1))
+            enc_lens = np.asarray(enc_lens)
+            results = []
+            for i in range(probs.shape[0]):
+                ok, word, score, span = decoder.decode(
+                    probs[i, : int(enc_lens[i])])
+                hits = [{"keyword": word, "score": round(score, 4),
+                         "frames": span}] if ok else []
+                results.append({"key": key[i], "value": hits})
+            return results, meta
+
+        # forced-align advantage scoring over every keyword (thresholded)
+        kw_tokens = [tokenizer.encode(k) for k in kw_list]
         detections = self.detect(params, speech, speech_lengths, kw_tokens,
                                  threshold=kwargs.get("kws_threshold", -5.0)) \
             if kw_tokens else [[] for _ in range(speech.shape[0])]
-
-        if key is None:
-            key = [f"rand_key_{i}" for i in range(speech.shape[0])]
         results = []
         for i, dets in enumerate(detections):
-            hits = [{"keyword": keywords[d["keyword_idx"]],
+            hits = [{"keyword": kw_list[d["keyword_idx"]],
                      "score": round(d["score"], 4)}
                     for d in dets if d["detected"]]
             results.append({"key": key[i], "value": hits})

@@ -109,9 +109,8 @@ def register_parity_aliases():
         ("AudioLLMDataset", "LLMDataset"),
         ("AudioLLMARDataset", "LLMDataset"),
         ("AudioLLMNARDataset", "LLMDataset"),
-        ("AudioLLMQwenAudioDataset", "LLMDataset"),
-        ("AudioLLMVicunaDataset", "LLMDataset"),
-        ("OpenAIDatasetMultiTurn", "OpenAIDataset"),
+        ("AudioLLMQwenAudioDataset", "LLMQwenAudioDataset"),
+        ("AudioLLMVicunaDataset", "LLMVicunaDataset"),
         ("SenseVoiceCTCDataset", "SenseVoiceDataset"),
         ("KwsMTDataset", "KWSDataset"),
     ]:
