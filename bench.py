@@ -30,7 +30,8 @@ def main():
     from funasr_tpu.ops.lfr import apply_cmvn, apply_lfr_batch
     from funasr_tpu.ops.fbank import fbank_batch
 
-    batch, secs = 32, 15.0
+    import os
+    batch, secs = int(os.environ.get("BENCH_BATCH", 32)), 15.0
     fs = 16000
     n = int(secs * fs)
 
@@ -64,15 +65,19 @@ def main():
             params, feats.astype(jnp.bfloat16), flens, max_tokens=t_lfr // 2)
         return yseq, token_lens
 
-    # warmup/compile
+    # warmup/compile; fetch to host — on the axon platform block_until_ready
+    # can return before execution finishes, so a device->host copy is the
+    # only reliable completion barrier (device ops run in submission order,
+    # so fetching the last output fences the whole loop)
     out = pipeline(params, waves, wlens)
-    jax.block_until_ready(out)
+    np.asarray(out[0])
 
     iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
         out = pipeline(params, waves, wlens)
-    jax.block_until_ready(out)
+    np.asarray(out[0])
+    np.asarray(out[1])
     dt = time.perf_counter() - t0
 
     audio_seconds = batch * secs * iters

@@ -871,6 +871,54 @@ def convert_mfcca(state_dict: Dict[str, Any], model) -> Dict[str, Any]:
     return out
 
 
+def convert_mossformer(state_dict: Dict[str, Any], model) -> Dict[str, Any]:
+    """MossFormer separation (reference ``funasr/models/mossformer/``): conv
+    encoder, FLASH gated-attention MaskNet, transposed-conv decoder."""
+    sd = SD(_strip_module_prefix(state_dict))
+
+    def _ffconvm(s: SD):
+        # MaskNet blocks use ScaleNorm (param "g"); standalone FLASH uses LN
+        norm = {"g": s.get("mdl.0.g")} if s.has("mdl.0.g") \
+            else {"g": s.get("mdl.0.weight")}
+        return {"norm": norm, "linear": s.linear("mdl.1"),
+                "conv": {"w": s.get("mdl.3.sequential.1.conv.weight")[:, 0].T}}
+
+    blocks = []
+    for i in range(model.num_blocks):
+        s = sd.sub(f"mask_net.mdl.intra_mdl.mossformerM.layers.{i}")
+        blocks.append({
+            "to_hidden": _ffconvm(s.sub("to_hidden")),
+            "to_qk": _ffconvm(s.sub("to_qk")),
+            "qk_offset_scale": {"gamma": s.get("qk_offset_scale.gamma"),
+                                "beta": s.get("qk_offset_scale.beta")},
+            "to_out": _ffconvm(s.sub("to_out")),
+        })
+    mn = sd.sub("mask_net")
+    return {
+        "enc": {"w": sd.get("enc.conv1d.weight").transpose(2, 1, 0)},
+        "norm": {"scale": mn.get("norm.weight"), "bias": mn.get("norm.bias")},
+        "conv1d_encoder": {"w": mn.get("conv1d_encoder.weight")[:, :, 0].T},
+        "pos_scale": mn.get("pos_enc.scale"),
+        "blocks": blocks,
+        "mossformer_norm": {
+            "scale": mn.get("mdl.intra_mdl.norm.weight"),
+            "bias": mn.get("mdl.intra_mdl.norm.bias")},
+        "intra_norm": {"scale": mn.get("mdl.intra_norm.weight"),
+                       "bias": mn.get("mdl.intra_norm.bias")},
+        "prelu": mn.get("prelu.weight"),
+        "conv1d_out": {"w": mn.get("conv1d_out.weight")[:, :, 0].T,
+                       "b": mn.get("conv1d_out.bias")},
+        "output": {"w": mn.get("output.0.weight")[:, :, 0].T,
+                   "b": mn.get("output.0.bias")},
+        "output_gate": {"w": mn.get("output_gate.0.weight")[:, :, 0].T,
+                        "b": mn.get("output_gate.0.bias")},
+        "conv1_decoder": {"w": mn.get("conv1_decoder.weight")[:, :, 0].T},
+        # torch ConvTranspose1d weight (in=D, out=1, K) -> forward-conv TIO
+        # layout (K, 1, D) for transpose_kernel=True
+        "dec": {"w": sd.get("dec.weight").transpose(2, 1, 0)},
+    }
+
+
 def convert_data2vec(state_dict: Dict[str, Any], model) -> Dict[str, Any]:
     """Data2VecEncoder / Data2VecPretrainModel (reference
     ``funasr/models/data2vec/data2vec_encoder.py:38`` + ``wav2vec2.py``):
@@ -987,6 +1035,8 @@ CONVERTERS = {
     "DiarSondModel": convert_sond,
     "SOND": convert_sond,
     "MFCCA": convert_mfcca,
+    "MossFormer": convert_mossformer,
+    "MossFormer2": convert_mossformer,
     "MFCCAEncoder": convert_mfcca,
     "Data2VecEncoder": convert_data2vec,
     "Data2VecPretrainModel": convert_data2vec,
