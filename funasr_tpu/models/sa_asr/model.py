@@ -56,8 +56,12 @@ class SAASR(Paraformer):
         # head-averaged attention over profiles as speaker posterior
         return jnp.log(jnp.mean(attn.astype(jnp.float32), axis=1) + 1e-9)
 
-    def forward_jit(self, params, speech, speech_lengths, text, text_lengths, rng,
-                    profiles=None, spk_labels=None):
+    def forward_jit(self, params, speech, speech_lengths, text, text_lengths,
+                    rng=None, profiles=None, spk_labels=None, profile=None,
+                    profile_lengths=None, text_id=None, text_id_lengths=None):
+        # accept the reference batch-field names (e2e_sa_asr.py:162-171)
+        profiles = profiles if profiles is not None else profile
+        spk_labels = spk_labels if spk_labels is not None else text_id
         loss, stats, weight = super().forward_jit(params, speech, speech_lengths,
                                                   text, text_lengths, rng)
         if profiles is None or spk_labels is None:
