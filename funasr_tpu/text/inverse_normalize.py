@@ -55,8 +55,11 @@ class Normalizer:
         self.lang = lang
 
     def normalize(self, text: str, verbose: bool = False) -> str:
-        if self.lang == "zh":
-            out = normalize_zh(text)
+        from funasr_tpu.text.zh_en_tn import TN_FUNCS as _FULL_TN
+        if self.lang in _FULL_TN:
+            # full class-based grammars (date/time/percent/fraction/money/
+            # ordinal/decimal/phone; ref cn_tn.py + en TN grammar set)
+            out = _FULL_TN[self.lang](text)
         elif self.lang in ("de", "es", "ru"):
             import re
             from funasr_tpu.text.multilingual import TN_FUNCS

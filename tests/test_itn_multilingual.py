@@ -29,3 +29,39 @@ def test_grammar_archive_roundtrip(tmp_path):
         if lang in ITN_FUNCS:
             assert rebuilt == ITN_FUNCS[lang](text), (lang, rebuilt)
         assert any(ch.isdigit() for ch in rebuilt), (lang, rebuilt)
+
+
+def test_zh_tn_classes():
+    """Full Chinese written->spoken TN (cn_tn.py role)."""
+    from funasr_tpu.text.zh_en_tn import normalize_zh, num2zh
+    assert num2zh(10500) == "一万零五百"
+    assert num2zh(12345) == "一万二千三百四十五"
+    assert num2zh(205) == "二百零五"
+    assert num2zh(10) == "十"
+    assert normalize_zh("占12%") == "占百分之十二"
+    assert normalize_zh("3/4的人") == "四分之三的人"
+    assert normalize_zh("2024年10月1日") == "二零二四年十月一日"
+    assert normalize_zh("8:30开会") == "八点三十分开会"
+    assert normalize_zh("¥3.5") == "三点五元"
+    assert normalize_zh("花了25块") == "花了二十五块"
+    assert normalize_zh("电话13812345678") == "电话一三八一二三四五六七八"
+    assert normalize_zh("3.14") == "三点一四"
+
+
+def test_en_tn_classes():
+    from funasr_tpu.text.zh_en_tn import normalize_en, num2en_ordinal
+    assert num2en_ordinal(21) == "twenty first"
+    assert num2en_ordinal(30) == "thirtieth"
+    assert normalize_en("$3.50") == "three dollars fifty cents"
+    assert normalize_en("12%") == "twelve percent"
+    assert normalize_en("the 3rd time") == "the third time"
+    assert normalize_en("in 1984") == "in nineteen eighty four"
+    assert normalize_en("in 2007") == "in two thousand seven"
+    assert normalize_en("2.5 miles") == "two point five miles"
+    assert normalize_en("123 things") == "one hundred twenty three things"
+
+
+def test_normalizer_uses_full_grammars():
+    from funasr_tpu.text.inverse_normalize import Normalizer
+    assert Normalizer(lang="zh").normalize("占12%") == "占百分之十二"
+    assert Normalizer(lang="en").normalize("$5") == "five dollars"
