@@ -155,6 +155,34 @@ def scp2len(scp_file: str, out: str, fs: int = 16000, **kwargs):
             fo.write(f"{parts[0]} {len(load_audio(parts[1], fs=fs))}\n")
 
 
+def sensevoice2jsonl(scp_file_list: List[str], data_type_list: List[str],
+                     jsonl_file_out: str, lid: str = "zh", emo: str = "NEUTRAL",
+                     event: str = "Speech", with_itn: bool = False, **kwargs):
+    """wav.scp + text (+ optional per-utt lid/emo/event scps) -> jsonl rows
+    with the rich-tag fields SenseVoiceDataset consumes (counterpart of
+    ``funasr/datasets/audio_datasets/sensevoice2jsonl.py``)."""
+    import json as _json
+    from funasr_tpu.utils.load_utils import load_audio
+    cols = {dt: _read_scp(scp) for dt, scp in zip(data_type_list,
+                                                  scp_file_list)}
+    src, tgt = cols["source"], cols.get("target", {})
+    with open(jsonl_file_out, "w", encoding="utf-8") as fo:
+        for key, wav in src.items():
+            try:
+                n = len(load_audio(wav, fs=16000))
+            except Exception:  # noqa: BLE001 — skip unreadable rows like ref
+                continue
+            text = tgt.get(key, "")
+            row = {"key": key, "source": wav, "source_len": n,
+                   "target": text, "target_len": len(text),
+                   "lid": cols.get("lid", {}).get(key, lid),
+                   "emo": cols.get("emo", {}).get(key, emo),
+                   "event": cols.get("event", {}).get(key, event),
+                   "with_itn": with_itn}
+            fo.write(_json.dumps(row, ensure_ascii=False) + "\n")
+    print(f"wrote {jsonl_file_out}: {len(src)} rows")
+
+
 def export_itn_grammar(out: str = "itn_grammar.json", **kwargs):
     """Export the ITN grammar archive (FAR-export role; see
     ``funasr_tpu/text/export_grammar.py``)."""
@@ -171,7 +199,8 @@ def main_cli():
     cfg = parse_overrides(sys.argv[2:])
     fn = {"scp2jsonl": scp2jsonl, "jsonl2scp": jsonl2scp,
           "compute_cmvn": compute_cmvn, "tokenize_text": tokenize_text,
-          "scp2len": scp2len, "export_itn_grammar": export_itn_grammar}.get(cmd)
+          "scp2len": scp2len, "export_itn_grammar": export_itn_grammar,
+          "sensevoice2jsonl": sensevoice2jsonl}.get(cmd)
     assert fn is not None, f"unknown command {cmd}; {__doc__}"
     fn(**cfg)
 
