@@ -244,6 +244,57 @@ def export_ftr(model, params, path: str, quant: str = None,
     return path
 
 
+def export_vad_ftr(model, params, path: str, extra_meta: dict = None):
+    """Write a ``vad.ftr`` for the C++ FSMN-VAD engine
+    (runtime/funasr_tpu_runtime/src/vad-engine.cc): the FSMN scoring network
+    plus the VADXOptions the windowed endpoint detector needs."""
+    import struct
+
+    c = model.encoder.cfg
+    o = model.vad_opts
+    meta = {
+        "model": "FsmnVADStreaming",
+        "input_dim": c.input_dim, "input_affine_dim": c.input_affine_dim,
+        "fsmn_layers": c.fsmn_layers, "linear_dim": c.linear_dim,
+        "proj_dim": c.proj_dim, "lorder": c.lorder, "rorder": c.rorder,
+        "output_affine_dim": c.output_affine_dim, "output_dim": c.output_dim,
+        "n_mels": 80, "lfr_m": 5, "lfr_n": 1,
+        "window_size_ms": o.window_size_ms,
+        "sil_to_speech_time_thres": o.sil_to_speech_time_thres,
+        "speech_to_sil_time_thres": o.speech_to_sil_time_thres,
+        "max_end_silence_time": o.max_end_silence_time,
+        "max_single_segment_time": o.max_single_segment_time,
+        "speech_noise_thres": o.speech_noise_thres,
+        "speech_2_noise_ratio": o.speech_2_noise_ratio,
+        "sil_pdf_id": o.sil_pdf_ids[0] if o.sil_pdf_ids else 0,
+    }
+    meta.update(extra_meta or {})
+    flat = {}
+    enc = params["encoder"]
+    for name in ("in_linear1", "in_linear2", "out_linear1", "out_linear2"):
+        for part, v in enc[name].items():
+            flat[f"encoder/{name}/{part}"] = v
+    for i, bp in enumerate(enc["fsmn"]):
+        for mod, tree in bp.items():
+            for part, v in tree.items():
+                flat[f"encoder/fsmn.{i}/{mod}/{part}"] = v
+    meta_str = "".join(f"{k} {v}\n" for k, v in meta.items()).encode()
+    with open(path, "wb") as f:
+        f.write(b"FTR1")
+        f.write(struct.pack("<I", len(meta_str)))
+        f.write(meta_str)
+        f.write(struct.pack("<I", len(flat)))
+        for name, arr in flat.items():
+            arr = np.asarray(arr, np.float32)
+            name_b = name.encode()
+            f.write(struct.pack("<I", len(name_b)))
+            f.write(name_b)
+            f.write(struct.pack("<BB", 0, arr.ndim))
+            f.write(np.asarray(arr.shape, "<i8").tobytes())
+            f.write(arr.astype("<f4").tobytes())
+    return path
+
+
 def export_native_dir(model, params, model_dir: str, output_dir: str,
                       quant: str = None):
     """Package a model dir for the C++ runtime: weights.ftr + tokens.txt + am.mvn.

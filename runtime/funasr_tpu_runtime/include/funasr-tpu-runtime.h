@@ -52,6 +52,16 @@ FUNASR_RESULT FunOfflineInfer(FUNASR_HANDLE handle, const char* data,
 FUNASR_RESULT FunFrontendExtract(FUNASR_HANDLE handle, const char* data,
                                  int data_len, int sampling_rate);
 
+/* VAD over a whole audio buffer: requires a model dir holding a vad.ftr
+ * export (funasr_tpu.export_runtime.export_vad_ftr). The result's text is
+ * the segment list as JSON "[[start_ms, end_ms], ...]"; the segment array
+ * is also available via FunASRGetSegment*. */
+FUNASR_RESULT FunVadInfer(FUNASR_HANDLE handle, const char* data, int data_len,
+                          int sampling_rate);
+int FunASRGetSegmentCount(FUNASR_RESULT result);
+int FunASRGetSegmentStart(FUNASR_RESULT result, int index);
+int FunASRGetSegmentEnd(FUNASR_RESULT result, int index);
+
 const char* FunASRGetResult(FUNASR_RESULT result, int index);
 int FunASRGetRetNumber(FUNASR_RESULT result);
 const float* FunASRGetFeatureData(FUNASR_RESULT result);

@@ -12,6 +12,7 @@
 //    (runtime/onnxruntime/src/paraformer.cpp:428).
 
 #include <memory>
+#include <utility>
 #include <string>
 #include <vector>
 
@@ -19,6 +20,7 @@
 #include "audio.h"
 #include "fbank.h"
 #include "paraformer-engine.h"
+#include "vad-engine.h"
 #include "vocab.h"
 
 namespace {
@@ -26,6 +28,7 @@ namespace {
 using funasr_tpu::Cmvn;
 using funasr_tpu::Fbank;
 using funasr_tpu::FbankOptions;
+using funasr_tpu::FsmnVadEngine;
 using funasr_tpu::ParaformerEngine;
 using funasr_tpu::Vocab;
 
@@ -40,6 +43,7 @@ struct Handle {
   bool has_vocab = false;
   std::string model_dir;
   std::unique_ptr<ParaformerEngine> engine;
+  std::unique_ptr<FsmnVadEngine> vad;
 };
 
 struct Result {
@@ -47,6 +51,7 @@ struct Result {
   std::vector<float> features;  // frames x dim
   int frames = 0;
   int dim = 0;
+  std::vector<std::pair<int, int>> segments;  // VAD (start_ms, end_ms)
 };
 
 }  // namespace
@@ -65,6 +70,15 @@ FUNASR_HANDLE FunASRInit(const char* model_dir, int /*thread_num*/) {
       h->lfr_n = engine->lfr_n();
       h->n_mels = engine->n_mels();
       h->engine = std::move(engine);
+    }
+    auto vad = std::make_unique<FsmnVadEngine>();
+    if (vad->Load(h->model_dir)) {
+      if (h->engine == nullptr) {
+        h->lfr_m = vad->lfr_m();
+        h->lfr_n = vad->lfr_n();
+        h->n_mels = vad->n_mels();
+      }
+      h->vad = std::move(vad);
     }
   }
   FbankOptions opts;
@@ -124,6 +138,54 @@ FUNASR_RESULT FunOfflineInfer(FUNASR_HANDLE handle, const char* data,
     r->texts.push_back("");  // DSP-only handle: no weights.ftr in model dir
   }
   return r;
+}
+
+FUNASR_RESULT FunVadInfer(FUNASR_HANDLE handle, const char* data,
+                          int data_len, int sampling_rate) {
+  auto* h = static_cast<Handle*>(handle);
+  if (h == nullptr || h->vad == nullptr || data == nullptr) return nullptr;
+  std::vector<float> wav;
+  if (!funasr_tpu::DecodeAudio(data, data_len, sampling_rate, 16000, &wav)) {
+    return nullptr;
+  }
+  auto* r = new Result();
+  std::vector<float> sil_scores;
+  r->segments = h->vad->Segments(wav, &sil_scores);
+  r->frames = static_cast<int>(sil_scores.size());
+  r->dim = 1;
+  r->features = std::move(sil_scores);
+  std::string json = "[";
+  for (size_t i = 0; i < r->segments.size(); ++i) {
+    if (i) json += ",";
+    json += "[" + std::to_string(r->segments[i].first) + "," +
+            std::to_string(r->segments[i].second) + "]";
+  }
+  json += "]";
+  r->texts.push_back(json);
+  return r;
+}
+
+int FunASRGetSegmentCount(FUNASR_RESULT result) {
+  auto* r = static_cast<Result*>(result);
+  return r == nullptr ? 0 : static_cast<int>(r->segments.size());
+}
+
+int FunASRGetSegmentStart(FUNASR_RESULT result, int index) {
+  auto* r = static_cast<Result*>(result);
+  if (r == nullptr || index < 0 ||
+      index >= static_cast<int>(r->segments.size())) {
+    return -1;
+  }
+  return r->segments[index].first;
+}
+
+int FunASRGetSegmentEnd(FUNASR_RESULT result, int index) {
+  auto* r = static_cast<Result*>(result);
+  if (r == nullptr || index < 0 ||
+      index >= static_cast<int>(r->segments.size())) {
+    return -1;
+  }
+  return r->segments[index].second;
 }
 
 const char* FunASRGetResult(FUNASR_RESULT result, int index) {

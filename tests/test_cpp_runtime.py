@@ -217,3 +217,78 @@ def test_hotword_aho_corasick(built, tmp_path):
     assert abs(run("abz")) < 1e-4          # dead end refunds everything
     assert abs(run("abx") - 6.0) < 1e-4    # plain completion
     lib.FunASRHotwordFree(ctypes.c_void_p(trie))
+
+
+def test_native_vad_engine(built, tmp_path, rng):
+    """C++ FSMN-VAD engine: per-frame silence scores match the JAX encoder and
+    FunVadInfer emits a JSON segment list."""
+    import wave
+
+    import jax
+    import jax.numpy as jnp
+
+    from funasr_tpu.export_runtime import export_vad_ftr
+    from funasr_tpu.models.fsmn_vad_streaming.model import FsmnVADStreaming
+    from funasr_tpu.ops.fbank import fbank
+    from funasr_tpu.ops.lfr import apply_lfr
+
+    model = FsmnVADStreaming(
+        encoder="FSMN",
+        encoder_conf=dict(input_dim=400, input_affine_dim=64, fsmn_layers=2,
+                          linear_dim=64, proj_dim=32, lorder=10, rorder=0,
+                          lstride=1, rstride=1, output_affine_dim=64,
+                          output_dim=8))
+    params = model.init_params(jax.random.PRNGKey(3))
+    model_dir = tmp_path / "vadmodel"
+    model_dir.mkdir()
+    export_vad_ftr(model, params, str(model_dir / "vad.ftr"),
+                   extra_meta={"n_mels": 80, "lfr_m": 5, "lfr_n": 1})
+
+    # PCM16 speech-shaped noise
+    wav_f = (rng.standard_normal(16000) * 0.1).astype(np.float32)
+    pcm = (np.clip(wav_f, -1, 1) * 32767).astype(np.int16)
+    wav_path = str(tmp_path / "v.wav")
+    with wave.open(wav_path, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(pcm.tobytes())
+
+    # python-side reference scores on the same PCM16 waveform
+    wav_q = pcm.astype(np.float32) / 32768.0
+    mel = np.asarray(fbank(jnp.asarray(wav_q * 32768.0)))
+    feats = np.asarray(apply_lfr(jnp.asarray(mel), 5, 1))[None]
+    scores = np.asarray(model.encoder(params["encoder"], jnp.asarray(feats)))
+    sil_py = scores[0, :, 0]
+
+    lib = ctypes.CDLL(str(built / "libfunasr_tpu_runtime.so"))
+    lib.FunASRInit.restype = ctypes.c_void_p
+    lib.FunASRInit.argtypes = [ctypes.c_char_p, ctypes.c_int]
+    lib.FunVadInfer.restype = ctypes.c_void_p
+    lib.FunVadInfer.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                ctypes.c_int, ctypes.c_int]
+    lib.FunASRGetResult.restype = ctypes.c_char_p
+    lib.FunASRGetResult.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.FunASRGetFeatureData.restype = ctypes.POINTER(ctypes.c_float)
+    lib.FunASRGetFeatureData.argtypes = [ctypes.c_void_p]
+    lib.FunASRGetFeatureFrames.restype = ctypes.c_int
+    lib.FunASRGetFeatureFrames.argtypes = [ctypes.c_void_p]
+    lib.FunASRGetSegmentCount.restype = ctypes.c_int
+    lib.FunASRGetSegmentCount.argtypes = [ctypes.c_void_p]
+
+    h = lib.FunASRInit(str(model_dir).encode(), 1)
+    data = open(wav_path, "rb").read()
+    res = lib.FunVadInfer(h, data, len(data), 16000)
+    assert res, "FunVadInfer returned null (vad.ftr not loaded?)"
+    t = lib.FunASRGetFeatureFrames(res)
+    assert t == len(sil_py), (t, len(sil_py))
+    sil_cpp = np.ctypeslib.as_array(lib.FunASRGetFeatureData(res),
+                                    shape=(t,)).copy()
+    np.testing.assert_allclose(sil_cpp, sil_py, rtol=1e-4, atol=1e-4)
+
+    import json
+    segs = json.loads(lib.FunASRGetResult(res, 0).decode())
+    assert isinstance(segs, list)
+    assert len(segs) == lib.FunASRGetSegmentCount(res)
+    for s, e in segs:
+        assert 0 <= s < e
