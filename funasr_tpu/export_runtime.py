@@ -204,21 +204,12 @@ def _unstack_for_ftr(params, model):
     return out
 
 
-def export_ftr(model, params, path: str, quant: str = None,
-               extra_meta: dict = None):
-    """Write a ``weights.ftr`` for the C++ engine.
-
-    quant="int8": weight-only per-output-channel symmetric int8 for 2D matmul
-    kernels (the ggml-Q8 role, reference runtime/llama.cpp/DESIGN.md); norms,
-    biases, convs stay fp32.
-    """
+def _write_ftr(path: str, meta: dict, flat: dict, quant: str = None):
+    """Serialize a flat name->array dict in the FTR container format
+    (runtime/funasr_tpu_runtime/src/ftr.h layout)."""
     import struct
 
-    flat = _flatten_params(_unstack_for_ftr(params, model))
-    meta = _ftr_meta(model)
-    meta.update(extra_meta or {})
     meta_str = "".join(f"{k} {v}\n" for k, v in meta.items()).encode()
-
     with open(path, "wb") as f:
         f.write(b"FTR1")
         f.write(struct.pack("<I", len(meta_str)))
@@ -244,12 +235,24 @@ def export_ftr(model, params, path: str, quant: str = None,
     return path
 
 
+def export_ftr(model, params, path: str, quant: str = None,
+               extra_meta: dict = None):
+    """Write a ``weights.ftr`` for the C++ engine.
+
+    quant="int8": weight-only per-output-channel symmetric int8 for 2D matmul
+    kernels (the ggml-Q8 role, reference runtime/llama.cpp/DESIGN.md); norms,
+    biases, convs stay fp32.
+    """
+    flat = _flatten_params(_unstack_for_ftr(params, model))
+    meta = _ftr_meta(model)
+    meta.update(extra_meta or {})
+    return _write_ftr(path, meta, flat, quant=quant)
+
+
 def export_vad_ftr(model, params, path: str, extra_meta: dict = None):
     """Write a ``vad.ftr`` for the C++ FSMN-VAD engine
     (runtime/funasr_tpu_runtime/src/vad-engine.cc): the FSMN scoring network
     plus the VADXOptions the windowed endpoint detector needs."""
-    import struct
-
     c = model.encoder.cfg
     o = model.vad_opts
     meta = {
@@ -278,20 +281,48 @@ def export_vad_ftr(model, params, path: str, extra_meta: dict = None):
         for mod, tree in bp.items():
             for part, v in tree.items():
                 flat[f"encoder/fsmn.{i}/{mod}/{part}"] = v
-    meta_str = "".join(f"{k} {v}\n" for k, v in meta.items()).encode()
-    with open(path, "wb") as f:
-        f.write(b"FTR1")
-        f.write(struct.pack("<I", len(meta_str)))
-        f.write(meta_str)
-        f.write(struct.pack("<I", len(flat)))
-        for name, arr in flat.items():
-            arr = np.asarray(arr, np.float32)
-            name_b = name.encode()
-            f.write(struct.pack("<I", len(name_b)))
-            f.write(name_b)
-            f.write(struct.pack("<BB", 0, arr.ndim))
-            f.write(np.asarray(arr.shape, "<i8").tobytes())
-            f.write(arr.astype("<f4").tobytes())
+    return _write_ftr(path, meta, flat)
+
+
+def export_punc_ftr(model, params, path: str, token_list=None,
+                    extra_meta: dict = None):
+    """Write a ``punc.ftr`` for the C++ CT-Transformer punctuation engine
+    (runtime/funasr_tpu_runtime/src/punc-engine.cc): embedding + SAN-M encoder
+    + punc classifier, plus the punc symbol table in the meta block. With
+    ``token_list``, also writes ``punc_tokens.txt`` next to the ftr (the
+    text->id vocabulary the C++ tokenizer consumes)."""
+    import os
+
+    from funasr_tpu.core.module import unstack_params
+
+    cfg = model.encoder.cfg
+    meta = {
+        "model": "CTTransformer",
+        "embed_unit": model.embed_unit, "att_unit": model.att_unit,
+        "n_punc": len(model.punc_list),
+        "sentence_end_id": model.sentence_end_id,
+        "encoder.attention_heads": cfg.attention_heads,
+        "encoder.linear_units": cfg.linear_units,
+        "encoder.num_blocks": cfg.num_blocks,
+        "encoder.kernel_size": cfg.kernel_size,
+        "encoder.sanm_shift": cfg.sanm_shift,
+    }
+    for i, p in enumerate(model.punc_list):
+        meta[f"punc_{i}"] = p
+    meta.update(extra_meta or {})
+
+    enc = dict(params["encoder"])
+    if "encoders" in enc:
+        for i, layer in enumerate(unstack_params(enc.pop("encoders"),
+                                                 cfg.num_blocks - 1)):
+            enc[f"encoders.{i}"] = layer
+    flat = _flatten_params({"embed": params["embed"], "encoder": enc,
+                            "decoder": params["decoder"]})
+    _write_ftr(path, meta, flat)
+    if token_list is not None:
+        with open(os.path.join(os.path.dirname(path) or ".",
+                               "punc_tokens.txt"), "w") as f:
+            f.write("\n".join(token_list) + "\n")
     return path
 
 

@@ -58,6 +58,12 @@ FUNASR_RESULT FunFrontendExtract(FUNASR_HANDLE handle, const char* data,
  * is also available via FunASRGetSegment*. */
 FUNASR_RESULT FunVadInfer(FUNASR_HANDLE handle, const char* data, int data_len,
                           int sampling_rate);
+
+/* Punctuation restoration over a raw transcript: requires a model dir holding
+ * a punc.ftr + punc_tokens.txt export
+ * (funasr_tpu.export_runtime.export_punc_ftr). When present, FunOfflineInfer
+ * also applies it to the ASR output automatically. */
+FUNASR_RESULT FunPuncInfer(FUNASR_HANDLE handle, const char* text);
 int FunASRGetSegmentCount(FUNASR_RESULT result);
 int FunASRGetSegmentStart(FUNASR_RESULT result, int index);
 int FunASRGetSegmentEnd(FUNASR_RESULT result, int index);

@@ -20,6 +20,7 @@
 #include "audio.h"
 #include "fbank.h"
 #include "paraformer-engine.h"
+#include "punc-engine.h"
 #include "vad-engine.h"
 #include "vocab.h"
 
@@ -30,6 +31,7 @@ using funasr_tpu::Fbank;
 using funasr_tpu::FbankOptions;
 using funasr_tpu::FsmnVadEngine;
 using funasr_tpu::ParaformerEngine;
+using funasr_tpu::PuncEngine;
 using funasr_tpu::Vocab;
 
 struct Handle {
@@ -44,6 +46,7 @@ struct Handle {
   std::string model_dir;
   std::unique_ptr<ParaformerEngine> engine;
   std::unique_ptr<FsmnVadEngine> vad;
+  std::unique_ptr<PuncEngine> punc;
 };
 
 struct Result {
@@ -80,6 +83,8 @@ FUNASR_HANDLE FunASRInit(const char* model_dir, int /*thread_num*/) {
       }
       h->vad = std::move(vad);
     }
+    auto punc = std::make_unique<PuncEngine>();
+    if (punc->Load(h->model_dir)) h->punc = std::move(punc);
   }
   FbankOptions opts;
   opts.n_mels = h->n_mels;
@@ -133,10 +138,22 @@ FUNASR_RESULT FunOfflineInfer(FUNASR_HANDLE handle, const char* data,
       FunFrontendExtract(handle, data, data_len, sampling_rate));
   if (r == nullptr) return nullptr;
   if (h != nullptr && h->engine != nullptr) {
-    r->texts.push_back(h->engine->Infer(r->features, r->frames));
+    std::string text = h->engine->Infer(r->features, r->frames);
+    // restore punctuation when a punc.ftr sits in the model dir (the
+    // reference offline-stream pipeline: ASR -> CT-Transformer punc)
+    if (h->punc != nullptr && !text.empty()) text = h->punc->AddPunc(text);
+    r->texts.push_back(text);
   } else {
     r->texts.push_back("");  // DSP-only handle: no weights.ftr in model dir
   }
+  return r;
+}
+
+FUNASR_RESULT FunPuncInfer(FUNASR_HANDLE handle, const char* text) {
+  auto* h = static_cast<Handle*>(handle);
+  if (h == nullptr || h->punc == nullptr || text == nullptr) return nullptr;
+  auto* r = new Result();
+  r->texts.push_back(h->punc->AddPunc(text));
   return r;
 }
 

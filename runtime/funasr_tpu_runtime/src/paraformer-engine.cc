@@ -9,13 +9,6 @@ namespace funasr_tpu {
 
 namespace {
 
-// fsmn pads (attention.py SANMAttentionConfig.fsmn_pads)
-void FsmnPads(int kernel, int shift, int* left, int* right) {
-  *left = (kernel - 1) / 2;
-  if (shift > 0) *left += shift;
-  *right = kernel - 1 - *left;
-}
-
 bool IsAsciiWord(const std::string& tok) {
   for (unsigned char c : tok) {
     if (c >= 0x80) return false;
@@ -59,76 +52,22 @@ bool ParaformerEngine::Load(const std::string& model_dir) {
   lfr_m_ = ftr_.MetaInt("lfr_m", 7);
   lfr_n_ = ftr_.MetaInt("lfr_n", 6);
   n_mels_ = ftr_.MetaInt("n_mels", 80);
+  SanmEncoderCfg ecfg;
+  ecfg.input_size = input_size_;
+  ecfg.d = d_;
+  ecfg.heads = heads_;
+  ecfg.ffn = ffn_;
+  ecfg.blocks = blocks_;
+  ecfg.kernel = kernel_;
+  ecfg.shift = shift_;
+  encoder_.Init(&ftr_, "encoder", ecfg);
   loaded_ = ftr_.Find("encoder/after_norm/scale") != nullptr;
   return loaded_;
 }
 
 // ---------------------------------------------------------------------------
-// attention blocks
+// attention blocks (encoder self-attention lives in sanm-encoder.cc)
 // ---------------------------------------------------------------------------
-
-void ParaformerEngine::SelfAttention(const std::string& prefix,
-                                     const std::vector<float>& x, int t,
-                                     int in_feat, std::vector<float>* out) {
-  const int d = d_, h = heads_, dk = d / h;
-  // fused qkv
-  std::vector<float> qkv(static_cast<int64_t>(t) * 3 * d);
-  const WTensor& wqkv = W(prefix + "/linear_q_k_v/w");
-  const WTensor* bq = ftr_.Find(prefix + "/linear_q_k_v/b");
-  MatMul(x.data(), t, in_feat, wqkv, bq ? bq->f32.data() : nullptr, qkv.data());
-
-  // split
-  std::vector<float> q(static_cast<int64_t>(t) * d), k(q.size()), v(q.size());
-  for (int i = 0; i < t; ++i) {
-    std::memcpy(q.data() + i * d, qkv.data() + static_cast<int64_t>(i) * 3 * d,
-                d * sizeof(float));
-    std::memcpy(k.data() + i * d,
-                qkv.data() + static_cast<int64_t>(i) * 3 * d + d,
-                d * sizeof(float));
-    std::memcpy(v.data() + i * d,
-                qkv.data() + static_cast<int64_t>(i) * 3 * d + 2 * d,
-                d * sizeof(float));
-  }
-
-  // FSMN memory branch over v (pre-head-split): conv + residual
-  int left, right;
-  FsmnPads(kernel_, shift_, &left, &right);
-  std::vector<float> fsmn(static_cast<int64_t>(t) * d);
-  DepthwiseConv1d(v.data(), t, d, W(prefix + "/fsmn_block/w").f32.data(),
-                  kernel_, left, right, fsmn.data());
-  for (int64_t i = 0; i < static_cast<int64_t>(t) * d; ++i) fsmn[i] += v[i];
-
-  // scaled dot attention per head
-  const float scale = 1.0f / std::sqrt(static_cast<float>(dk));
-  std::vector<float> ctx(static_cast<int64_t>(t) * d);
-  std::vector<float> scores(t);
-  for (int hh = 0; hh < h; ++hh) {
-    const int off = hh * dk;
-    for (int i = 0; i < t; ++i) {
-      const float* qi = q.data() + static_cast<int64_t>(i) * d + off;
-      for (int j = 0; j < t; ++j) {
-        const float* kj = k.data() + static_cast<int64_t>(j) * d + off;
-        float s = 0.0f;
-        for (int z = 0; z < dk; ++z) s += qi[z] * kj[z];
-        scores[j] = s * scale;
-      }
-      SoftmaxRow(scores.data(), t);
-      float* ci = ctx.data() + static_cast<int64_t>(i) * d + off;
-      std::memset(ci, 0, dk * sizeof(float));
-      for (int j = 0; j < t; ++j) {
-        const float a = scores[j];
-        const float* vj = v.data() + static_cast<int64_t>(j) * d + off;
-        for (int z = 0; z < dk; ++z) ci[z] += a * vj[z];
-      }
-    }
-  }
-
-  out->assign(static_cast<int64_t>(t) * d, 0.0f);
-  const WTensor& wo = W(prefix + "/linear_out/w");
-  const WTensor* bo = ftr_.Find(prefix + "/linear_out/b");
-  MatMul(ctx.data(), t, d, wo, bo ? bo->f32.data() : nullptr, out->data());
-  for (int64_t i = 0; i < static_cast<int64_t>(t) * d; ++i) (*out)[i] += fsmn[i];
-}
 
 void ParaformerEngine::CrossAttention(const std::string& prefix,
                                       const std::vector<float>& x, int n_tok,
@@ -174,58 +113,6 @@ void ParaformerEngine::CrossAttention(const std::string& prefix,
   const WTensor& wo = W(prefix + "/linear_out/w");
   const WTensor* bo = ftr_.Find(prefix + "/linear_out/b");
   MatMul(ctx.data(), n_tok, d, wo, bo ? bo->f32.data() : nullptr, out->data());
-}
-
-// ---------------------------------------------------------------------------
-// encoder
-// ---------------------------------------------------------------------------
-
-void ParaformerEngine::EncLayer(const std::string& prefix,
-                                std::vector<float>* x, int t, int in_feat) {
-  const int d = d_;
-  // pre-norm attention; residual only when dims match (encoder.py:_layer_apply)
-  std::vector<float> h(*x);
-  LayerNorm(h.data(), t, in_feat, W(prefix + "/norm1/scale").f32.data(),
-            W(prefix + "/norm1/bias").f32.data());
-  std::vector<float> att;
-  SelfAttention(prefix + "/self_attn", h, t, in_feat, &att);
-  std::vector<float> out(static_cast<int64_t>(t) * d);
-  if (in_feat == d) {
-    for (int64_t i = 0; i < static_cast<int64_t>(t) * d; ++i)
-      out[i] = (*x)[i] + att[i];
-  } else {
-    out = att;
-  }
-  // FFN
-  std::vector<float> h2(out);
-  LayerNorm(h2.data(), t, d, W(prefix + "/norm2/scale").f32.data(),
-            W(prefix + "/norm2/bias").f32.data());
-  std::vector<float> mid(static_cast<int64_t>(t) * ffn_);
-  MatMul(h2.data(), t, d, W(prefix + "/feed_forward/w_1/w"),
-         W(prefix + "/feed_forward/w_1/b").f32.data(), mid.data());
-  Relu(mid.data(), mid.size());
-  std::vector<float> ff(static_cast<int64_t>(t) * d);
-  MatMul(mid.data(), t, ffn_, W(prefix + "/feed_forward/w_2/w"),
-         W(prefix + "/feed_forward/w_2/b").f32.data(), ff.data());
-  for (int64_t i = 0; i < static_cast<int64_t>(t) * d; ++i) out[i] += ff[i];
-  *x = std::move(out);
-}
-
-std::vector<float> ParaformerEngine::Encode(const std::vector<float>& feats,
-                                            int t) {
-  // x * sqrt(d) + sinusoidal pe (input_layer: pe)
-  std::vector<float> x(feats);
-  const float scale = std::sqrt(static_cast<float>(d_));
-  for (float& v : x) v *= scale;
-  AddSinusoidalPe(x.data(), t, input_size_);
-
-  EncLayer("encoder/encoders0", &x, t, input_size_);
-  for (int l = 0; l < blocks_ - 1; ++l) {
-    EncLayer("encoder/encoders." + std::to_string(l), &x, t, d_);
-  }
-  LayerNorm(x.data(), t, d_, W("encoder/after_norm/scale").f32.data(),
-            W("encoder/after_norm/bias").f32.data());
-  return x;
 }
 
 // ---------------------------------------------------------------------------
@@ -361,7 +248,7 @@ std::vector<float> ParaformerEngine::Decode(const std::vector<float>& enc,
 
 std::string ParaformerEngine::Infer(const std::vector<float>& feats, int t) {
   if (!loaded_ || t <= 0) return "";
-  std::vector<float> enc = Encode(feats, t);
+  std::vector<float> enc = encoder_.Encode(feats, t);
   std::vector<float> embeds;
   const int n_tok = Cif(enc, t, &embeds);
   if (n_tok <= 0) return "";

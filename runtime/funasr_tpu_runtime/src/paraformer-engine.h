@@ -10,6 +10,7 @@
 #include <vector>
 
 #include "ftr.h"
+#include "sanm-encoder.h"
 #include "vocab.h"
 
 namespace funasr_tpu {
@@ -28,19 +29,14 @@ class ParaformerEngine {
   std::string Infer(const std::vector<float>& feats, int t);
 
  private:
-  std::vector<float> Encode(const std::vector<float>& x, int t);
   // returns acoustic embeds (n_tok, d) via out; fires count as return value
   int Cif(const std::vector<float>& enc, int t, std::vector<float>* out);
   std::vector<float> Decode(const std::vector<float>& enc, int t,
                             const std::vector<float>& embeds, int n_tok);
 
-  void EncLayer(const std::string& prefix, std::vector<float>* x, int t,
-                int in_feat);
   void DecLayer(const std::string& prefix, std::vector<float>* x, int n_tok,
                 const std::vector<float>& memory, int t_mem, bool has_self,
                 bool has_src);
-  void SelfAttention(const std::string& prefix, const std::vector<float>& x,
-                     int t, int in_feat, std::vector<float>* out);
   void CrossAttention(const std::string& prefix, const std::vector<float>& x,
                       int n_tok, const std::vector<float>& memory, int t_mem,
                       std::vector<float>* out);
@@ -49,6 +45,7 @@ class ParaformerEngine {
 
   FtrFile ftr_;
   Vocab vocab_;
+  SanmEncoder encoder_;
   bool loaded_ = false;
   // config (from FTR meta)
   int input_size_ = 560, d_ = 512, heads_ = 4, ffn_ = 2048, blocks_ = 50;

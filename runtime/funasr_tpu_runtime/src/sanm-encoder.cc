@@ -1,0 +1,133 @@
+#include "sanm-encoder.h"
+
+#include <cmath>
+#include <cstring>
+
+#include "nn.h"
+
+namespace funasr_tpu {
+
+void FsmnPads(int kernel, int shift, int* left, int* right) {
+  *left = (kernel - 1) / 2;
+  if (shift > 0) *left += shift;
+  *right = kernel - 1 - *left;
+}
+
+const WTensor& SanmEncoder::W(const std::string& name) const {
+  const WTensor* t = ftr_->Find(name);
+  static WTensor empty;
+  return t ? *t : empty;
+}
+
+void SanmEncoder::SelfAttention(const std::string& prefix,
+                                const std::vector<float>& x, int t,
+                                int in_feat, std::vector<float>* out) const {
+  const int d = cfg_.d, h = cfg_.heads, dk = d / h;
+  // fused qkv
+  std::vector<float> qkv(static_cast<int64_t>(t) * 3 * d);
+  const WTensor& wqkv = W(prefix + "/linear_q_k_v/w");
+  const WTensor* bq = ftr_->Find(prefix + "/linear_q_k_v/b");
+  MatMul(x.data(), t, in_feat, wqkv, bq ? bq->f32.data() : nullptr, qkv.data());
+
+  // split
+  std::vector<float> q(static_cast<int64_t>(t) * d), k(q.size()), v(q.size());
+  for (int i = 0; i < t; ++i) {
+    std::memcpy(q.data() + i * d, qkv.data() + static_cast<int64_t>(i) * 3 * d,
+                d * sizeof(float));
+    std::memcpy(k.data() + i * d,
+                qkv.data() + static_cast<int64_t>(i) * 3 * d + d,
+                d * sizeof(float));
+    std::memcpy(v.data() + i * d,
+                qkv.data() + static_cast<int64_t>(i) * 3 * d + 2 * d,
+                d * sizeof(float));
+  }
+
+  // FSMN memory branch over v (pre-head-split): conv + residual
+  int left, right;
+  FsmnPads(cfg_.kernel, cfg_.shift, &left, &right);
+  std::vector<float> fsmn(static_cast<int64_t>(t) * d);
+  DepthwiseConv1d(v.data(), t, d, W(prefix + "/fsmn_block/w").f32.data(),
+                  cfg_.kernel, left, right, fsmn.data());
+  for (int64_t i = 0; i < static_cast<int64_t>(t) * d; ++i) fsmn[i] += v[i];
+
+  // scaled dot attention per head
+  const float scale = 1.0f / std::sqrt(static_cast<float>(dk));
+  std::vector<float> ctx(static_cast<int64_t>(t) * d);
+  std::vector<float> scores(t);
+  for (int hh = 0; hh < h; ++hh) {
+    const int off = hh * dk;
+    for (int i = 0; i < t; ++i) {
+      const float* qi = q.data() + static_cast<int64_t>(i) * d + off;
+      for (int j = 0; j < t; ++j) {
+        const float* kj = k.data() + static_cast<int64_t>(j) * d + off;
+        float s = 0.0f;
+        for (int z = 0; z < dk; ++z) s += qi[z] * kj[z];
+        scores[j] = s * scale;
+      }
+      SoftmaxRow(scores.data(), t);
+      float* ci = ctx.data() + static_cast<int64_t>(i) * d + off;
+      std::memset(ci, 0, dk * sizeof(float));
+      for (int j = 0; j < t; ++j) {
+        const float a = scores[j];
+        const float* vj = v.data() + static_cast<int64_t>(j) * d + off;
+        for (int z = 0; z < dk; ++z) ci[z] += a * vj[z];
+      }
+    }
+  }
+
+  out->assign(static_cast<int64_t>(t) * d, 0.0f);
+  const WTensor& wo = W(prefix + "/linear_out/w");
+  const WTensor* bo = ftr_->Find(prefix + "/linear_out/b");
+  MatMul(ctx.data(), t, d, wo, bo ? bo->f32.data() : nullptr, out->data());
+  for (int64_t i = 0; i < static_cast<int64_t>(t) * d; ++i) (*out)[i] += fsmn[i];
+}
+
+void SanmEncoder::EncLayer(const std::string& prefix, std::vector<float>* x,
+                           int t, int in_feat) const {
+  const int d = cfg_.d;
+  // pre-norm attention; residual only when dims match (encoder.py:_layer_apply)
+  std::vector<float> h(*x);
+  LayerNorm(h.data(), t, in_feat, W(prefix + "/norm1/scale").f32.data(),
+            W(prefix + "/norm1/bias").f32.data());
+  std::vector<float> att;
+  SelfAttention(prefix + "/self_attn", h, t, in_feat, &att);
+  std::vector<float> out(static_cast<int64_t>(t) * d);
+  if (in_feat == d) {
+    for (int64_t i = 0; i < static_cast<int64_t>(t) * d; ++i)
+      out[i] = (*x)[i] + att[i];
+  } else {
+    out = att;
+  }
+  // FFN
+  std::vector<float> h2(out);
+  LayerNorm(h2.data(), t, d, W(prefix + "/norm2/scale").f32.data(),
+            W(prefix + "/norm2/bias").f32.data());
+  std::vector<float> mid(static_cast<int64_t>(t) * cfg_.ffn);
+  MatMul(h2.data(), t, d, W(prefix + "/feed_forward/w_1/w"),
+         W(prefix + "/feed_forward/w_1/b").f32.data(), mid.data());
+  Relu(mid.data(), mid.size());
+  std::vector<float> ff(static_cast<int64_t>(t) * d);
+  MatMul(mid.data(), t, cfg_.ffn, W(prefix + "/feed_forward/w_2/w"),
+         W(prefix + "/feed_forward/w_2/b").f32.data(), ff.data());
+  for (int64_t i = 0; i < static_cast<int64_t>(t) * d; ++i) out[i] += ff[i];
+  *x = std::move(out);
+}
+
+std::vector<float> SanmEncoder::Encode(const std::vector<float>& feats,
+                                       int t) const {
+  // x * sqrt(d) + sinusoidal pe (input_layer: pe)
+  std::vector<float> x(feats);
+  const float scale = std::sqrt(static_cast<float>(cfg_.d));
+  for (float& v : x) v *= scale;
+  AddSinusoidalPe(x.data(), t, cfg_.input_size);
+
+  EncLayer(prefix_ + "/encoders0", &x, t, cfg_.input_size);
+  for (int l = 0; l < cfg_.blocks - 1; ++l) {
+    EncLayer(prefix_ + "/encoders." + std::to_string(l), &x, t, cfg_.d);
+  }
+  LayerNorm(x.data(), t, cfg_.d, W(prefix_ + "/after_norm/scale").f32.data(),
+            W(prefix_ + "/after_norm/bias").f32.data());
+  return x;
+}
+
+}  // namespace funasr_tpu

@@ -27,7 +27,17 @@ bool Vocab::Load(const std::string& tokens_file) {
     }
     tokens_.push_back(line);
   }
+  for (int i = 0; i < static_cast<int>(tokens_.size()); ++i) {
+    token2id_.emplace(tokens_[i], i);  // first occurrence wins
+  }
   return !tokens_.empty();
+}
+
+int Vocab::Token2Id(const std::string& token) const {
+  auto it = token2id_.find(token);
+  if (it != token2id_.end()) return it->second;
+  it = token2id_.find(unk_);
+  return it != token2id_.end() ? it->second : 0;
 }
 
 const std::string& Vocab::Id2Token(int id) const {

@@ -4,6 +4,7 @@
 #ifndef FUNASR_TPU_VOCAB_H_
 #define FUNASR_TPU_VOCAB_H_
 
+#include <map>
 #include <string>
 #include <vector>
 
@@ -13,6 +14,8 @@ class Vocab {
  public:
   bool Load(const std::string& tokens_file);  // one token per line (index = id)
   const std::string& Id2Token(int id) const;
+  // token -> id; unknown tokens map to "<unk>"'s id (or 0 when absent).
+  int Token2Id(const std::string& token) const;
   int Size() const { return static_cast<int>(tokens_.size()); }
 
   // Paraformer greedy tokens -> surface text (zh chars joined, latin spaced,
@@ -22,6 +25,7 @@ class Vocab {
 
  private:
   std::vector<std::string> tokens_;
+  std::map<std::string, int> token2id_;
   std::string unk_ = "<unk>";
 };
 

@@ -292,3 +292,59 @@ def test_native_vad_engine(built, tmp_path, rng):
     assert len(segs) == lib.FunASRGetSegmentCount(res)
     for s, e in segs:
         assert 0 <= s < e
+
+
+def test_native_punc_engine(built, tmp_path):
+    """C++ CT-Transformer punc engine: punctuated text byte-matches the JAX
+    model's inference across mini-sentence windows, and FunOfflineInfer picks
+    the punc model up automatically when punc.ftr is present."""
+    import types
+
+    import jax
+
+    from funasr_tpu.export_runtime import export_punc_ftr
+    from funasr_tpu.models.ct_transformer.model import CTTransformer
+
+    zh = [chr(c) for c in range(ord("一"), ord("一") + 30)]
+    en = ["hello", "world", "speech", "model", "test", "jax"]
+    token_list = ["<blank>", "<unk>"] + zh + en
+    tok = types.SimpleNamespace(
+        token2id={t: i for i, t in enumerate(token_list)}, unk_id=1)
+
+    model = CTTransformer(
+        vocab_size=len(token_list), embed_unit=16, att_unit=32,
+        punc_list=["<unk>", "_", "，", "。", "？", "、"],
+        encoder_conf=dict(output_size=32, attention_heads=4, linear_units=48,
+                          num_blocks=2, kernel_size=7, input_size=16))
+    params = model.init_params(jax.random.PRNGKey(11))
+
+    model_dir = tmp_path / "puncmodel"
+    model_dir.mkdir()
+    export_punc_ftr(model, params, str(model_dir / "punc.ftr"),
+                    token_list=token_list)
+
+    # 47 words (3 windows), mixed zh/en plus an OOV word
+    rng_py = np.random.default_rng(7)
+    words = [str(rng_py.choice(zh + en)) for _ in range(46)] + ["oov"]
+    text = " ".join(words)
+    out_py = model.inference(params, [text], tokenizer=tok)[0][0]["text"]
+
+    lib = ctypes.CDLL(str(built / "libfunasr_tpu_runtime.so"))
+    lib.FunASRInit.restype = ctypes.c_void_p
+    lib.FunASRInit.argtypes = [ctypes.c_char_p, ctypes.c_int]
+    lib.FunPuncInfer.restype = ctypes.c_void_p
+    lib.FunPuncInfer.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    lib.FunASRGetResult.restype = ctypes.c_char_p
+    lib.FunASRGetResult.argtypes = [ctypes.c_void_p, ctypes.c_int]
+
+    h = lib.FunASRInit(str(model_dir).encode(), 1)
+    res = lib.FunPuncInfer(h, text.encode())
+    assert res, "FunPuncInfer returned null (punc.ftr not loaded?)"
+    out_cpp = lib.FunASRGetResult(res, 0).decode()
+    assert out_cpp == out_py, (out_cpp, out_py)
+
+    # short input (single window) as well
+    short = " ".join(words[:5])
+    out_py_s = model.inference(params, [short], tokenizer=tok)[0][0]["text"]
+    res_s = lib.FunPuncInfer(h, short.encode())
+    assert lib.FunASRGetResult(res_s, 0).decode() == out_py_s
