@@ -14,9 +14,15 @@
 // C API (FunASRInit/FunOfflineInfer) — DSP-only builds echo empty text;
 // PJRT builds run the exported StableHLO model.
 //
-// Online/2pass partials are produced by re-decoding the accumulated buffer
-// each chunk (deliberate substitution for the reference's separate online
-// encoder sessions; the Python server keeps true streaming caches).
+// Segmentation: when the model dir holds a vad.ftr (export_vad_ftr), the C++
+// FSMN-VAD engine cuts utterances mid-stream (the reference 2pass server's
+// fsmn-vad-online role): each VAD-closed segment is decoded offline and
+// emitted as "2pass-offline" with is_final=false, and its audio is dropped
+// from the buffer, so per-connection work stays O(segment), not O(session²).
+// Online/2pass partials re-decode only the active (post-cut) buffer and are
+// throttled to one per kPartialStrideMs of fresh audio (deliberate
+// substitution for the reference's separate online encoder sessions; the
+// Python server keeps true streaming caches).
 
 #include <arpa/inet.h>
 #include <netinet/in.h>
@@ -154,39 +160,76 @@ class DecoderPool {
 
 // ---- per-connection session -------------------------------------------------
 
+constexpr int kBytesPerMs = 32;        // 16 kHz * 2 bytes
+constexpr int kPartialStrideMs = 600;  // min fresh audio between partials
+constexpr int kVadTailGuardMs = 40;    // a segment ending here may still grow
+
 void ServeConnection(std::shared_ptr<funasr_tpu::WsConnection> conn,
-                     DecoderPool* pool) {
+                     DecoderPool* pool, FUNASR_HANDLE handle) {
   if (!conn->Handshake()) return;
   std::string mode = "2pass";
   std::string wav_name = "microphone";
-  std::string pcm_buf;
+  std::string pcm_buf;        // active audio (already-cut segments dropped)
+  size_t partial_anchor = 0;  // pcm_buf size at the last partial/VAD pass
   funasr_tpu::WsOp op;
   std::string payload;
+
+  auto submit = [&](std::string pcm, const std::string& reply_mode,
+                    bool is_final) {
+    DecodeTask task;
+    task.conn = conn;
+    task.pcm = std::move(pcm);
+    task.mode = reply_mode;
+    task.wav_name = wav_name;
+    task.is_final = is_final;
+    pool->Submit(std::move(task));
+  };
+
   while (conn->ReadMessage(&op, &payload)) {
     if (op == funasr_tpu::WsOp::kText) {
-      std::string new_mode = JsonGetString(payload, "mode", mode);
-      mode = new_mode;
+      mode = JsonGetString(payload, "mode", mode);
       wav_name = JsonGetString(payload, "wav_name", wav_name);
-      bool speaking = JsonGetBool(payload, "is_speaking", true);
-      if (!speaking) {
-        DecodeTask task;
-        task.conn = conn;
-        task.pcm.swap(pcm_buf);
-        task.mode = mode == "2pass" ? "2pass-offline" : mode;
-        task.wav_name = wav_name;
-        task.is_final = true;
-        pool->Submit(std::move(task));
+      if (!JsonGetBool(payload, "is_speaking", true)) {
+        std::string rest;
+        rest.swap(pcm_buf);
+        partial_anchor = 0;
+        submit(std::move(rest), mode == "2pass" ? "2pass-offline" : mode,
+               true);
       }
     } else if (op == funasr_tpu::WsOp::kBinary) {
       pcm_buf.append(payload);
+      if (mode == "offline" ||
+          pcm_buf.size() < partial_anchor + kPartialStrideMs * kBytesPerMs) {
+        continue;
+      }
+      partial_anchor = pcm_buf.size();
+      // VAD endpointing: decode + drop every segment the VAD has closed
+      // strictly before the buffer tail (a tail-adjacent one may still grow).
+      if (handle != nullptr) {
+        FUNASR_RESULT vr = FunVadInfer(handle, pcm_buf.data(),
+                                       static_cast<int>(pcm_buf.size()), 16000);
+        if (vr != nullptr) {
+          const int total_ms = static_cast<int>(pcm_buf.size()) / kBytesPerMs;
+          size_t cut = 0;
+          for (int i = 0; i < FunASRGetSegmentCount(vr); ++i) {
+            const int s = FunASRGetSegmentStart(vr, i);
+            const int e = FunASRGetSegmentEnd(vr, i);
+            if (e + kVadTailGuardMs >= total_ms) break;
+            submit(pcm_buf.substr(static_cast<size_t>(s) * kBytesPerMs,
+                                  static_cast<size_t>(e - s) * kBytesPerMs),
+                   mode == "2pass" ? "2pass-offline" : "offline", false);
+            cut = static_cast<size_t>(e) * kBytesPerMs;
+          }
+          FunASRFreeResult(vr);
+          if (cut > 0) {
+            pcm_buf.erase(0, cut);
+            partial_anchor = pcm_buf.size();
+          }
+        }
+      }
       if (mode == "online" || mode == "2pass") {
-        DecodeTask task;
-        task.conn = conn;
-        task.pcm = pcm_buf;  // re-decode prefix as the partial
-        task.mode = mode == "2pass" ? "2pass-online" : "online";
-        task.wav_name = wav_name;
-        task.is_final = false;
-        pool->Submit(std::move(task));
+        submit(pcm_buf,  // re-decode the active segment as the partial
+               mode == "2pass" ? "2pass-online" : "online", false);
       }
     }
   }
@@ -248,6 +291,6 @@ int main(int argc, char** argv) {
     int fd = ::accept(server_fd, nullptr, nullptr);
     if (fd < 0) continue;
     auto conn = std::make_shared<funasr_tpu::WsConnection>(fd);
-    std::thread(ServeConnection, conn, &pool).detach();
+    std::thread(ServeConnection, conn, &pool, handle).detach();
   }
 }

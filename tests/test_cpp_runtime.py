@@ -348,3 +348,102 @@ def test_native_punc_engine(built, tmp_path):
     out_py_s = model.inference(params, [short], tokenizer=tok)[0][0]["text"]
     res_s = lib.FunPuncInfer(h, short.encode())
     assert lib.FunASRGetResult(res_s, 0).decode() == out_py_s
+
+
+def test_cpp_ws_server_2pass(built, tmp_path):
+    """Drive the C++ websocket server over a real socket: 2pass partials +
+    final transcript from the native Paraformer engine (VAD engine loaded for
+    mid-stream segment cuts)."""
+    import asyncio
+    import json as jsonlib
+    import socket
+    import time
+
+    import jax
+
+    from funasr_tpu import tables
+    from funasr_tpu.export_runtime import export_ftr, export_vad_ftr
+    from funasr_tpu.models.fsmn_vad_streaming.model import FsmnVADStreaming
+    from funasr_tpu.serving.ws_protocol import connect
+
+    model_dir = tmp_path / "wsmodel"
+    model_dir.mkdir()
+    tokens = ["<blank>", "<s>", "</s>"] + [chr(ord("一") + i) for i in range(37)] + ["<unk>"]
+    asr = tables.model_classes["Paraformer"](
+        input_size=560, vocab_size=41,
+        encoder_conf=dict(output_size=32, attention_heads=4, linear_units=64, num_blocks=2),
+        decoder_conf=dict(attention_heads=4, linear_units=64, num_blocks=2,
+                          att_layer_num=2, sanm_shfit=0),
+        predictor_conf=dict(idim=32), sos=1, eos=2, predictor_bias=1)
+    export_ftr(asr, asr.init_params(jax.random.PRNGKey(0)),
+               str(model_dir / "weights.ftr"),
+               extra_meta={"lfr_m": 7, "lfr_n": 6, "n_mels": 80})
+    (model_dir / "tokens.txt").write_text("\n".join(tokens) + "\n")
+    vad = FsmnVADStreaming(
+        encoder="FSMN",
+        encoder_conf=dict(input_dim=400, input_affine_dim=32, fsmn_layers=1,
+                          linear_dim=32, proj_dim=16, lorder=5, rorder=0,
+                          lstride=1, rstride=1, output_affine_dim=32,
+                          output_dim=4))
+    export_vad_ftr(vad, vad.init_params(jax.random.PRNGKey(1)),
+                   str(model_dir / "vad.ftr"))
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    proc = subprocess.Popen(
+        [str(built / "funasr-tpu-wss-server"), "--port", str(port),
+         "--model-dir", str(model_dir), "--decoder-thread-num", "2"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+    try:
+        deadline = time.time() + 10
+        while time.time() < deadline:
+            try:
+                socket.create_connection(("127.0.0.1", port), 0.2).close()
+                break
+            except OSError:
+                time.sleep(0.1)
+
+        async def run_2pass():
+            ws = await connect("127.0.0.1", port)
+            await ws.send(jsonlib.dumps(
+                {"mode": "2pass", "wav_name": "t", "is_speaking": True}))
+            rng_l = np.random.default_rng(0)
+            pcm = (np.clip(rng_l.standard_normal(16000 * 2) * 0.2, -1, 1)
+                   * 32767).astype("<i2").tobytes()
+            for off in range(0, len(pcm), 19200):  # 600ms chunks
+                await ws.send(pcm[off:off + 19200])
+            await ws.send(jsonlib.dumps({"is_speaking": False}))
+            msgs = []
+            while True:
+                m = jsonlib.loads(await asyncio.wait_for(ws.recv(), 60))
+                msgs.append(m)
+                if m.get("is_final"):
+                    break
+            await ws.close()
+            return msgs
+
+        msgs = asyncio.run(run_2pass())
+        assert msgs[-1]["is_final"] and msgs[-1]["mode"] in ("2pass-offline",
+                                                             "offline")
+        assert any(m["mode"] == "2pass-online" for m in msgs[:-1]), msgs
+        assert any(m["text"] for m in msgs), msgs  # engine produced text
+
+        async def run_offline():
+            ws = await connect("127.0.0.1", port)
+            await ws.send(jsonlib.dumps(
+                {"mode": "offline", "wav_name": "o", "is_speaking": True}))
+            rng_l = np.random.default_rng(1)
+            pcm = (np.clip(rng_l.standard_normal(16000) * 0.2, -1, 1)
+                   * 32767).astype("<i2").tobytes()
+            await ws.send(pcm)
+            await ws.send(jsonlib.dumps({"is_speaking": False}))
+            m = jsonlib.loads(await asyncio.wait_for(ws.recv(), 60))
+            await ws.close()
+            return m
+
+        m = asyncio.run(run_offline())
+        assert m["is_final"] and m["mode"] == "offline" and m["wav_name"] == "o"
+    finally:
+        proc.terminate()
+        proc.wait(timeout=10)
