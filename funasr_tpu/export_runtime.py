@@ -326,6 +326,42 @@ def export_punc_ftr(model, params, path: str, token_list=None,
     return path
 
 
+def export_sensevoice_ftr(model, params, path: str, quant: str = None,
+                          extra_meta: dict = None):
+    """Write a ``weights.ftr`` for the C++ SenseVoice engine
+    (runtime/funasr_tpu_runtime/src/sensevoice-engine.cc): query-embedding
+    table + SAN-M encoder with tp tail + CTC head."""
+    from funasr_tpu.core.module import unstack_params
+
+    cfg = model.encoder.cfg
+    meta = {
+        "model": "SenseVoiceSmall",
+        "input_size": cfg.input_size,
+        "encoder.output_size": cfg.output_size,
+        "encoder.attention_heads": cfg.attention_heads,
+        "encoder.linear_units": cfg.linear_units,
+        "encoder.num_blocks": cfg.num_blocks,
+        "encoder.kernel_size": cfg.kernel_size,
+        "encoder.sanm_shift": cfg.sanm_shift,
+        "encoder.tp_blocks": model.encoder.tp_blocks,
+        "vocab_size": model.vocab_size,
+        "blank_id": model.blank_id,
+    }
+    meta.update(extra_meta or {})
+    enc = dict(params["encoder"])
+    if "encoders" in enc:
+        for i, layer in enumerate(unstack_params(enc.pop("encoders"),
+                                                 cfg.num_blocks - 1)):
+            enc[f"encoders.{i}"] = layer
+    if "tp_encoders" in enc:
+        for i, layer in enumerate(unstack_params(enc.pop("tp_encoders"),
+                                                 model.encoder.tp_blocks)):
+            enc[f"tp_encoders.{i}"] = layer
+    flat = _flatten_params({"embed": params["embed"], "encoder": enc,
+                            "ctc": params["ctc"]})
+    return _write_ftr(path, meta, flat, quant=quant)
+
+
 def export_native_dir(model, params, model_dir: str, output_dir: str,
                       quant: str = None):
     """Package a model dir for the C++ runtime: weights.ftr + tokens.txt + am.mvn.
@@ -344,8 +380,10 @@ def export_native_dir(model, params, model_dir: str, output_dir: str,
         fc = cfg.get("frontend_conf", {})
         frontend_meta = {"lfr_m": fc.get("lfr_m", 7), "lfr_n": fc.get("lfr_n", 6),
                          "n_mels": fc.get("n_mels", 80)}
-    export_ftr(model, params, os.path.join(output_dir, "weights.ftr"),
-               quant=quant, extra_meta=frontend_meta)
+    exporter = (export_sensevoice_ftr
+                if type(model).__name__ == "SenseVoiceSmall" else export_ftr)
+    exporter(model, params, os.path.join(output_dir, "weights.ftr"),
+             quant=quant, extra_meta=frontend_meta)
     for name in ("tokens.txt", "am.mvn"):
         src = os.path.join(model_dir, name)
         if os.path.exists(src):

@@ -21,6 +21,7 @@
 #include "fbank.h"
 #include "paraformer-engine.h"
 #include "punc-engine.h"
+#include "sensevoice-engine.h"
 #include "vad-engine.h"
 #include "vocab.h"
 
@@ -32,6 +33,7 @@ using funasr_tpu::FbankOptions;
 using funasr_tpu::FsmnVadEngine;
 using funasr_tpu::ParaformerEngine;
 using funasr_tpu::PuncEngine;
+using funasr_tpu::SenseVoiceEngine;
 using funasr_tpu::Vocab;
 
 struct Handle {
@@ -45,6 +47,7 @@ struct Handle {
   bool has_vocab = false;
   std::string model_dir;
   std::unique_ptr<ParaformerEngine> engine;
+  std::unique_ptr<SenseVoiceEngine> sv;
   std::unique_ptr<FsmnVadEngine> vad;
   std::unique_ptr<PuncEngine> punc;
 };
@@ -73,6 +76,14 @@ FUNASR_HANDLE FunASRInit(const char* model_dir, int /*thread_num*/) {
       h->lfr_n = engine->lfr_n();
       h->n_mels = engine->n_mels();
       h->engine = std::move(engine);
+    } else {
+      auto sv = std::make_unique<SenseVoiceEngine>();
+      if (sv->Load(h->model_dir)) {
+        h->lfr_m = sv->lfr_m();
+        h->lfr_n = sv->lfr_n();
+        h->n_mels = sv->n_mels();
+        h->sv = std::move(sv);
+      }
     }
     auto vad = std::make_unique<FsmnVadEngine>();
     if (vad->Load(h->model_dir)) {
@@ -137,8 +148,10 @@ FUNASR_RESULT FunOfflineInfer(FUNASR_HANDLE handle, const char* data,
   auto* r = static_cast<Result*>(
       FunFrontendExtract(handle, data, data_len, sampling_rate));
   if (r == nullptr) return nullptr;
-  if (h != nullptr && h->engine != nullptr) {
-    std::string text = h->engine->Infer(r->features, r->frames);
+  if (h != nullptr && (h->engine != nullptr || h->sv != nullptr)) {
+    std::string text =
+        h->engine != nullptr ? h->engine->Infer(r->features, r->frames)
+                             : h->sv->Infer(r->features, r->frames);
     // restore punctuation when a punc.ftr sits in the model dir (the
     // reference offline-stream pipeline: ASR -> CT-Transformer punc)
     if (h->punc != nullptr && !text.empty()) text = h->punc->AddPunc(text);

@@ -26,6 +26,8 @@ const WTensor& ParaformerEngine::W(const std::string& name) const {
 
 bool ParaformerEngine::Load(const std::string& model_dir) {
   if (!ftr_.Load(model_dir + "/weights.ftr")) return false;
+  // other weights.ftr exports (e.g. SenseVoice) have their own engines
+  if (ftr_.Find("predictor/cif_output/w") == nullptr) return false;
   if (!vocab_.Load(model_dir + "/tokens.txt")) return false;
   input_size_ = ftr_.MetaInt("input_size", 560);
   d_ = ftr_.MetaInt("encoder.output_size", 512);

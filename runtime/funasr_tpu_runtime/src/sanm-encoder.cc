@@ -127,6 +127,13 @@ std::vector<float> SanmEncoder::Encode(const std::vector<float>& feats,
   }
   LayerNorm(x.data(), t, cfg_.d, W(prefix_ + "/after_norm/scale").f32.data(),
             W(prefix_ + "/after_norm/bias").f32.data());
+  for (int l = 0; l < cfg_.tp_blocks; ++l) {
+    EncLayer(prefix_ + "/tp_encoders." + std::to_string(l), &x, t, cfg_.d);
+  }
+  if (cfg_.tp_blocks > 0) {
+    LayerNorm(x.data(), t, cfg_.d, W(prefix_ + "/tp_norm/scale").f32.data(),
+              W(prefix_ + "/tp_norm/bias").f32.data());
+  }
   return x;
 }
 

@@ -22,6 +22,9 @@ struct SanmEncoderCfg {
   int blocks = 50;   // num_blocks
   int kernel = 11;   // fsmn kernel_size
   int shift = 0;     // sanm_shift
+  // SenseVoice timestamp tail (models/sense_voice/model.py:58-79): extra
+  // "tp_encoders.{i}" layers after after_norm, closed by "tp_norm".
+  int tp_blocks = 0;
 };
 
 // fsmn pads (funasr_tpu/models/sanm/attention.py SANMAttentionConfig.fsmn_pads)

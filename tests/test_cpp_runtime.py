@@ -447,3 +447,72 @@ def test_cpp_ws_server_2pass(built, tmp_path):
     finally:
         proc.terminate()
         proc.wait(timeout=10)
+
+
+def test_native_sensevoice_engine(built, tmp_path, rng):
+    """C++ SenseVoice engine: prompt frames + SAN-M/tp encoder + CTC greedy
+    match the JAX model's decode on the same features."""
+    import wave
+
+    import jax
+    import jax.numpy as jnp
+
+    from funasr_tpu.export_runtime import export_sensevoice_ftr
+    from funasr_tpu.models.sense_voice.model import SenseVoiceSmall
+    from funasr_tpu.ops.fbank import fbank
+    from funasr_tpu.ops.lfr import apply_lfr
+
+    tokens = (["<blank>", "<s>", "</s>"]
+              + [chr(ord("一") + i) for i in range(30)]
+              + ["<|zh|>", "<|en|>", "<|HAPPY|>", "<|Speech|>", "<|withitn|>"])
+    model = SenseVoiceSmall(
+        input_size=560, vocab_size=len(tokens), blank_id=0,
+        encoder_conf=dict(output_size=32, attention_heads=4, linear_units=48,
+                          num_blocks=2, tp_blocks=1, kernel_size=7))
+    params = model.init_params(jax.random.PRNGKey(21))
+
+    model_dir = tmp_path / "svmodel"
+    model_dir.mkdir()
+    export_sensevoice_ftr(model, params, str(model_dir / "weights.ftr"),
+                          extra_meta={"lfr_m": 7, "lfr_n": 6, "n_mels": 80})
+    (model_dir / "tokens.txt").write_text("\n".join(tokens) + "\n")
+
+    wav_f = (rng.standard_normal(16000) * 0.1).astype(np.float32)
+    pcm = (np.clip(wav_f, -1, 1) * 32767).astype(np.int16)
+    wav_path = str(tmp_path / "sv.wav")
+    with wave.open(wav_path, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(pcm.tobytes())
+
+    # python-side decode on the same PCM16 waveform (no CMVN in the dir)
+    wav_q = pcm.astype(np.float32) / 32768.0
+    mel = np.asarray(fbank(jnp.asarray(wav_q * 32768.0)))
+    feats = np.asarray(apply_lfr(jnp.asarray(mel), 7, 6))[None]
+    lens = np.asarray([feats.shape[1]], np.int32)
+    yseq, out_lens, _ = model.infer_jit(
+        params, jnp.asarray(feats), jnp.asarray(lens),
+        jnp.asarray([0], jnp.int32), jnp.asarray([15], jnp.int32))  # auto, woitn
+    ids = np.asarray(yseq)[0, : int(np.asarray(out_lens)[0])]
+    keep = np.concatenate([[True], ids[1:] != ids[:-1]])
+    token_int = [int(t) for t in ids[keep] if t != 0]
+    # mirror of Vocab::Decode for a zh/tag-only vocab: skip blank/sos/eos
+    expected = "".join(tokens[t] for t in token_int if t not in (1, 2))
+
+    lib = ctypes.CDLL(str(built / "libfunasr_tpu_runtime.so"))
+    lib.FunASRInit.restype = ctypes.c_void_p
+    lib.FunASRInit.argtypes = [ctypes.c_char_p, ctypes.c_int]
+    lib.FunOfflineInfer.restype = ctypes.c_void_p
+    lib.FunOfflineInfer.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                    ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    lib.FunASRGetResult.restype = ctypes.c_char_p
+    lib.FunASRGetResult.argtypes = [ctypes.c_void_p, ctypes.c_int]
+
+    h = lib.FunASRInit(str(model_dir).encode(), 1)
+    data = open(wav_path, "rb").read()
+    res = lib.FunOfflineInfer(h, data, len(data), 0, 16000)
+    assert res, "FunOfflineInfer returned null"
+    out_cpp = lib.FunASRGetResult(res, 0).decode()
+    assert out_cpp == expected, (out_cpp, expected)
+    assert expected  # random weights still emit some tokens
