@@ -112,6 +112,12 @@ class _Lex:
 
 
 def _parse_words(tokens: List[str], lex: _Lex) -> Optional[int]:
+    # digit-sequence reading ("eins vier" -> 14, "null sieben" -> "07"): all
+    # tokens single digits -> concatenate, keeping leading zeros (mirrors the
+    # CJK all-digit rule; returned as str, callers stringify anyway)
+    toks = [t for t in tokens if t not in lex.joiners]
+    if len(toks) > 1 and all(t in lex.ones and lex.ones[t] <= 9 for t in toks):
+        return "".join(str(lex.ones[t]) for t in toks)
     total = 0
     current = 0
     any_number = False
@@ -383,17 +389,30 @@ def inverse_normalize_tl(text: str) -> str:
     return _word_itn(text, _TL_LEX)
 
 
+def _with_classes(lang: str, cardinal_fn):
+    """Chain the cardinal pass with the per-language class rules
+    (decimals/money/times/ordinals/dates,
+    funasr_tpu/text/multilingual_classes.py)."""
+    def fn(text: str) -> str:
+        from funasr_tpu.text.multilingual_classes import apply_classes
+        return apply_classes(lang, cardinal_fn(text))
+    fn.__name__ = cardinal_fn.__name__
+    return fn
+
+
 ITN_FUNCS = {
-    "ja": inverse_normalize_ja,
-    "ko": inverse_normalize_ko,
-    "de": inverse_normalize_de,
-    "es": inverse_normalize_es,
-    "fr": inverse_normalize_fr,
-    "pt": inverse_normalize_pt,
-    "ru": inverse_normalize_ru,
-    "id": inverse_normalize_id,
-    "vi": inverse_normalize_vi,
-    "tl": inverse_normalize_tl,
+    lang: _with_classes(lang, fn) for lang, fn in {
+        "ja": inverse_normalize_ja,
+        "ko": inverse_normalize_ko,
+        "de": inverse_normalize_de,
+        "es": inverse_normalize_es,
+        "fr": inverse_normalize_fr,
+        "pt": inverse_normalize_pt,
+        "ru": inverse_normalize_ru,
+        "id": inverse_normalize_id,
+        "vi": inverse_normalize_vi,
+        "tl": inverse_normalize_tl,
+    }.items()
 }
 
 

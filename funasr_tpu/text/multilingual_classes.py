@@ -1,0 +1,322 @@
+"""Per-language ITN class rules beyond cardinals: decimals, percents, money,
+times, ordinals, dates.
+
+Counterpart of the non-cardinal taggers in FunASR
+``fun_text_processing/inverse_text_normalization/{de,es,fr,pt,ru,id,vi,ja,ko}/
+taggers/{decimal,money,time,ordinal,date}.py`` (pynini WFSTs), rebuilt as
+deterministic regex passes that run AFTER the cardinal pass of
+:mod:`funasr_tpu.text.multilingual` (so number words are already digits).
+
+Output formats follow the reference verbalizers where documented:
+- money: currency-symbol prefix ("€12,05" — de money verbalizer docstring);
+- time: "HH:MM" with language clock word kept for German ("13:10 Uhr" — de
+  time verbalizer docstring);
+- dates: "24. Jul. 2013" for German (de date tagger docstring); ja/ko keep
+  their native 年月日 / 년월일 markers with digits.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Callable, Dict, List, Optional
+
+# ---------------------------------------------------------------------------
+# ordinal word -> cardinal value (irregulars + suffix stripping per language)
+# ---------------------------------------------------------------------------
+
+_DE_ORD_IRREGULAR = {"erste": 1, "erster": 1, "ersten": 1, "erstes": 1,
+                     "dritte": 3, "dritter": 3, "dritten": 3, "drittes": 3,
+                     "siebte": 7, "siebter": 7, "siebten": 7,
+                     "achte": 8, "achter": 8, "achten": 8}
+_ES_ORDINALS = {"primero": 1, "primer": 1, "primera": 1, "segundo": 2,
+                "segunda": 2, "tercero": 3, "tercer": 3, "tercera": 3,
+                "cuarto": 4, "cuarta": 4, "quinto": 5, "quinta": 5,
+                "sexto": 6, "sexta": 6, "séptimo": 7, "septimo": 7,
+                "octavo": 8, "noveno": 9, "décimo": 10, "decimo": 10,
+                "vigésimo": 20, "vigesimo": 20}
+_FR_ORD_IRREGULAR = {"premier": 1, "première": 1, "premiere": 1, "second": 2,
+                     "seconde": 2}
+_PT_ORDINALS = {"primeiro": 1, "primeira": 1, "segundo": 2, "segunda": 2,
+                "terceiro": 3, "terceira": 3, "quarto": 4, "quarta": 4,
+                "quinto": 5, "quinta": 5, "sexto": 6, "sexta": 6,
+                "sétimo": 7, "setimo": 7, "oitavo": 8, "nono": 9,
+                "décimo": 10, "decimo": 10}
+_RU_ORDINALS = {"первый": 1, "первая": 1, "первое": 1, "второй": 2,
+                "вторая": 2, "третий": 3, "третья": 3, "четвёртый": 4,
+                "четвертый": 4, "пятый": 5, "шестой": 6, "седьмой": 7,
+                "восьмой": 8, "девятый": 9, "десятый": 10,
+                "двадцатый": 20, "тридцатый": 30, "сотый": 100}
+
+
+def _de_ordinal_value(word: str) -> Optional[int]:
+    from funasr_tpu.text.multilingual import _DE_LEX, _de_pre, _parse_words
+    w = word.lower()
+    if w in _DE_ORD_IRREGULAR:
+        return _DE_ORD_IRREGULAR[w]
+    for suf in ("sten", "ster", "stes", "ste", "ten", "ter", "tes", "te"):
+        if w.endswith(suf):
+            base = w[: -len(suf)]
+            # "dreißigste" strips to "dreißig"; "vierte" strips to "vier"
+            if base in _DE_LEX.vocab:
+                return _parse_words([base], _DE_LEX)
+            toks = _de_pre(base)
+            if toks:
+                return _parse_words(toks, _DE_LEX)
+    return None
+
+
+def _fr_ordinal_value(word: str) -> Optional[int]:
+    from funasr_tpu.text.multilingual import _FR_LEX, _fr_pre, _parse_words
+    w = word.lower()
+    if w in _FR_ORD_IRREGULAR:
+        return _FR_ORD_IRREGULAR[w]
+    for suf in ("ièmes", "ième", "iemes", "ieme"):
+        if w.endswith(suf):
+            base = w[: -len(suf)]
+            # quatrième->quatr(+e), cinquième->cinqu(-u), neuvième->neuf
+            for cand in (base, base + "e", base.rstrip("u"),
+                         {"neuv": "neuf"}.get(base, base)):
+                if cand in _FR_LEX.vocab:
+                    return _parse_words([cand], _FR_LEX)
+            toks = _fr_pre(base)
+            if toks:
+                return _parse_words(toks, _FR_LEX)
+    return None
+
+
+def _lookup_ordinal(table: Dict[str, int]) -> Callable[[str], Optional[int]]:
+    return lambda w: table.get(w.lower())
+
+
+# ---------------------------------------------------------------------------
+# per-language class config
+# ---------------------------------------------------------------------------
+
+class LangClasses:
+    """decimal_words: spoken decimal separators; decimal_mark: output char.
+    currencies: spoken unit -> symbol; minor_per_major=100 assumed.
+    ordinal_value: word -> int (None = not an ordinal); ordinal_fmt: int->str.
+    extra passes run last (times, dates, percents)."""
+
+    def __init__(self, decimal_words: List[str] = (), decimal_mark: str = ",",
+                 currencies: Dict[str, str] = None,
+                 minor_units: List[str] = (),
+                 ordinal_value: Callable[[str], Optional[int]] = None,
+                 ordinal_fmt: Callable[[int], str] = None,
+                 extra: List = ()):
+        self.decimal_words = list(decimal_words)
+        self.decimal_mark = decimal_mark
+        self.currencies = currencies or {}
+        self.minor_units = list(minor_units)
+        self.ordinal_value = ordinal_value
+        self.ordinal_fmt = ordinal_fmt or (lambda n: f"{n}.")
+        self.extra = list(extra)
+
+    # -- passes ------------------------------------------------------------
+
+    def _decimals(self, text: str) -> str:
+        if not self.decimal_words:
+            return text
+        sep = "|".join(map(re.escape, self.decimal_words))
+        # "3 komma 14" / "3 komma 1 4" -> 3,14
+        pat = re.compile(rf"\b(\d+) (?:{sep}) (\d+(?: \d+)*)\b")
+        return pat.sub(
+            lambda m: m.group(1) + self.decimal_mark + m.group(2).replace(" ", ""),
+            text)
+
+    def _money(self, text: str) -> str:
+        if not self.currencies:
+            return text
+        cur = "|".join(map(re.escape, sorted(self.currencies, key=len,
+                                             reverse=True)))
+        minor = "|".join(map(re.escape, self.minor_units))
+        mark = re.escape(self.decimal_mark)
+
+        # "5 euro 20 (cent)" -> €5,20 ; "5 euro" -> €5 ; "5,20 euro" -> €5,20
+        def repl(m):
+            sym = self.currencies[m.group("cur").lower()]
+            amount = m.group("int")
+            if m.group("minor"):
+                amount += self.decimal_mark + f"{int(m.group('minor')):02d}"
+            return sym + amount + (m.group("tail") or "")
+
+        pat = re.compile(
+            rf"\b(?P<int>\d+(?:{mark}\d+)?) (?P<cur>{cur})"
+            rf"(?: (?:con |com )?(?P<minor>\d{{1,2}})(?: (?:{minor}))?)?"
+            rf"(?P<tail>)\b"
+            if minor else
+            rf"\b(?P<int>\d+(?:{mark}\d+)?) (?P<cur>{cur})(?P<minor>)(?P<tail>)\b",
+            re.IGNORECASE)
+        return pat.sub(repl, text)
+
+    def _ordinals(self, text: str) -> str:
+        if self.ordinal_value is None:
+            return text
+        out = []
+        for raw in text.split(" "):
+            core = raw.strip(",.!?;:")
+            val = self.ordinal_value(core) if core else None
+            if val is not None:
+                out.append(raw.replace(core, self.ordinal_fmt(val)))
+            else:
+                out.append(raw)
+        return " ".join(out)
+
+    def apply(self, text: str) -> str:
+        text = self._ordinals(text)
+        text = self._decimals(text)
+        text = self._money(text)
+        for pat, repl in self.extra:
+            text = pat.sub(repl, text)
+        return text
+
+
+def _hhmm(h: str, m: Optional[str], suffix: str = "") -> str:
+    if m is None:
+        return f"{h}{suffix}"
+    return f"{int(h)}:{int(m):02d}{suffix}"
+
+
+_DE_MONTHS = {"januar": "Jan.", "februar": "Feb.", "märz": "März",
+              "april": "Apr.", "mai": "Mai", "juni": "Juni", "juli": "Juli",
+              "august": "Aug.", "september": "Sep.", "oktober": "Okt.",
+              "november": "Nov.", "dezember": "Dez."}
+
+_CLASSES: Dict[str, LangClasses] = {
+    "de": LangClasses(
+        decimal_words=["komma"], decimal_mark=",",
+        currencies={"euro": "€", "euros": "€", "dollar": "$", "dollars": "$",
+                    "pfund": "£"},
+        minor_units=["cent", "cents"],
+        ordinal_value=_de_ordinal_value,
+        extra=[
+            # dreizehn uhr zehn -> 13:10 Uhr (de time verbalizer docstring)
+            (re.compile(r"\b(\d{1,2}) uhr (\d{1,2})\b", re.IGNORECASE),
+             lambda m: f"{int(m.group(1))}:{int(m.group(2)):02d} Uhr"),
+            (re.compile(r"\b(\d{1,2}) uhr\b", re.IGNORECASE),
+             lambda m: f"{m.group(1)} Uhr"),
+            # halb zwölf -> 11:30
+            (re.compile(r"\bhalb (\d{1,2})\b", re.IGNORECASE),
+             lambda m: f"{(int(m.group(1)) - 1) % 24}:30"),
+            # 24. juli 2013 -> 24. Juli 2013 (month canonicalized/abbreviated)
+            (re.compile(r"\b(\d{1,2}\.) (" + "|".join(_DE_MONTHS) +
+                        r")( \d{3,4})?\b", re.IGNORECASE),
+             lambda m: m.group(1) + " " + _DE_MONTHS[m.group(2).lower()]
+             + (m.group(3) or "")),
+            (re.compile(r"\b(\d+) prozent\b", re.IGNORECASE), r"\1 %"),
+        ]),
+    "es": LangClasses(
+        decimal_words=["coma"], decimal_mark=",",
+        currencies={"euro": "€", "euros": "€", "dólar": "$", "dólares": "$",
+                    "dolar": "$", "dolares": "$", "peso": "$", "pesos": "$"},
+        minor_units=["céntimos", "centimos", "centavos"],
+        ordinal_value=_lookup_ordinal(_ES_ORDINALS),
+        ordinal_fmt=lambda n: f"{n}º",
+        extra=[
+            (re.compile(r"\b(\d{1,2}) y media\b"),
+             lambda m: f"{int(m.group(1))}:30"),
+            (re.compile(r"\b(\d{1,2}) y cuarto\b"),
+             lambda m: f"{int(m.group(1))}:15"),
+            (re.compile(r"\b(\d{1,2}) menos cuarto\b"),
+             lambda m: f"{(int(m.group(1)) - 1) % 24}:45"),
+            # "ciento" is itself a number word, so the cardinal pass may have
+            # already rewritten "por ciento" to "por 100"
+            (re.compile(r"\b(\d+) por (?:ciento|100)\b"), r"\1 %"),
+        ]),
+    "fr": LangClasses(
+        decimal_words=["virgule"], decimal_mark=",",
+        currencies={"euro": "€", "euros": "€", "dollar": "$", "dollars": "$",
+                    "livre": "£", "livres": "£"},
+        minor_units=["centimes", "centime"],
+        ordinal_value=_fr_ordinal_value,
+        ordinal_fmt=lambda n: "1er" if n == 1 else f"{n}e",
+        extra=[
+            (re.compile(r"\b(\d{1,2}) heures? (\d{1,2})\b", re.IGNORECASE),
+             lambda m: f"{int(m.group(1))}h{int(m.group(2)):02d}"),
+            (re.compile(r"\b(\d{1,2}) heures?\b", re.IGNORECASE),
+             lambda m: f"{m.group(1)}h"),
+            # "cent" is a number word, so the cardinal pass may emit "pour 100"
+            (re.compile(r"\b(\d+) pour (?:cent|100)\b", re.IGNORECASE),
+             r"\1 %"),
+        ]),
+    "pt": LangClasses(
+        decimal_words=["vírgula", "virgula"], decimal_mark=",",
+        currencies={"real": "R$", "reais": "R$", "euro": "€", "euros": "€",
+                    "dólar": "$", "dólares": "$", "dolar": "$",
+                    "dolares": "$"},
+        minor_units=["centavos", "centavo"],
+        ordinal_value=_lookup_ordinal(_PT_ORDINALS),
+        ordinal_fmt=lambda n: f"{n}º",
+        extra=[
+            (re.compile(r"\b(\d{1,2}) horas? e (\d{1,2})\b", re.IGNORECASE),
+             lambda m: f"{int(m.group(1))}:{int(m.group(2)):02d}"),
+            (re.compile(r"\b(\d+) por (?:cento|100)\b", re.IGNORECASE),
+             r"\1 %"),
+        ]),
+    "ru": LangClasses(
+        decimal_words=["запятая", "целых", "целая"], decimal_mark=",",
+        currencies={"рубль": "₽", "рубля": "₽", "рублей": "₽",
+                    "доллар": "$", "доллара": "$", "долларов": "$",
+                    "евро": "€"},
+        minor_units=["копеек", "копейки", "копейка"],
+        ordinal_value=_lookup_ordinal(_RU_ORDINALS),
+        ordinal_fmt=lambda n: f"{n}-й",
+        extra=[
+            (re.compile(r"\b(\d{1,2}) часов? (\d{1,2}) минуты?\b"),
+             lambda m: f"{int(m.group(1))}:{int(m.group(2)):02d}"),
+            (re.compile(r"\b(\d+) процентов?\b"), r"\1 %"),
+            (re.compile(r"\b(\d+) процента\b"), r"\1 %"),
+        ]),
+    "id": LangClasses(
+        decimal_words=["koma"], decimal_mark=",",
+        currencies={"rupiah": "Rp", "dolar": "$"},
+        extra=[
+            (re.compile(r"\bjam (\d{1,2}) lewat (\d{1,2})\b", re.IGNORECASE),
+             lambda m: f"{int(m.group(1))}:{int(m.group(2)):02d}"),
+            (re.compile(r"\b(\d+) persen\b", re.IGNORECASE), r"\1 %"),
+        ]),
+    "vi": LangClasses(
+        decimal_words=["phẩy", "phay"], decimal_mark=",",
+        currencies={"đồng": "₫", "dong": "₫", "đô la": "$"},
+        extra=[
+            (re.compile(r"\b(\d{1,2}) giờ (\d{1,2}) phút\b", re.IGNORECASE),
+             lambda m: f"{int(m.group(1))}:{int(m.group(2)):02d}"),
+            # "trăm" (100) may already be digits after the cardinal pass
+            (re.compile(r"\b(\d+) phần (?:trăm|100)\b", re.IGNORECASE),
+             r"\1 %"),
+        ]),
+    "ja": LangClasses(
+        decimal_words=["点"], decimal_mark=".",
+        extra=[
+            # 3時15分(20秒) -> 3:15(:20)
+            (re.compile(r"(\d{1,2})時(\d{1,2})分(?:(\d{1,2})秒)?"),
+             lambda m: f"{int(m.group(1))}:{int(m.group(2)):02d}"
+             + (f":{int(m.group(3)):02d}" if m.group(3) else "")),
+            (re.compile(r"(\d+)パーセント"), r"\1%"),
+            (re.compile(r"(\d+)円"), r"\1円"),
+        ]),
+    "ko": LangClasses(
+        decimal_words=["점"], decimal_mark=".",
+        extra=[
+            # hours use native-Korean numerals (한/두/세시...), minutes sino
+            (re.compile(r"(한|두|세|네|다섯|여섯|일곱|여덟|아홉|열한|열두|열)시"),
+             lambda m: str({"한": 1, "두": 2, "세": 3, "네": 4, "다섯": 5,
+                            "여섯": 6, "일곱": 7, "여덟": 8, "아홉": 9,
+                            "열": 10, "열한": 11, "열두": 12}[m.group(1)])
+             + "시"),
+            (re.compile(r"(\d{1,2})시 ?(\d{1,2})분"),
+             lambda m: f"{int(m.group(1))}:{int(m.group(2)):02d}"),
+            (re.compile(r"(\d+)퍼센트"), r"\1%"),
+        ]),
+}
+
+# "점"/"点" decimal words attach without spaces in CJK; add no-space variants
+for _lang, _sep in (("ja", "点"), ("ko", "점")):
+    _CLASSES[_lang].extra.insert(
+        0, (re.compile(rf"(\d+){_sep}(\d+)"), r"\1.\2"))
+
+
+def apply_classes(lang: str, text: str) -> str:
+    """Run the post-cardinal class rules for ``lang`` (no-op when absent)."""
+    cls = _CLASSES.get(lang)
+    return cls.apply(text) if cls else text

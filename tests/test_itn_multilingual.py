@@ -65,3 +65,62 @@ def test_normalizer_uses_full_grammars():
     from funasr_tpu.text.inverse_normalize import Normalizer
     assert Normalizer(lang="zh").normalize("占12%") == "占百分之十二"
     assert Normalizer(lang="en").normalize("$5") == "five dollars"
+
+
+class TestClassRules:
+    """Non-cardinal ITN classes (decimal/money/time/ordinal/date/percent) for
+    the 9 overlay languages (reference fun_text_processing
+    inverse_text_normalization/<lang>/taggers/*)."""
+
+    def _itn(self, lang, text):
+        from funasr_tpu.text.inverse_normalize import InverseNormalizer
+        return InverseNormalizer(lang=lang).inverse_normalize(text)
+
+    def test_de_classes(self):
+        assert self._itn("de", "dreizehn uhr zehn") == "13:10 Uhr"
+        assert self._itn("de", "fünf euro zwanzig") == "€5,20"
+        assert self._itn("de", "drei komma eins vier") == "3,14"
+        assert self._itn("de", "vierundzwanzigster juli zweitausenddreizehn") \
+            == "24. Juli 2013"
+        assert self._itn("de", "fünfzig prozent") == "50 %"
+        assert self._itn("de", "halb zwölf") == "11:30"
+
+    def test_es_classes(self):
+        assert self._itn("es", "tres coma catorce") == "3,14"
+        assert self._itn("es", "cinco euros con veinte céntimos") == "€5,20"
+        assert self._itn("es", "tercero") == "3º"
+        assert self._itn("es", "cincuenta por ciento") == "50 %"
+
+    def test_fr_classes(self):
+        assert self._itn("fr", "trois virgule quatorze") == "3,14"
+        assert self._itn("fr", "cinq euros vingt") == "€5,20"
+        assert self._itn("fr", "premier") == "1er"
+        assert self._itn("fr", "cinquième") == "5e"
+        assert self._itn("fr", "treize heures dix") == "13h10"
+        assert self._itn("fr", "cinquante pour cent") == "50 %"
+
+    def test_pt_ru_classes(self):
+        assert self._itn("pt", "primeiro") == "1º"
+        assert self._itn("pt", "cinquenta por cento") == "50 %"
+        assert self._itn("ru", "пять рублей") == "₽5"
+        assert self._itn("ru", "третий") == "3-й"
+        assert self._itn("ru", "пятьдесят процентов") == "50 %"
+        assert self._itn("ru", "три запятая один четыре") == "3,14"
+
+    def test_id_vi_classes(self):
+        assert self._itn("id", "lima puluh persen") == "50 %"
+        assert self._itn("id", "tiga koma satu empat") == "3,14"
+        assert self._itn("vi", "năm mươi phần trăm") == "50 %"
+
+    def test_ja_ko_classes(self):
+        assert self._itn("ja", "三時十五分") == "3:15"
+        assert self._itn("ja", "三点一四") == "3.14"
+        assert self._itn("ja", "五十パーセント") == "50%"
+        assert self._itn("ko", "삼점일사") == "3.14"
+        assert self._itn("ko", "세시 삼십분") == "3:30"
+        assert self._itn("ko", "오십퍼센트") == "50%"
+
+    def test_digit_sequence_reading(self):
+        # "eins vier" reads as a digit string, not a sum
+        assert self._itn("de", "null sieben eins drei") == "0713"
+        assert self._itn("es", "uno cuatro") == "14"
