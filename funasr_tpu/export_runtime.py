@@ -297,10 +297,13 @@ def export_punc_ftr(model, params, path: str, token_list=None,
 
     cfg = model.encoder.cfg
     meta = {
-        "model": "CTTransformer",
+        "model": type(model).__name__,
         "embed_unit": model.embed_unit, "att_unit": model.att_unit,
         "n_punc": len(model.punc_list),
         "sentence_end_id": model.sentence_end_id,
+        # CTTransformerStreaming uses the VAD-masked encoder (causal blocks +
+        # vad-corner last block) -> the C++ engine's EncodeVad path
+        "vad_encoder": int(type(model.encoder).__name__ == "SANMVadEncoder"),
         "encoder.attention_heads": cfg.attention_heads,
         "encoder.linear_units": cfg.linear_units,
         "encoder.num_blocks": cfg.num_blocks,

@@ -64,6 +64,16 @@ FUNASR_RESULT FunVadInfer(FUNASR_HANDLE handle, const char* data, int data_len,
  * (funasr_tpu.export_runtime.export_punc_ftr). When present, FunOfflineInfer
  * also applies it to the ASR output automatically. */
 FUNASR_RESULT FunPuncInfer(FUNASR_HANDLE handle, const char* text);
+
+/* Streaming punctuation (ct-transformer-online role): a cache carries the
+ * unterminated sentence tail between calls; each call returns only the new
+ * words, punctuated, with the trailing mark withheld for revision. Requires a
+ * CTTransformerStreaming export (vad_encoder meta). */
+typedef void* FUNASR_PUNC_CACHE;
+FUNASR_PUNC_CACHE FunPuncCacheCreate();
+void FunPuncCacheFree(FUNASR_PUNC_CACHE cache);
+FUNASR_RESULT FunPuncInferOnline(FUNASR_HANDLE handle, const char* text,
+                                 FUNASR_PUNC_CACHE cache);
 int FunASRGetSegmentCount(FUNASR_RESULT result);
 int FunASRGetSegmentStart(FUNASR_RESULT result, int index);
 int FunASRGetSegmentEnd(FUNASR_RESULT result, int index);

@@ -170,6 +170,25 @@ FUNASR_RESULT FunPuncInfer(FUNASR_HANDLE handle, const char* text) {
   return r;
 }
 
+FUNASR_PUNC_CACHE FunPuncCacheCreate() { return new funasr_tpu::PuncCache(); }
+
+void FunPuncCacheFree(FUNASR_PUNC_CACHE cache) {
+  delete static_cast<funasr_tpu::PuncCache*>(cache);
+}
+
+FUNASR_RESULT FunPuncInferOnline(FUNASR_HANDLE handle, const char* text,
+                                 FUNASR_PUNC_CACHE cache) {
+  auto* h = static_cast<Handle*>(handle);
+  if (h == nullptr || h->punc == nullptr || text == nullptr ||
+      cache == nullptr) {
+    return nullptr;
+  }
+  auto* r = new Result();
+  r->texts.push_back(h->punc->AddPuncStreaming(
+      text, static_cast<funasr_tpu::PuncCache*>(cache)));
+  return r;
+}
+
 FUNASR_RESULT FunVadInfer(FUNASR_HANDLE handle, const char* data,
                           int data_len, int sampling_rate) {
   auto* h = static_cast<Handle*>(handle);

@@ -79,6 +79,7 @@ bool PuncEngine::Load(const std::string& model_dir) {
   n_punc_ = ftr_.MetaInt("n_punc", 6);
   sentence_end_id_ = ftr_.MetaInt("sentence_end_id", 3);
   split_size_ = ftr_.MetaInt("split_size", 20);
+  vad_encoder_ = ftr_.MetaInt("vad_encoder", 0) != 0;
   punc_list_.clear();
   for (int i = 0; i < n_punc_; ++i) {
     punc_list_.push_back(ftr_.MetaStr("punc_" + std::to_string(i), "_"));
@@ -97,7 +98,8 @@ bool PuncEngine::Load(const std::string& model_dir) {
   return loaded_;
 }
 
-std::vector<float> PuncEngine::WindowLogits(const std::vector<int>& ids) const {
+std::vector<float> PuncEngine::WindowLogits(const std::vector<int>& ids,
+                                            int vad_pos) const {
   const int t = static_cast<int>(ids.size());
   const WTensor& emb = W("embed/w");
   std::vector<float> x(static_cast<int64_t>(t) * embed_unit_, 0.0f);
@@ -108,7 +110,9 @@ std::vector<float> PuncEngine::WindowLogits(const std::vector<int>& ids) const {
                 emb.f32.data() + static_cast<int64_t>(id) * embed_unit_,
                 embed_unit_ * sizeof(float));
   }
-  std::vector<float> h = encoder_.Encode(x, t);
+  std::vector<float> h = vad_encoder_
+                             ? encoder_.EncodeVad(x, t, vad_pos < 0 ? 0 : vad_pos)
+                             : encoder_.Encode(x, t);
   std::vector<float> logits(static_cast<int64_t>(t) * n_punc_);
   const WTensor& wo = W("decoder/w");
   const WTensor* bo = ftr_.Find("decoder/b");
@@ -210,6 +214,124 @@ std::string PuncEngine::AddPunc(const std::string& text) const {
         out += "\xE3\x80\x82";
       } else if (last != "." && last != "?" && last.size() == 1) {
         out += ".";
+      }
+    }
+  }
+  return out;
+}
+
+// Mirrors funasr_tpu/models/ct_transformer_streaming/model.py inference: the
+// carried pre-text is prepended (and attention-fenced via the VAD corner
+// mask), only new words are emitted, and a trailing mark is withheld so the
+// next chunk can revise it.
+std::string PuncEngine::AddPuncStreaming(const std::string& text,
+                                         PuncCache* cache) const {
+  if (!loaded_ || cache == nullptr) return text;
+  std::string full;
+  for (const auto& w : cache->pre_text) full += w;
+  full += " " + text;
+  const int vad_pos = static_cast<int>(cache->pre_text.size());
+
+  std::vector<std::string> all_words = SplitWords(full);
+  if (all_words.empty()) return "";
+  std::vector<int> all_ids(all_words.size());
+  for (size_t i = 0; i < all_words.size(); ++i) {
+    all_ids[i] = vocab_.Token2Id(all_words[i]);
+  }
+
+  const size_t n_mini =
+      all_words.size() <= static_cast<size_t>(split_size_)
+          ? 1
+          : (all_words.size() / split_size_ +
+             (all_words.size() % split_size_ ? 1 : 0));
+  std::vector<std::string> cache_words, words;
+  std::vector<int> cache_ids;
+  std::vector<std::string> punc_strs;
+
+  for (size_t si = 0; si < n_mini; ++si) {
+    const size_t lo = si * split_size_;
+    const size_t hi = std::min(lo + split_size_, all_words.size());
+    std::vector<std::string> sent(cache_words);
+    sent.insert(sent.end(), all_words.begin() + lo, all_words.begin() + hi);
+    std::vector<int> sent_ids(cache_ids);
+    sent_ids.insert(sent_ids.end(), all_ids.begin() + lo, all_ids.begin() + hi);
+
+    std::vector<float> logits = WindowLogits(sent_ids, vad_pos);
+    const int n = static_cast<int>(sent.size());
+    std::vector<int> puncs(n);
+    for (int i = 0; i < n; ++i) {
+      const float* row = logits.data() + static_cast<int64_t>(i) * n_punc_;
+      int best = 0;
+      for (int j = 1; j < n_punc_; ++j) {
+        if (row[j] > row[best]) best = j;
+      }
+      puncs[i] = best;
+    }
+
+    int keep = n;
+    if (si + 1 < n_mini) {
+      int sentence_end = -1, last_comma = -1;
+      for (int i = n - 2; i > 1; --i) {
+        const std::string& p = punc_list_[puncs[i]];
+        if (p == "\xE3\x80\x82" || p == "\xEF\xBC\x9F") {
+          sentence_end = i;
+          break;
+        }
+        if (last_comma < 0 && p == "\xEF\xBC\x8C") last_comma = i;
+      }
+      if (sentence_end < 0 && n > cache_pop_trigger_limit_ && last_comma >= 0) {
+        sentence_end = last_comma;
+        puncs[sentence_end] = sentence_end_id_;
+      }
+      cache_words.assign(sent.begin() + sentence_end + 1, sent.end());
+      cache_ids.assign(sent_ids.begin() + sentence_end + 1, sent_ids.end());
+      keep = sentence_end + 1;
+    }
+    for (int i = 0; i < keep; ++i) {
+      words.push_back(sent[i]);
+      punc_strs.push_back(punc_list_[puncs[i]]);
+    }
+  }
+
+  // emit only the words past the carried pre-text, with their punctuation
+  std::string out;
+  std::vector<std::string> emitted;
+  int skip = 0;
+  for (size_t i = 0; i < words.size(); ++i) {
+    if (i > 0 && !words[i].empty() &&
+        static_cast<unsigned char>(words[i][0]) < 0x80 &&
+        !words[i - 1].empty() &&
+        static_cast<unsigned char>(words[i - 1].back()) < 0x80) {
+      words[i] = " " + words[i];
+    }
+    if (skip < vad_pos) {
+      ++skip;
+    } else {
+      out += words[i];
+    }
+    if (skip >= vad_pos) {
+      emitted.push_back(punc_strs[i]);
+      if (punc_strs[i] != "_") out += punc_strs[i];
+    }
+  }
+
+  // carry words after the last full stop into the next call
+  int sentence_end = -1;
+  for (int i = static_cast<int>(punc_strs.size()) - 2; i > 1; --i) {
+    if (punc_strs[i] == "\xE3\x80\x82" || punc_strs[i] == "\xEF\xBC\x9F") {
+      sentence_end = i;
+      break;
+    }
+  }
+  cache->pre_text.assign(words.begin() + sentence_end + 1, words.end());
+
+  // withhold the trailing mark so the next chunk can revise it
+  if (!out.empty()) {
+    const std::string last = LastUtf8Char(out);
+    for (const auto& p : punc_list_) {
+      if (p == last) {
+        out.resize(out.size() - last.size());
+        break;
       }
     }
   }

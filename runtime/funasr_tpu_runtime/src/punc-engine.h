@@ -20,6 +20,12 @@ namespace funasr_tpu {
 // split per char (funasr_tpu/models/ct_transformer/utils.py split_words).
 std::vector<std::string> SplitWords(const std::string& text);
 
+// Streaming punctuation cache (ct_transformer_streaming/model.py
+// cache["pre_text"]): words after the last sentence end, carried between calls.
+struct PuncCache {
+  std::vector<std::string> pre_text;
+};
+
 class PuncEngine {
  public:
   // Loads model_dir/punc.ftr (export_runtime.export_punc_ftr) +
@@ -30,8 +36,19 @@ class PuncEngine {
   // Raw transcript -> punctuated text (model.py inference semantics).
   std::string AddPunc(const std::string& text) const;
 
-  // (t, n_punc) logits for one window of token ids (golden-test hook).
-  std::vector<float> WindowLogits(const std::vector<int>& ids) const;
+  // Streaming call (ct-transformer-online role, reference
+  // runtime/onnxruntime/src/ct-transformer-online.cpp): punctuates the new
+  // words given the carried pre-text, withholding the trailing mark so the
+  // next chunk can revise it. Requires a vad_encoder export
+  // (CTTransformerStreaming); falls back to offline rules otherwise.
+  std::string AddPuncStreaming(const std::string& text, PuncCache* cache) const;
+
+  bool streaming() const { return vad_encoder_; }
+
+  // (t, n_punc) logits for one window of token ids (golden-test hook);
+  // vad_pos >= 0 selects the VAD-masked encoder path.
+  std::vector<float> WindowLogits(const std::vector<int>& ids,
+                                  int vad_pos = -1) const;
 
   int TokenId(const std::string& token) const { return vocab_.Token2Id(token); }
 
@@ -45,6 +62,7 @@ class PuncEngine {
   int embed_unit_ = 256, att_unit_ = 256, n_punc_ = 6;
   int sentence_end_id_ = 3;
   int split_size_ = 20, cache_pop_trigger_limit_ = 200;
+  bool vad_encoder_ = false;
   std::vector<std::string> punc_list_;
 };
 

@@ -21,7 +21,8 @@ const WTensor& SanmEncoder::W(const std::string& name) const {
 
 void SanmEncoder::SelfAttention(const std::string& prefix,
                                 const std::vector<float>& x, int t,
-                                int in_feat, std::vector<float>* out) const {
+                                int in_feat, std::vector<float>* out,
+                                Mask mask, int vad_pos) const {
   const int d = cfg_.d, h = cfg_.heads, dk = d / h;
   // fused qkv
   std::vector<float> qkv(static_cast<int64_t>(t) * 3 * d);
@@ -59,6 +60,13 @@ void SanmEncoder::SelfAttention(const std::string& prefix,
     for (int i = 0; i < t; ++i) {
       const float* qi = q.data() + static_cast<int64_t>(i) * d + off;
       for (int j = 0; j < t; ++j) {
+        const bool blocked =
+            (mask == Mask::kCausal && j > i) ||
+            (mask == Mask::kVadCorner && i <= vad_pos - 2 && j >= vad_pos);
+        if (blocked) {
+          scores[j] = -1e30f;
+          continue;
+        }
         const float* kj = k.data() + static_cast<int64_t>(j) * d + off;
         float s = 0.0f;
         for (int z = 0; z < dk; ++z) s += qi[z] * kj[z];
@@ -83,14 +91,14 @@ void SanmEncoder::SelfAttention(const std::string& prefix,
 }
 
 void SanmEncoder::EncLayer(const std::string& prefix, std::vector<float>* x,
-                           int t, int in_feat) const {
+                           int t, int in_feat, Mask mask, int vad_pos) const {
   const int d = cfg_.d;
   // pre-norm attention; residual only when dims match (encoder.py:_layer_apply)
   std::vector<float> h(*x);
   LayerNorm(h.data(), t, in_feat, W(prefix + "/norm1/scale").f32.data(),
             W(prefix + "/norm1/bias").f32.data());
   std::vector<float> att;
-  SelfAttention(prefix + "/self_attn", h, t, in_feat, &att);
+  SelfAttention(prefix + "/self_attn", h, t, in_feat, &att, mask, vad_pos);
   std::vector<float> out(static_cast<int64_t>(t) * d);
   if (in_feat == d) {
     for (int64_t i = 0; i < static_cast<int64_t>(t) * d; ++i)
@@ -134,6 +142,27 @@ std::vector<float> SanmEncoder::Encode(const std::vector<float>& feats,
     LayerNorm(x.data(), t, cfg_.d, W(prefix_ + "/tp_norm/scale").f32.data(),
               W(prefix_ + "/tp_norm/bias").f32.data());
   }
+  return x;
+}
+
+std::vector<float> SanmEncoder::EncodeVad(const std::vector<float>& feats,
+                                          int t, int vad_pos) const {
+  std::vector<float> x(feats);
+  const float scale = std::sqrt(static_cast<float>(cfg_.d));
+  for (float& v : x) v *= scale;
+  AddSinusoidalPe(x.data(), t, cfg_.input_size);
+
+  EncLayer(prefix_ + "/encoders0", &x, t, cfg_.input_size, Mask::kCausal);
+  for (int l = 0; l < cfg_.blocks - 2; ++l) {
+    EncLayer(prefix_ + "/encoders." + std::to_string(l), &x, t, cfg_.d,
+             Mask::kCausal);
+  }
+  if (cfg_.blocks > 1) {
+    EncLayer(prefix_ + "/encoders." + std::to_string(cfg_.blocks - 2), &x, t,
+             cfg_.d, Mask::kVadCorner, vad_pos);
+  }
+  LayerNorm(x.data(), t, cfg_.d, W(prefix_ + "/after_norm/scale").f32.data(),
+            W(prefix_ + "/after_norm/bias").f32.data());
   return x;
 }
 

@@ -42,13 +42,22 @@ class SanmEncoder {
   // feats (t, input_size) -> (t, d): input scaling + PE, all blocks, after_norm.
   std::vector<float> Encode(const std::vector<float>& feats, int t) const;
 
+  // SANMVadEncoder variant (ct_transformer_streaming/encoder.py): causal
+  // attention everywhere except the last block, whose "VAD corner" mask keeps
+  // pre-text queries (rows <= vad_pos-2) from attending to new text
+  // (cols >= vad_pos). The FSMN branch is unmasked either way.
+  std::vector<float> EncodeVad(const std::vector<float>& feats, int t,
+                               int vad_pos) const;
+
   const SanmEncoderCfg& cfg() const { return cfg_; }
 
  private:
+  enum class Mask { kFull, kCausal, kVadCorner };
   void EncLayer(const std::string& prefix, std::vector<float>* x, int t,
-                int in_feat) const;
+                int in_feat, Mask mask = Mask::kFull, int vad_pos = 0) const;
   void SelfAttention(const std::string& prefix, const std::vector<float>& x,
-                     int t, int in_feat, std::vector<float>* out) const;
+                     int t, int in_feat, std::vector<float>* out,
+                     Mask mask = Mask::kFull, int vad_pos = 0) const;
   const WTensor& W(const std::string& name) const;
 
   const FtrFile* ftr_ = nullptr;

@@ -516,3 +516,64 @@ def test_native_sensevoice_engine(built, tmp_path, rng):
     out_cpp = lib.FunASRGetResult(res, 0).decode()
     assert out_cpp == expected, (out_cpp, expected)
     assert expected  # random weights still emit some tokens
+
+
+def test_native_punc_streaming(built, tmp_path):
+    """C++ streaming punc (ct-transformer-online role): per-chunk outputs with
+    a carried cache byte-match the JAX CTTransformerStreaming."""
+    import types
+
+    import jax
+
+    from funasr_tpu.export_runtime import export_punc_ftr
+    from funasr_tpu.models.ct_transformer_streaming.model import (
+        CTTransformerStreaming)
+
+    zh = [chr(c) for c in range(ord("一"), ord("一") + 30)]
+    token_list = ["<blank>", "<unk>"] + zh
+    tok = types.SimpleNamespace(
+        token2id={t: i for i, t in enumerate(token_list)}, unk_id=1)
+
+    model = CTTransformerStreaming(
+        vocab_size=len(token_list), embed_unit=16, att_unit=32,
+        punc_list=["<unk>", "_", "，", "。", "？", "、"],
+        encoder_conf=dict(output_size=32, attention_heads=4, linear_units=48,
+                          num_blocks=3, kernel_size=7, input_size=16))
+    params = model.init_params(jax.random.PRNGKey(13))
+
+    model_dir = tmp_path / "puncstream"
+    model_dir.mkdir()
+    export_punc_ftr(model, params, str(model_dir / "punc.ftr"),
+                    token_list=token_list)
+
+    rng_py = np.random.default_rng(3)
+    chunks = [" ".join(str(rng_py.choice(zh)) for _ in range(k))
+              for k in (7, 25, 4)]
+
+    cache_py = {}
+    out_py = []
+    for c in chunks:
+        res, _ = model.inference(params, [c], tokenizer=tok, cache=cache_py)
+        out_py.append(res[0]["text"])
+
+    lib = ctypes.CDLL(str(built / "libfunasr_tpu_runtime.so"))
+    lib.FunASRInit.restype = ctypes.c_void_p
+    lib.FunASRInit.argtypes = [ctypes.c_char_p, ctypes.c_int]
+    lib.FunPuncCacheCreate.restype = ctypes.c_void_p
+    lib.FunPuncCacheFree.argtypes = [ctypes.c_void_p]
+    lib.FunPuncInferOnline.restype = ctypes.c_void_p
+    lib.FunPuncInferOnline.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                       ctypes.c_void_p]
+    lib.FunASRGetResult.restype = ctypes.c_char_p
+    lib.FunASRGetResult.argtypes = [ctypes.c_void_p, ctypes.c_int]
+
+    h = lib.FunASRInit(str(model_dir).encode(), 1)
+    cache = lib.FunPuncCacheCreate()
+    out_cpp = []
+    for c in chunks:
+        res = lib.FunPuncInferOnline(h, c.encode(), ctypes.c_void_p(cache))
+        assert res, "FunPuncInferOnline returned null"
+        out_cpp.append(lib.FunASRGetResult(res, 0).decode())
+    lib.FunPuncCacheFree(ctypes.c_void_p(cache))
+    assert out_cpp == out_py, (out_cpp, out_py)
+    assert any(out_py)  # something was emitted
