@@ -171,6 +171,10 @@ void ServeConnection(std::shared_ptr<funasr_tpu::WsConnection> conn,
   std::string wav_name = "microphone";
   std::string pcm_buf;        // active audio (already-cut segments dropped)
   size_t partial_anchor = 0;  // pcm_buf size at the last partial/VAD pass
+  // true streaming partials (paraformer-online role) when the model dir
+  // supports it; falls back to throttled prefix re-decode otherwise
+  FUNASR_STREAM stream = handle ? FunASRStreamCreate(handle) : nullptr;
+  std::string stream_text;  // accumulated online tokens this utterance
   funasr_tpu::WsOp op;
   std::string payload;
 
@@ -190,6 +194,11 @@ void ServeConnection(std::shared_ptr<funasr_tpu::WsConnection> conn,
       mode = JsonGetString(payload, "mode", mode);
       wav_name = JsonGetString(payload, "wav_name", wav_name);
       if (!JsonGetBool(payload, "is_speaking", true)) {
+        if (stream != nullptr) {  // flush the streaming tail + reset
+          FUNASR_RESULT sr = FunASRStreamInfer(stream, nullptr, 0, 1, 16000);
+          if (sr != nullptr) FunASRFreeResult(sr);
+          stream_text.clear();
+        }
         std::string rest;
         rest.swap(pcm_buf);
         partial_anchor = 0;
@@ -198,6 +207,25 @@ void ServeConnection(std::shared_ptr<funasr_tpu::WsConnection> conn,
       }
     } else if (op == funasr_tpu::WsOp::kBinary) {
       pcm_buf.append(payload);
+      if (stream != nullptr && mode != "offline") {
+        FUNASR_RESULT sr = FunASRStreamInfer(stream, payload.data(),
+                                             static_cast<int>(payload.size()),
+                                             0, 16000);
+        if (sr != nullptr) {
+          const char* t = FunASRGetResult(sr, 0);
+          if (t != nullptr && t[0] != '\0') {
+            stream_text += t;
+            std::string reply =
+                "{\"mode\": \"" +
+                std::string(mode == "2pass" ? "2pass-online" : "online") +
+                "\", \"wav_name\": \"" + JsonEscape(wav_name) +
+                "\", \"text\": \"" + JsonEscape(stream_text) +
+                "\", \"is_final\": false}";
+            conn->SendText(reply);
+          }
+          FunASRFreeResult(sr);
+        }
+      }
       if (mode == "offline" ||
           pcm_buf.size() < partial_anchor + kPartialStrideMs * kBytesPerMs) {
         continue;
@@ -227,12 +255,13 @@ void ServeConnection(std::shared_ptr<funasr_tpu::WsConnection> conn,
           }
         }
       }
-      if (mode == "online" || mode == "2pass") {
+      if (stream == nullptr && (mode == "online" || mode == "2pass")) {
         submit(pcm_buf,  // re-decode the active segment as the partial
                mode == "2pass" ? "2pass-online" : "online", false);
       }
     }
   }
+  if (stream != nullptr) FunASRStreamFree(stream);
 }
 
 }  // namespace

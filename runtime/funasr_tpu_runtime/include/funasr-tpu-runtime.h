@@ -65,6 +65,16 @@ FUNASR_RESULT FunVadInfer(FUNASR_HANDLE handle, const char* data, int data_len,
  * also applies it to the ASR output automatically. */
 FUNASR_RESULT FunPuncInfer(FUNASR_HANDLE handle, const char* text);
 
+/* True streaming ASR (paraformer-online role): a stream carries the chunked
+ * encoder/CIF/decoder caches; each FunASRStreamInfer call feeds PCM16 (or raw
+ * float via WAV) and returns the NEW tokens decoded by the complete 600 ms
+ * strides buffered so far. is_final flushes the tail and resets the stream. */
+typedef void* FUNASR_STREAM;
+FUNASR_STREAM FunASRStreamCreate(FUNASR_HANDLE handle);
+FUNASR_RESULT FunASRStreamInfer(FUNASR_STREAM stream, const char* data,
+                                int data_len, int is_final, int sampling_rate);
+void FunASRStreamFree(FUNASR_STREAM stream);
+
 /* Streaming punctuation (ct-transformer-online role): a cache carries the
  * unterminated sentence tail between calls; each call returns only the new
  * words, punctuated, with the trailing mark withheld for revision. Requires a

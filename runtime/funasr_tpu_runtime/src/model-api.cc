@@ -22,6 +22,7 @@
 #include "paraformer-engine.h"
 #include "punc-engine.h"
 #include "sensevoice-engine.h"
+#include "streaming-engine.h"
 #include "vad-engine.h"
 #include "vocab.h"
 
@@ -34,6 +35,8 @@ using funasr_tpu::FsmnVadEngine;
 using funasr_tpu::ParaformerEngine;
 using funasr_tpu::PuncEngine;
 using funasr_tpu::SenseVoiceEngine;
+using funasr_tpu::StreamingEngine;
+using funasr_tpu::StreamSession;
 using funasr_tpu::Vocab;
 
 struct Handle {
@@ -50,6 +53,12 @@ struct Handle {
   std::unique_ptr<SenseVoiceEngine> sv;
   std::unique_ptr<FsmnVadEngine> vad;
   std::unique_ptr<PuncEngine> punc;
+  std::unique_ptr<StreamingEngine> stream_engine;  // lazily loaded
+};
+
+struct Stream {
+  StreamingEngine* engine;
+  std::unique_ptr<StreamSession> sess;
 };
 
 struct Result {
@@ -168,6 +177,42 @@ FUNASR_RESULT FunPuncInfer(FUNASR_HANDLE handle, const char* text) {
   auto* r = new Result();
   r->texts.push_back(h->punc->AddPunc(text));
   return r;
+}
+
+FUNASR_STREAM FunASRStreamCreate(FUNASR_HANDLE handle) {
+  auto* h = static_cast<Handle*>(handle);
+  if (h == nullptr || h->model_dir.empty()) return nullptr;
+  if (h->stream_engine == nullptr) {
+    auto eng = std::make_unique<StreamingEngine>();
+    if (!eng->Load(h->model_dir)) return nullptr;
+    h->stream_engine = std::move(eng);
+  }
+  auto* s = new Stream();
+  s->engine = h->stream_engine.get();
+  s->sess = s->engine->NewSession();
+  return s;
+}
+
+FUNASR_RESULT FunASRStreamInfer(FUNASR_STREAM stream, const char* data,
+                                int data_len, int is_final,
+                                int sampling_rate) {
+  auto* s = static_cast<Stream*>(stream);
+  if (s == nullptr) return nullptr;
+  std::vector<float> wav;
+  if (data != nullptr && data_len > 0) {
+    if (!funasr_tpu::DecodeAudio(data, data_len, sampling_rate, 16000, &wav)) {
+      return nullptr;
+    }
+  }
+  auto* r = new Result();
+  r->texts.push_back(s->engine->Accept(s->sess.get(), wav.data(),
+                                       static_cast<int>(wav.size()),
+                                       is_final != 0));
+  return r;
+}
+
+void FunASRStreamFree(FUNASR_STREAM stream) {
+  delete static_cast<Stream*>(stream);
 }
 
 FUNASR_PUNC_CACHE FunPuncCacheCreate() { return new funasr_tpu::PuncCache(); }

@@ -577,3 +577,84 @@ def test_native_punc_streaming(built, tmp_path):
     lib.FunPuncCacheFree(ctypes.c_void_p(cache))
     assert out_cpp == out_py, (out_cpp, out_py)
     assert any(out_py)  # something was emitted
+
+
+def test_native_streaming_engine(built, tmp_path):
+    """C++ streaming Paraformer (paraformer-online role): chunk-fed
+    FunASRStreamInfer matches the JAX ParaformerStreaming pipeline end to end
+    (streaming frontend caches, kv look-back, CIF carry, decoder FSMN caches)."""
+    import wave
+
+    import jax
+
+    from funasr_tpu import tables
+    from funasr_tpu.export_runtime import export_ftr
+    from funasr_tpu.frontends.wav_frontend import WavFrontendOnline
+    from funasr_tpu.tokenizer.char_tokenizer import CharTokenizer
+
+    tokens = ["<blank>", "<s>", "</s>"] + [chr(ord("一") + i) for i in range(37)] + ["<unk>"]
+    tok = CharTokenizer(token_list=tokens)
+    model = tables.model_classes["ParaformerStreaming"](
+        input_size=560, vocab_size=41,
+        encoder_conf=dict(output_size=32, attention_heads=4, linear_units=64,
+                          num_blocks=2),
+        decoder_conf=dict(attention_heads=4, linear_units=64, num_blocks=2,
+                          att_layer_num=2, sanm_shfit=0),
+        predictor_conf=dict(idim=32), sos=1, eos=2, predictor_bias=1)
+    params = model.init_params(jax.random.PRNGKey(0))
+    frontend = WavFrontendOnline(fs=16000, lfr_m=7, lfr_n=6, n_mels=80)
+
+    model_dir = tmp_path / "streammodel"
+    model_dir.mkdir()
+    export_ftr(model, params, str(model_dir / "weights.ftr"),
+               extra_meta={"lfr_m": 7, "lfr_n": 6, "n_mels": 80,
+                           "chunk_pad_left": 0, "chunk_stride": 10,
+                           "chunk_lookahead": 5,
+                           "encoder_chunk_look_back": 4,
+                           "decoder_chunk_look_back": 1})
+    (model_dir / "tokens.txt").write_text("\n".join(tokens) + "\n")
+
+    rng_l = np.random.default_rng(5)
+    pcm = (np.clip(rng_l.standard_normal(16000 * 2) * 0.2, -1, 1)
+           * 32767).astype("<i2")
+    wav_f = pcm.astype(np.float32) / 32768.0
+    # uneven chunk sizes exercise the prev_samples carry
+    bounds = [0, 9600, 12000, 25600, len(pcm)]
+    chunks = [(pcm[a:b], wav_f[a:b]) for a, b in zip(bounds, bounds[1:])]
+
+    cache = {}
+    py_text = ""
+    for ci, (_, fchunk) in enumerate(chunks):
+        res, _ = model.inference(
+            params, [fchunk], tokenizer=tok, frontend=frontend, cache=cache,
+            is_final=ci == len(chunks) - 1, chunk_size=[0, 10, 5],
+            encoder_chunk_look_back=4, decoder_chunk_look_back=1)
+        py_text += res[0]["text"]
+
+    lib = ctypes.CDLL(str(built / "libfunasr_tpu_runtime.so"))
+    lib.FunASRInit.restype = ctypes.c_void_p
+    lib.FunASRInit.argtypes = [ctypes.c_char_p, ctypes.c_int]
+    lib.FunASRStreamCreate.restype = ctypes.c_void_p
+    lib.FunASRStreamCreate.argtypes = [ctypes.c_void_p]
+    lib.FunASRStreamInfer.restype = ctypes.c_void_p
+    lib.FunASRStreamInfer.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                      ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    lib.FunASRGetResult.restype = ctypes.c_char_p
+    lib.FunASRGetResult.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.FunASRStreamFree.argtypes = [ctypes.c_void_p]
+
+    h = lib.FunASRInit(str(model_dir).encode(), 1)
+    stream = lib.FunASRStreamCreate(h)
+    assert stream, "stream creation failed"
+    cpp_text = ""
+    for ci, (pchunk, _) in enumerate(chunks):
+        data = pchunk.tobytes()
+        res = lib.FunASRStreamInfer(stream, data, len(data),
+                                    1 if ci == len(chunks) - 1 else 0, 16000)
+        assert res, "FunASRStreamInfer returned null"
+        cpp_text += lib.FunASRGetResult(res, 0).decode()
+    lib.FunASRStreamFree(ctypes.c_void_p(stream))
+
+    assert cpp_text.replace(" ", "") == py_text.replace(" ", ""), \
+        (cpp_text, py_text)
+    assert py_text.strip(), "python streaming produced no text"
