@@ -10,6 +10,9 @@ void MatMul(const float* x, int m, int k, const WTensor& w, const float* bias,
   const int n = static_cast<int>(w.cols());
   if (!w.quantized()) {
     const float* wd = w.f32.data();
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) if (static_cast<int64_t>(m) * k * n > 1 << 20)
+#endif
     for (int i = 0; i < m; ++i) {
       float* yi = y + i * n;
       if (bias) std::memcpy(yi, bias, n * sizeof(float));
@@ -24,6 +27,9 @@ void MatMul(const float* x, int m, int k, const WTensor& w, const float* bias,
     }
   } else {
     const int8_t* wd = w.i8.data();
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) if (static_cast<int64_t>(m) * k * n > 1 << 20)
+#endif
     for (int i = 0; i < m; ++i) {
       float* yi = y + i * n;
       std::memset(yi, 0, n * sizeof(float));
