@@ -1013,7 +1013,247 @@ def load_torch_checkpoint(path: str) -> Dict[str, Any]:
     return obj
 
 
+def _mha_qkvo(s: SD, name: str):
+    a = s.sub(name)
+    return {n: a.linear(n) for n in ("linear_q", "linear_k", "linear_v",
+                                     "linear_out")}
+
+
+def _conv2d_hwio(s: SD, name: str):
+    w = s.get(name + ".weight")  # torch (O, I, H, W) -> HWIO
+    p = {"w": w.transpose(2, 3, 1, 0)}
+    if s.has(name + ".bias"):
+        p["b"] = s.get(name + ".bias")
+    return p
+
+
+def convert_transformer(state_dict: Dict[str, Any], model) -> Dict[str, Any]:
+    """Transformer/SANM-free AED (reference ``funasr/models/transformer/model.py:23``
+    espnet-style layout: conv2d-subsampled encoder + AR decoder + CTC)."""
+    sd = SD(_strip_module_prefix(state_dict))
+    enc = sd.sub("encoder")
+    ecfg = model.encoder.cfg
+
+    def enc_layer(s: SD):
+        return {
+            "norm1": s.norm("norm1"), "norm2": s.norm("norm2"),
+            "self_attn": _mha_qkvo(s, "self_attn"),
+            "feed_forward": s.ffn("feed_forward"),
+        }
+
+    params: Dict[str, Any] = {"encoder": {
+        "after_norm": enc.norm("after_norm"),
+        "encoders": stack_params([enc_layer(enc.sub(f"encoders.{i}"))
+                                  for i in range(ecfg.num_blocks)]),
+    }}
+    if ecfg.input_layer == "conv2d":
+        emb = enc.sub("embed")
+        params["encoder"]["embed"] = {
+            "conv1": _conv2d_hwio(emb, "conv.0"),
+            "conv2": _conv2d_hwio(emb, "conv.2"),
+            "out": emb.linear("out.0"),
+        }
+    elif ecfg.input_layer == "linear":
+        params["encoder"]["embed"] = enc.sub("embed").linear("0")
+
+    params["decoder"] = _aed_decoder_params(sd.sub("decoder"),
+                                            model.decoder.cfg.num_blocks)
+    if sd.has("ctc.ctc_lo.weight"):
+        params["ctc"] = convert_ctc(sd.sub("ctc"))
+    return params
+
+
+def _aed_decoder_params(dec: SD, num_blocks: int):
+    def dec_layer(s: SD):
+        return {
+            "norm1": s.norm("norm1"), "norm2": s.norm("norm2"),
+            "norm3": s.norm("norm3"),
+            "self_attn": _mha_qkvo(s, "self_attn"),
+            "src_attn": _mha_qkvo(s, "src_attn"),
+            "feed_forward": s.ffn("feed_forward"),
+        }
+
+    return {
+        "embed": dec.sub("embed").embedding("0"),
+        "decoders": stack_params([dec_layer(dec.sub(f"decoders.{i}"))
+                                  for i in range(num_blocks)]),
+        "after_norm": dec.norm("after_norm"),
+        "output_layer": dec.linear("output_layer"),
+    }
+
+
+def convert_conformer_encoder(sd: SD, num_blocks: int):
+    """espnet-style ConformerEncoder (reference
+    ``funasr/models/conformer/encoder.py:286``): rel-pos MHA + macaron FFNs +
+    conv module with batch-norm."""
+
+    def layer(s: SD):
+        p = {
+            "norm_ff": s.norm("norm_ff"), "norm_mha": s.norm("norm_mha"),
+            "norm_final": s.norm("norm_final"),
+            "self_attn": {
+                **_mha_qkvo(s, "self_attn"),
+                "linear_pos": s.sub("self_attn").linear("linear_pos"),
+                "pos_bias_u": s.get("self_attn.pos_bias_u"),
+                "pos_bias_v": s.get("self_attn.pos_bias_v"),
+            },
+            "feed_forward": s.ffn("feed_forward"),
+        }
+        if s.has("norm_ff_macaron.weight"):
+            p["norm_ff_macaron"] = s.norm("norm_ff_macaron")
+            p["feed_forward_macaron"] = s.ffn("feed_forward_macaron")
+        if s.has("conv_module.pointwise_conv1.weight"):
+            cm = s.sub("conv_module")
+            p["norm_conv"] = s.norm("norm_conv")
+            p["conv_module"] = {
+                "pointwise_conv1": cm.conv1d("pointwise_conv1"),
+                "depthwise_conv": cm.dwconv("depthwise_conv"),
+                "pointwise_conv2": cm.conv1d("pointwise_conv2"),
+                "norm": {  # torch BatchNorm1d -> (scale, bias, mean, var)
+                    "scale": cm.get("norm.weight"),
+                    "bias": cm.get("norm.bias"),
+                    "mean": cm.get("norm.running_mean"),
+                    "var": cm.get("norm.running_var"),
+                },
+            }
+        return p
+
+    params = {
+        "after_norm": sd.norm("after_norm"),
+        "encoders": stack_params([layer(sd.sub(f"encoders.{i}"))
+                                  for i in range(num_blocks)]),
+    }
+    if sd.has("embed.conv.0.weight"):
+        emb = sd.sub("embed")
+        params["embed"] = {
+            "conv1": _conv2d_hwio(emb, "conv.0"),
+            "conv2": _conv2d_hwio(emb, "conv.2"),
+            "out": emb.linear("out.0"),
+        }
+    elif sd.has("embed.0.weight"):
+        params["embed"] = sd.sub("embed").linear("0")
+    return params
+
+
+def convert_conformer(state_dict: Dict[str, Any], model) -> Dict[str, Any]:
+    """Conformer AED (reference ``funasr/models/conformer/model.py``): conformer
+    encoder + transformer AR decoder + CTC."""
+    sd = SD(_strip_module_prefix(state_dict))
+    params = {"encoder": convert_conformer_encoder(
+        sd.sub("encoder"), model.encoder.cfg.num_blocks)}
+    if sd.has("decoder.output_layer.weight"):
+        params["decoder"] = _aed_decoder_params(sd.sub("decoder"),
+                                                model.decoder.cfg.num_blocks)
+    if sd.has("ctc.ctc_lo.weight"):
+        params["ctc"] = convert_ctc(sd.sub("ctc"))
+    return params
+
+
+def convert_fsmn_kws(state_dict: Dict[str, Any], model) -> Dict[str, Any]:
+    """Keyword spotting (reference ``funasr/models/fsmn_kws/model.py:27`` /
+    ``sanm_kws/``): FSMN scoring net (or SANM encoder) + CTC head."""
+    sd = SD(_strip_module_prefix(state_dict))
+    if type(model.encoder).__name__ == "FSMN":
+        enc = convert_fsmn(sd.sub("encoder"), model.encoder.cfg.fsmn_layers)
+    else:
+        enc = convert_sanm_encoder(sd.sub("encoder"),
+                                   model.encoder.cfg.num_blocks)
+    params = {"encoder": enc}
+    if sd.has("ctc.ctc_lo.weight"):
+        params["ctc"] = convert_ctc(sd.sub("ctc"))
+    return params
+
+
+def _scama_decoder_params(sd: SD, dcfg):
+    """FsmnDecoderSCAMAOpt (reference ``funasr/models/scama/decoder.py``):
+    embed + decoders (fsmn self + scama cross) + optional decoders2 (fsmn only)
+    + decoders3 (ffn) + after_norm + output_layer."""
+
+    def att_layer(s: SD):
+        return {
+            "norm1": s.norm("norm1"), "norm2": s.norm("norm2"),
+            "norm3": s.norm("norm3"),
+            "self_attn": {"fsmn_block": s.dwconv("self_attn.fsmn_block")},
+            "src_attn": {
+                "linear_q": s.linear("src_attn.linear_q"),
+                "linear_k_v": s.linear("src_attn.linear_k_v"),
+                "linear_out": s.linear("src_attn.linear_out"),
+            },
+            "feed_forward": s.ffn_dec_sanm("feed_forward"),
+        }
+
+    def fsmn_layer(s: SD):
+        return {
+            "norm1": s.norm("norm1"), "norm2": s.norm("norm2"),
+            "self_attn": {"fsmn_block": s.dwconv("self_attn.fsmn_block")},
+            "feed_forward": s.ffn_dec_sanm("feed_forward"),
+        }
+
+    d3 = sd.sub("decoders3.0")
+    params = {
+        "embed": sd.sub("embed").embedding("0"),
+        "decoders": stack_params([att_layer(sd.sub(f"decoders.{i}"))
+                                  for i in range(dcfg.att_layer_num)]),
+        "decoders3": {"norm1": d3.norm("norm1"),
+                      "feed_forward": d3.ffn_dec_sanm("feed_forward")},
+        "after_norm": sd.norm("after_norm"),
+        "output_layer": sd.linear("output_layer"),
+    }
+    n_extra = dcfg.num_blocks - dcfg.att_layer_num
+    if n_extra > 0:
+        params["decoders2"] = stack_params([
+            fsmn_layer(sd.sub(f"decoders2.{i}")) for i in range(n_extra)])
+    return params
+
+
+def convert_uniasr(state_dict: Dict[str, Any], model) -> Dict[str, Any]:
+    """UniASR 2-pass streaming ASR (reference ``funasr/models/uniasr/model.py:26``:
+    chunked SANM encoder -> CIF -> SCAMA decoder, then stride-conv + second
+    encoder/predictor/decoder for the accurate pass)."""
+    sd = SD(_strip_module_prefix(state_dict))
+    params = {
+        "encoder": convert_sanm_encoder(sd.sub("encoder"),
+                                        model.encoder.cfg.num_blocks),
+        "encoder2": convert_sanm_encoder(sd.sub("encoder2"),
+                                         model.encoder2.cfg.num_blocks),
+        "decoder": _scama_decoder_params(sd.sub("decoder"), model.decoder.cfg),
+        "decoder2": _scama_decoder_params(sd.sub("decoder2"),
+                                          model.decoder2.cfg),
+        "predictor": convert_cif_predictor(sd.sub("predictor")),
+        "predictor2": convert_cif_predictor(sd.sub("predictor2")),
+        "stride_conv": sd.sub("stride_conv").conv1d("conv"),
+    }
+    if sd.has("ctc.ctc_lo.weight"):
+        params["ctc"] = convert_ctc(sd.sub("ctc"))
+    return params
+
+
+def convert_scama(state_dict: Dict[str, Any], model) -> Dict[str, Any]:
+    """Single-pass SCAMA (reference ``funasr/models/scama/model.py``: chunked
+    SANM encoder + CIF + SCAMA decoder)."""
+    sd = SD(_strip_module_prefix(state_dict))
+    params = {
+        "encoder": convert_sanm_encoder(sd.sub("encoder"),
+                                        model.encoder.cfg.num_blocks),
+        "decoder": _scama_decoder_params(sd.sub("decoder"), model.decoder.cfg),
+        "predictor": convert_cif_predictor(sd.sub("predictor")),
+    }
+    if sd.has("ctc.ctc_lo.weight"):
+        params["ctc"] = convert_ctc(sd.sub("ctc"))
+    return params
+
+
 CONVERTERS = {
+    "Transformer": convert_transformer,
+    "Conformer": convert_conformer,
+    "UniASR": convert_uniasr,
+    "SCAMA": convert_scama,
+    "FsmnKWS": convert_fsmn_kws,
+    "FsmnKWSConvert": convert_fsmn_kws,
+    "FsmnKWSMT": convert_fsmn_kws,
+    "FsmnKWSMTConvert": convert_fsmn_kws,
+    "SanmKWS": convert_fsmn_kws,
+    "SanmKWSStreaming": convert_fsmn_kws,
     "Paraformer": convert_paraformer,
     "BiCifParaformer": convert_paraformer,
     "EParaformer": convert_paraformer,

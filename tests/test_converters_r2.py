@@ -280,3 +280,202 @@ def test_production_dims_roundtrip(rng):
     got, got_lens = mine(params, np.asarray(speech), np.asarray(lens))
     assert int(np.asarray(got_lens)[0]) == int(want_lens[0])
     np.testing.assert_allclose(np.asarray(got), want.numpy(), rtol=2e-3, atol=2e-3)
+
+
+def test_transformer_aed_converter_parity(rng):
+    """Converted espnet-style Transformer AED weights reproduce the reference
+    encoder output and decoder logits on identical inputs."""
+    torch.manual_seed(7)
+    from funasr.models.transformer.model import Transformer as RefT
+    from funasr_tpu.convert.torch_to_jax import convert_state_dict
+    from funasr_tpu.register import tables
+
+    kw = dict(
+        input_size=24, vocab_size=40, specaug=None,
+        encoder="TransformerEncoder",
+        encoder_conf=dict(output_size=32, attention_heads=4, linear_units=64,
+                          num_blocks=2, input_layer="conv2d", dropout_rate=0.0,
+                          positional_dropout_rate=0.0,
+                          attention_dropout_rate=0.0),
+        decoder="TransformerDecoder",
+        decoder_conf=dict(attention_heads=4, linear_units=64, num_blocks=2,
+                          dropout_rate=0.0, positional_dropout_rate=0.0,
+                          self_attention_dropout_rate=0.0,
+                          src_attention_dropout_rate=0.0),
+        sos=1, eos=2)
+    ref = RefT(**kw).eval()
+    mine = tables.model_classes["Transformer"](**kw)
+    params = convert_state_dict(dict(ref.state_dict()), mine, "Transformer")
+
+    speech = rng.standard_normal((2, 30, 24)).astype(np.float32)
+    lens = np.array([30, 24], np.int32)
+    with torch.no_grad():
+        enc_ref, enc_lens_ref = ref.encode(torch.from_numpy(speech),
+                                           torch.from_numpy(lens))
+    enc_mine, enc_lens_mine = mine.encode(params, speech, lens)
+    enc_mine = np.asarray(enc_mine)
+    assert enc_mine.shape[1] >= enc_ref.shape[1]
+    for b, n in enumerate(np.asarray(enc_lens_ref)):
+        np.testing.assert_allclose(enc_mine[b, :n], enc_ref[b, :n].numpy(),
+                                   rtol=2e-4, atol=2e-4)
+
+    # decoder teacher-forced logits
+    ys = np.array([[1, 5, 7, 9], [1, 6, 8, 2]], np.int32)
+    ys_lens = np.array([4, 3], np.int32)
+    with torch.no_grad():
+        dec_ref, _ = ref.decoder(enc_ref, enc_lens_ref,
+                                 torch.from_numpy(ys).long(),
+                                 torch.from_numpy(ys_lens))
+    dec_mine, _ = mine.decoder(params["decoder"],
+                               enc_mine[:, :enc_ref.shape[1]],
+                               np.asarray(enc_lens_ref), ys, ys_lens)
+    dec_mine = np.asarray(dec_mine)
+    for b, n in enumerate(ys_lens):
+        np.testing.assert_allclose(dec_mine[b, :n], dec_ref[b, :n].numpy(),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_conformer_converter_parity(rng):
+    """Converted Conformer encoder weights (rel-pos MHA, macaron FFN, conv
+    module with batch-norm) reproduce the reference encoder output."""
+    torch.manual_seed(3)
+    from funasr.models.conformer.encoder import ConformerEncoder as RefE
+    from funasr_tpu.convert.torch_to_jax import convert_conformer_encoder, SD
+    from funasr_tpu.register import tables
+
+    kw = dict(input_size=24, output_size=32, attention_heads=4,
+              linear_units=64, num_blocks=2, input_layer="conv2d",
+              macaron_style=True, use_cnn_module=True, cnn_module_kernel=7,
+              dropout_rate=0.0, positional_dropout_rate=0.0,
+              attention_dropout_rate=0.0)
+    # our JAX conformer implements the non-legacy rel-pos attention
+    ref = RefE(rel_pos_type="latest", **kw).eval()
+    mine = tables.encoder_classes["ConformerEncoder"](**kw)
+    params = convert_conformer_encoder(SD(dict(ref.state_dict())), 2)
+
+    speech = rng.standard_normal((2, 30, 24)).astype(np.float32)
+    lens = np.array([30, 24], np.int32)
+    with torch.no_grad():
+        out = ref(torch.from_numpy(speech), torch.from_numpy(lens))
+        enc_ref, enc_lens_ref = out[0], out[1]
+    import jax.numpy as jnp
+    enc_mine, _ = mine(params, jnp.asarray(speech), jnp.asarray(lens))
+    enc_mine = np.asarray(enc_mine)
+    for b, n in enumerate(np.asarray(enc_lens_ref)):
+        np.testing.assert_allclose(enc_mine[b, :n], enc_ref[b, :n].numpy(),
+                                   rtol=3e-4, atol=3e-4)
+
+
+def test_fsmn_kws_converter_parity(rng):
+    """Converted FSMN-KWS weights reproduce the reference CTC logits."""
+    torch.manual_seed(9)
+    from funasr.models.fsmn_kws.model import FsmnKWS as RefK
+    from funasr_tpu.convert.torch_to_jax import convert_state_dict
+    from funasr_tpu.register import tables
+
+    kw = dict(encoder="FSMN",
+              encoder_conf=dict(input_dim=120, input_affine_dim=32,
+                                fsmn_layers=2, linear_dim=32, proj_dim=16,
+                                lorder=5, rorder=1, lstride=1, rstride=1,
+                                output_affine_dim=32, output_dim=12,
+                                use_softmax=True),
+              vocab_size=8, input_size=120)
+    ref = RefK(specaug=None, **kw).eval()
+    mine = tables.model_classes["FsmnKWS"](**kw)
+    params = convert_state_dict(dict(ref.state_dict()), mine, "FsmnKWS")
+
+    speech = rng.standard_normal((2, 20, 120)).astype(np.float32)
+    lens = np.array([20, 16], np.int32)
+    with torch.no_grad():
+        enc_ref, _ = ref.encode(torch.from_numpy(speech),
+                                torch.from_numpy(lens))
+        logits_ref = ref.ctc.ctc_lo(enc_ref).numpy()
+    import jax.numpy as jnp
+    enc_mine = np.asarray(mine.encoder(params["encoder"],
+                                       jnp.asarray(speech)))
+    logits_mine = np.asarray(mine.ctc.logits(params["ctc"],
+                                             jnp.asarray(enc_mine)))
+    for b, n in enumerate(lens):
+        np.testing.assert_allclose(logits_mine[b, :n], logits_ref[b, :n],
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_uniasr_converter_parity(rng):
+    """Converted UniASR weights reproduce the reference's first-pass encoder
+    output and second-pass encoder2(stride_conv(...)) output."""
+    torch.manual_seed(6)
+    from funasr.models.uniasr.model import UniASR as RefU
+    from funasr_tpu.convert.torch_to_jax import convert_state_dict
+    from funasr_tpu.register import tables
+
+    ENC = dict(output_size=32, attention_heads=4, linear_units=64, num_blocks=2,
+               input_layer="pe", kernel_size=11, sanm_shfit=0,
+               chunk_size=(12,), stride=(8,), pad_left=(0,),
+               encoder_att_look_back_factor=(1,),
+               decoder_att_look_back_factor=(1,), dropout_rate=0.0,
+               positional_dropout_rate=0.0, attention_dropout_rate=0.0)
+    DEC = dict(attention_heads=4, linear_units=64, num_blocks=2,
+               att_layer_num=2, kernel_size=11, sanm_shfit=0, dropout_rate=0.0,
+               positional_dropout_rate=0.0, self_attention_dropout_rate=0.0,
+               src_attention_dropout_rate=0.0)
+    kw = dict(input_size=24, vocab_size=40, specaug=None,
+              encoder="SANMEncoderChunkOpt", encoder_conf=dict(ENC),
+              encoder2="SANMEncoderChunkOpt", encoder2_conf=dict(ENC),
+              decoder="FsmnDecoderSCAMAOpt", decoder_conf=dict(DEC),
+              decoder2="FsmnDecoderSCAMAOpt", decoder2_conf=dict(DEC),
+              predictor="CifPredictorV2",
+              predictor_conf=dict(idim=32, threshold=1.0, l_order=1, r_order=1),
+              predictor2="CifPredictorV2",
+              predictor2_conf=dict(idim=32, threshold=1.0, l_order=1,
+                                   r_order=1),
+              stride_conv_conf=dict(kernel_size=2, stride=2, pad=[0, 1]))
+    ref = RefU(**kw).eval()
+    mine = tables.model_classes["UniASR"](**kw)
+    params = convert_state_dict(dict(ref.state_dict()), mine, "UniASR")
+
+    import jax.numpy as jnp
+    # the chunk-opt encoder's reference forward always overlap-chunks, so
+    # converter parity is proven on the decoder / predictor / stride_conv
+    enc_out = rng.standard_normal((2, 14, 32)).astype(np.float32)
+    enc_lens = np.array([14, 11], np.int32)
+    ys = np.array([[4, 7, 9, 2], [5, 8, 2, 0]], np.int64)
+    ys_lens = np.array([4, 3], np.int32)
+    with torch.no_grad():
+        dec_ref, _ = ref.decoder(torch.from_numpy(enc_out),
+                                 torch.from_numpy(enc_lens),
+                                 torch.from_numpy(ys),
+                                 torch.from_numpy(ys_lens))
+    dec_mine, _ = mine.decoder(params["decoder"], jnp.asarray(enc_out),
+                               jnp.asarray(enc_lens),
+                               jnp.asarray(ys.astype(np.int32)),
+                               jnp.asarray(ys_lens))
+    dec_mine = np.asarray(dec_mine)
+    for b, n in enumerate(ys_lens):
+        np.testing.assert_allclose(dec_mine[b, :n], dec_ref[b, :n].numpy(),
+                                   rtol=3e-4, atol=3e-4)
+
+    # second-pass decoder too (fresh weights)
+    with torch.no_grad():
+        dec2_ref, _ = ref.decoder2(torch.from_numpy(enc_out),
+                                   torch.from_numpy(enc_lens),
+                                   torch.from_numpy(ys),
+                                   torch.from_numpy(ys_lens))
+    dec2_mine, _ = mine.decoder2(params["decoder2"], jnp.asarray(enc_out),
+                                 jnp.asarray(enc_lens),
+                                 jnp.asarray(ys.astype(np.int32)),
+                                 jnp.asarray(ys_lens))
+    dec2_mine = np.asarray(dec2_mine)
+    for b, n in enumerate(ys_lens):
+        np.testing.assert_allclose(dec2_mine[b, :n], dec2_ref[b, :n].numpy(),
+                                   rtol=3e-4, atol=3e-4)
+
+    # predictor alphas
+    mask_np = (np.arange(14)[None, :] < enc_lens[:, None])
+    with torch.no_grad():
+        alpha_ref = ref.predictor(
+            torch.from_numpy(enc_out),
+            mask=torch.from_numpy(mask_np.astype(np.float32))[:, None, :])[2]
+    alpha_mine = mine.predictor.alphas(params["predictor"],
+                                       jnp.asarray(enc_out), mask_np)
+    np.testing.assert_allclose(np.asarray(alpha_mine), alpha_ref.numpy(),
+                               rtol=3e-4, atol=3e-4)
