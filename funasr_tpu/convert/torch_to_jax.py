@@ -1243,11 +1243,90 @@ def convert_scama(state_dict: Dict[str, Any], model) -> Dict[str, Any]:
     return params
 
 
+def convert_branchformer_encoder(sd: SD, num_blocks: int):
+    """Branchformer encoder (reference ``funasr/models/branchformer/encoder.py``):
+    rel-pos attention branch + cgMLP branch merged by concat+linear."""
+
+    def layer(s: SD):
+        a = s.sub("attn")
+        cg = s.sub("cgmlp")
+        return {
+            "norm_mha": s.norm("norm_mha"), "norm_mlp": s.norm("norm_mlp"),
+            "norm_final": s.norm("norm_final"),
+            "attn": {
+                **{n: a.linear(n) for n in ("linear_q", "linear_k", "linear_v",
+                                            "linear_out")},
+                "linear_pos": a.linear("linear_pos"),
+                "pos_bias_u": s.get("attn.pos_bias_u"),
+                "pos_bias_v": s.get("attn.pos_bias_v"),
+            },
+            "cgmlp": {
+                "channel_proj1": cg.linear("channel_proj1.0"),
+                "norm_gate": cg.sub("csgu").norm("norm"),
+                "conv_gate": cg.sub("csgu").dwconv("conv"),
+                "channel_proj2": cg.linear("channel_proj2"),
+            },
+            "merge_proj": s.linear("merge_proj"),
+        }
+
+    params = {
+        "after_norm": sd.norm("after_norm"),
+        "encoders": stack_params([layer(sd.sub(f"encoders.{i}"))
+                                  for i in range(num_blocks)]),
+    }
+    if sd.has("embed.conv.0.weight"):
+        emb = sd.sub("embed")
+        params["embed"] = {
+            "conv1": _conv2d_hwio(emb, "conv.0"),
+            "conv2": _conv2d_hwio(emb, "conv.2"),
+            "out": emb.linear("out.0"),
+        }
+    return params
+
+
+def convert_branchformer(state_dict: Dict[str, Any], model) -> Dict[str, Any]:
+    sd = SD(_strip_module_prefix(state_dict))
+    params = {"encoder": convert_branchformer_encoder(
+        sd.sub("encoder"), model.encoder.cfg.num_blocks)}
+    if sd.has("decoder.output_layer.weight"):
+        params["decoder"] = _aed_decoder_params(sd.sub("decoder"),
+                                                model.decoder.cfg.num_blocks)
+    if sd.has("ctc.ctc_lo.weight"):
+        params["ctc"] = convert_ctc(sd.sub("ctc"))
+    return params
+
+
+def convert_transducer(state_dict: Dict[str, Any], model) -> Dict[str, Any]:
+    """RNN-T (reference ``funasr/models/transducer/model.py:39``: conformer
+    encoder + LSTM label decoder + joint network)."""
+    sd = SD(_strip_module_prefix(state_dict))
+    params = {
+        "encoder": convert_conformer_encoder(sd.sub("encoder"),
+                                             model.encoder.cfg.num_blocks),
+        "embed": sd.sub("decoder").embedding("embed"),
+        "pred_lstm": [],
+        "joint": {name: sd.sub("joint_network").linear(name)
+                  for name in ("lin_enc", "lin_dec", "lin_out")},
+    }
+    i = 0
+    while sd.has(f"decoder.rnn.{i}.weight_ih_l0"):
+        s = sd.sub(f"decoder.rnn.{i}")
+        params["pred_lstm"].append({
+            "w_ih": s.get("weight_ih_l0").T, "w_hh": s.get("weight_hh_l0").T,
+            "b_ih": s.get("bias_ih_l0"), "b_hh": s.get("bias_hh_l0"),
+        })
+        i += 1
+    return params
+
+
 CONVERTERS = {
     "Transformer": convert_transformer,
     "Conformer": convert_conformer,
     "UniASR": convert_uniasr,
     "SCAMA": convert_scama,
+    "Branchformer": convert_branchformer,
+    "Transducer": convert_transducer,
+    "BAT": convert_transducer,
     "FsmnKWS": convert_fsmn_kws,
     "FsmnKWSConvert": convert_fsmn_kws,
     "FsmnKWSMT": convert_fsmn_kws,

@@ -18,7 +18,9 @@ from funasr_tpu.core.layers import (
     depthwise_conv1d_apply, depthwise_conv1d_init, ffn_apply, ffn_init,
     layer_norm_apply, layer_norm_init, linear_apply, linear_init, make_pad_mask)
 from funasr_tpu.core.module import stack_params
-from funasr_tpu.models.transformer.attention import MHAConfig, mha_apply, mha_init
+from funasr_tpu.models.transformer.attention import (
+    MHAConfig, mha_apply, mha_init, rel_pos_emb, relpos_mha_apply,
+    relpos_mha_init)
 from funasr_tpu.models.transformer.subsampling import (
     conv2d_subsampling_apply, conv2d_subsampling_init)
 from funasr_tpu.register import tables
@@ -34,6 +36,8 @@ class BranchformerConfig(NamedTuple):
     merge_method: str = "concat"  # branchformer
     use_macaron: bool = False     # e-branchformer
     ffn_units: int = 1024
+    # reference branchformer/encoder.py:300 defaults to rel-pos self-attention
+    attention_layer_type: str = "rel_selfattn"
 
     @property
     def mha(self):
@@ -68,7 +72,9 @@ def _layer_init(rng, cfg: BranchformerConfig):
     d = cfg.output_size
     p = {
         "norm_mha": layer_norm_init(d),
-        "attn": mha_init(keys[0], cfg.mha),
+        "attn": (relpos_mha_init(keys[0], cfg.mha)
+                 if cfg.attention_layer_type == "rel_selfattn"
+                 else mha_init(keys[0], cfg.mha)),
         "norm_mlp": layer_norm_init(d),
         "cgmlp": cgmlp_init(keys[1], cfg),
         "merge_proj": linear_init(keys[2], d * 2, d),
@@ -84,11 +90,16 @@ def _layer_init(rng, cfg: BranchformerConfig):
     return p
 
 
-def _layer_apply(p, cfg: BranchformerConfig, x, mask):
+def _layer_apply(p, cfg: BranchformerConfig, x, mask, pos=None):
     if cfg.use_macaron:
         x = x + 0.5 * ffn_apply(p["ffn1"], layer_norm_apply(p["norm_ff1"], x))
     h_att = layer_norm_apply(p["norm_mha"], x)
-    h_att = mha_apply(p["attn"], cfg.mha, h_att, h_att, h_att, mask[:, None, :])
+    if cfg.attention_layer_type == "rel_selfattn":
+        h_att = relpos_mha_apply(p["attn"], cfg.mha, h_att, pos,
+                                 mask[:, None, :])
+    else:
+        h_att = mha_apply(p["attn"], cfg.mha, h_att, h_att, h_att,
+                          mask[:, None, :])
     h_mlp = layer_norm_apply(p["norm_mlp"], x)
     h_mlp = cgmlp_apply(p["cgmlp"], cfg, h_mlp, mask)
     merged = jnp.concatenate([h_att, h_mlp], axis=-1)
@@ -109,10 +120,12 @@ class BranchformerEncoder:
     def __init__(self, input_size: int, output_size: int = 256,
                  attention_heads: int = 4, cgmlp_linear_units: int = 2048,
                  cgmlp_conv_kernel: int = 31, num_blocks: int = 12,
-                 ffn_units: int = 1024, **kwargs):
+                 ffn_units: int = 1024,
+                 attention_layer_type: str = "rel_selfattn", **kwargs):
         self.cfg = BranchformerConfig(
             input_size, output_size, attention_heads, cgmlp_linear_units,
-            cgmlp_conv_kernel, num_blocks, self.MERGE, self.MACARON, ffn_units)
+            cgmlp_conv_kernel, num_blocks, self.MERGE, self.MACARON, ffn_units,
+            attention_layer_type)
 
     def output_size(self):
         return self.cfg.output_size
@@ -130,11 +143,17 @@ class BranchformerEncoder:
 
     def __call__(self, params, xs_pad, ilens, rng=None):
         cfg = self.cfg
-        x, olens = conv2d_subsampling_apply(params["embed"], xs_pad, ilens)
+        relpos = cfg.attention_layer_type == "rel_selfattn"
+        x, olens = conv2d_subsampling_apply(params["embed"], xs_pad, ilens,
+                                            add_pe=not relpos)
+        if relpos:
+            x = x * (cfg.output_size ** 0.5)
         mask = make_pad_mask(olens, x.shape[1])
+        pos = (rel_pos_emb(x.shape[1], cfg.output_size, x.dtype)
+               if relpos else None)
 
         def body(carry, lp):
-            return _layer_apply(lp, cfg, carry, mask), None
+            return _layer_apply(lp, cfg, carry, mask, pos), None
 
         x, _ = jax.lax.scan(body, x, params["encoders"])
         return layer_norm_apply(params["after_norm"], x), olens

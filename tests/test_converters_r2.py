@@ -479,3 +479,81 @@ def test_uniasr_converter_parity(rng):
                                        jnp.asarray(enc_out), mask_np)
     np.testing.assert_allclose(np.asarray(alpha_mine), alpha_ref.numpy(),
                                rtol=3e-4, atol=3e-4)
+
+
+def test_branchformer_converter_parity(rng):
+    """Converted Branchformer encoder weights (rel-pos attention + cgMLP)
+    reproduce the reference encoder output."""
+    torch.manual_seed(17)
+    from funasr.models.branchformer.encoder import BranchformerEncoder as RefB
+    from funasr_tpu.convert.torch_to_jax import (SD,
+                                                 convert_branchformer_encoder)
+    from funasr_tpu.register import tables
+
+    kw = dict(input_size=24, output_size=32, num_blocks=2, attention_heads=4,
+              cgmlp_linear_units=64, cgmlp_conv_kernel=7, input_layer="conv2d",
+              dropout_rate=0.0)
+    ref = RefB(**kw).eval()
+    mine = tables.encoder_classes["BranchformerEncoder"](**kw)
+    params = convert_branchformer_encoder(SD(dict(ref.state_dict())), 2)
+
+    speech = rng.standard_normal((2, 30, 24)).astype(np.float32)
+    lens = np.array([30, 24], np.int32)
+    with torch.no_grad():
+        out = ref(torch.from_numpy(speech), torch.from_numpy(lens))
+        enc_ref, enc_lens_ref = out[0], out[1]
+    import jax.numpy as jnp
+    enc_mine, _ = mine(params, jnp.asarray(speech), jnp.asarray(lens))
+    enc_mine = np.asarray(enc_mine)
+    for b, n in enumerate(np.asarray(enc_lens_ref)):
+        np.testing.assert_allclose(enc_mine[b, :n], enc_ref[b, :n].numpy(),
+                                   rtol=3e-4, atol=3e-4)
+
+
+def test_transducer_converter_parity(rng):
+    """Converted RNN-T weights reproduce the reference joint-network output
+    on identical encoder/decoder features."""
+    torch.manual_seed(23)
+    from funasr.models.transducer.model import Transducer as RefT
+    from funasr_tpu.convert.torch_to_jax import convert_state_dict
+    from funasr_tpu.register import tables
+
+    enc_conf = dict(output_size=32, attention_heads=4, linear_units=64,
+                    num_blocks=1, input_layer="conv2d", dropout_rate=0.0,
+                    positional_dropout_rate=0.0, attention_dropout_rate=0.0,
+                    macaron_style=True, use_cnn_module=True,
+                    cnn_module_kernel=7)
+    dec_conf = dict(embed_size=16, hidden_size=32, num_layers=1)
+    ref = RefT(input_size=24, vocab_size=40, specaug=None,
+               encoder="ConformerEncoder",
+               encoder_conf=dict(enc_conf, rel_pos_type="latest"),
+               decoder="rnnt_decoder", decoder_conf=dict(dec_conf),
+               joint_network="joint_network",
+               joint_network_conf=dict(joint_space_size=24)).eval()
+    mine = tables.model_classes["Transducer"](
+        input_size=24, vocab_size=40, encoder_conf=dict(enc_conf),
+        decoder_conf=dict(dec_conf), joint_network_conf=dict(joint_space_size=24))
+    params = convert_state_dict(dict(ref.state_dict()), mine, "Transducer")
+
+    import jax.numpy as jnp
+    # encoder parity
+    speech = rng.standard_normal((1, 30, 24)).astype(np.float32)
+    lens = np.array([30], np.int32)
+    with torch.no_grad():
+        out = ref.encoder(torch.from_numpy(speech), torch.from_numpy(lens))
+        enc_ref = out[0]
+    enc_mine = np.asarray(mine.encoder(params["encoder"], jnp.asarray(speech),
+                                       jnp.asarray(lens))[0])
+    np.testing.assert_allclose(enc_mine[:, :enc_ref.shape[1]], enc_ref.numpy(),
+                               rtol=3e-4, atol=3e-4)
+
+    # joint output parity on random features
+    ef = rng.standard_normal((1, 4, 32)).astype(np.float32)
+    df = rng.standard_normal((1, 3, 32)).astype(np.float32)
+    with torch.no_grad():
+        joint_ref = ref.joint_network(torch.from_numpy(ef)[:, :, None],
+                                      torch.from_numpy(df)[:, None]).numpy()
+    joint_mine = np.asarray(mine.joint(params["joint"],
+                                       jnp.asarray(ef)[:, :, None],
+                                       jnp.asarray(df)[:, None]))
+    np.testing.assert_allclose(joint_mine, joint_ref, rtol=3e-4, atol=3e-4)
