@@ -49,6 +49,7 @@ _REGISTRABLE_MODULES = [
     "funasr_tpu.models.transformer.conv_decoders",
     "funasr_tpu.models.paraformer.san_decoder",
     "funasr_tpu.models.lcbnet.encoder",
+    "funasr_tpu.models.lcbnet.model",
     "funasr_tpu.models.conformer.model",
     "funasr_tpu.models.contextual_paraformer.model",
     "funasr_tpu.models.fsmn_kws.model",

@@ -1319,6 +1319,55 @@ def convert_transducer(state_dict: Dict[str, Any], model) -> Dict[str, Any]:
     return params
 
 
+def convert_lcbnet(state_dict: Dict[str, Any], model) -> Dict[str, Any]:
+    """LCB-Net (reference ``funasr/models/lcbnet/model.py:28``): conformer
+    AED+CTC backbone + text encoder + SelfSrcAttention fusion + ConvPredictor
+    bias head."""
+    sd = SD(_strip_module_prefix(state_dict))
+    params = {"encoder": convert_conformer_encoder(
+        sd.sub("encoder"), model.encoder.cfg.num_blocks)}
+    params["decoder"] = _aed_decoder_params(sd.sub("decoder"),
+                                            model.decoder.cfg.num_blocks)
+    if sd.has("ctc.ctc_lo.weight"):
+        params["ctc"] = convert_ctc(sd.sub("ctc"))
+
+    te = sd.sub("text_encoder")
+
+    def te_layer(s: SD):
+        return {
+            "norm1": s.norm("norm1"), "norm2": s.norm("norm2"),
+            "self_attn": _mha_qkvo(s, "self_attn"),
+            "feed_forward": s.ffn("feed_forward"),
+        }
+
+    params["text_encoder"] = {
+        "embed": te.sub("embed").embedding("0"),
+        "encoder": {
+            "encoders": stack_params([
+                te_layer(te.sub(f"encoders.{i}"))
+                for i in range(model.text_encoder.enc.cfg.num_blocks)]),
+            "after_norm": te.norm("after_norm"),
+        },
+    }
+    fe = sd.sub("fusion_encoder")
+    params["fusion_encoder"] = {
+        "norm1": fe.norm("norm1"), "norm2": fe.norm("norm2"),
+        "norm3": fe.norm("norm3"),
+        "self_attn": _mha_qkvo(fe, "self_attn"),
+        "src_attn": _mha_qkvo(fe, "src_attn"),
+        "feed_forward": fe.ffn("feed_forward"),
+    }
+    bp = sd.sub("bias_predictor")
+    params["bias_predictor"] = {
+        "atten": _mha_qkvo(bp, "atten"),
+        "norm1": bp.norm("norm1"), "norm2": bp.norm("norm2"),
+        "feed_forward": bp.ffn("feed_forward"),
+        "conv1d": bp.dwconv("conv1d"),
+        "output_linear": bp.linear("output_linear"),
+    }
+    return params
+
+
 CONVERTERS = {
     "Transformer": convert_transformer,
     "Conformer": convert_conformer,
@@ -1327,6 +1376,7 @@ CONVERTERS = {
     "Branchformer": convert_branchformer,
     "Transducer": convert_transducer,
     "BAT": convert_transducer,
+    "LCBNet": convert_lcbnet,
     "FsmnKWS": convert_fsmn_kws,
     "FsmnKWSConvert": convert_fsmn_kws,
     "FsmnKWSMT": convert_fsmn_kws,

@@ -39,6 +39,7 @@ class TransformerTextEncoder:
                  output_size: int = 256, attention_heads: int = 4,
                  linear_units: int = 2048, num_blocks: int = 3, **kwargs):
         self.vocab_size = vocab_size if vocab_size > 0 else input_size
+        kwargs.setdefault("input_layer", None)  # ids embed externally, no conv
         self.enc = TransformerEncoder(input_size=output_size,
                                       output_size=output_size,
                                       attention_heads=attention_heads,
@@ -55,7 +56,9 @@ class TransformerTextEncoder:
                 "encoder": self.enc.init(k2)}
 
     def __call__(self, params, text, text_lengths, rng=None):
-        x = embedding_apply(params["embed"], text)
+        from funasr_tpu.models.transformer.attention import add_espnet_pe
+        # reference embed = Embedding -> espnet PositionalEncoding (x*sqrt(d)+PE)
+        x = add_espnet_pe(embedding_apply(params["embed"], text))
         return self.enc(params["encoder"], x, text_lengths, rng=rng)
 
 

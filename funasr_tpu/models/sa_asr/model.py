@@ -133,12 +133,12 @@ class SAASR(Paraformer):
         return results, {}
 
 
-@tables.register("model_classes", "LCBNet")
+@tables.register("model_classes", "LCBNetNAR")
 class LCBNet(Paraformer):
-    """LCBNet: long-context biasing with a text encoder (audio-visual slides/OCR
-    context; reference ``funasr/models/lcbnet/model.py:28``): bias text tokens encode
-    through a transformer and the decoder hidden states fuse with them via
-    cross-attention before the output layer."""
+    """NAR variant of long-context biasing (our own design, kept alongside the
+    reference-faithful AED ``funasr_tpu/models/lcbnet/model.py`` LCBNet): bias
+    text tokens encode through a transformer and the decoder hidden states fuse
+    with them via cross-attention before the output layer."""
 
     def __init__(self, *args, bias_encoder_blocks: int = 2,
                  bias_attention_heads: int = 4, **kwargs):

@@ -557,3 +557,70 @@ def test_transducer_converter_parity(rng):
                                        jnp.asarray(ef)[:, :, None],
                                        jnp.asarray(df)[:, None]))
     np.testing.assert_allclose(joint_mine, joint_ref, rtol=3e-4, atol=3e-4)
+
+
+def test_lcbnet_converter_parity(rng):
+    """Converted LCB-Net weights reproduce the reference's fused encoder
+    output (text encoder + SelfSrcAttention) and bias-predictor scores."""
+    torch.manual_seed(29)
+    from funasr.models.lcbnet.model import LCBNet as RefL
+    from funasr_tpu.convert.torch_to_jax import convert_state_dict
+    from funasr_tpu.register import tables
+
+    enc_conf = dict(output_size=32, attention_heads=4, linear_units=64,
+                    num_blocks=1, input_layer="conv2d", macaron_style=True,
+                    use_cnn_module=True, cnn_module_kernel=7, dropout_rate=0.0,
+                    positional_dropout_rate=0.0, attention_dropout_rate=0.0)
+    dec_conf = dict(attention_heads=4, linear_units=64, num_blocks=1,
+                    dropout_rate=0.0, positional_dropout_rate=0.0,
+                    self_attention_dropout_rate=0.0,
+                    src_attention_dropout_rate=0.0)
+    te_conf = dict(output_size=32, attention_heads=4, linear_units=64,
+                   num_blocks=1, dropout_rate=0.0,
+                   positional_dropout_rate=0.0, attention_dropout_rate=0.0)
+    fe_conf = dict(size=32, attention_heads=4, attention_dim=32,
+                   linear_units=64, self_attention_dropout_rate=0.0,
+                   src_attention_dropout_rate=0.0,
+                   positional_dropout_rate=0.0, dropout_rate=0.0)
+    bp_conf = dict(size=32, l_order=3, r_order=3, attention_heads=4,
+                   attention_dropout_rate=0.0, linear_units=64)
+    kw = dict(input_size=24, vocab_size=40, specaug=None,
+              encoder="ConformerEncoder",
+              decoder="TransformerDecoder", decoder_conf=dict(dec_conf),
+              text_encoder="TransformerTextEncoder",
+              text_encoder_conf=dict(te_conf),
+              fusion_encoder="FusionSANEncoder",
+              fusion_encoder_conf=dict(fe_conf),
+              bias_predictor="ConvBiasPredictor",
+              bias_predictor_conf=dict(bp_conf),
+              ctc="CTC", ctc_conf=dict(), sos=1, eos=2)
+    ref = RefL(encoder_conf=dict(enc_conf, rel_pos_type="latest"), **kw).eval()
+    mine = tables.model_classes["LCBNet"](encoder_conf=dict(enc_conf), **kw)
+    params = convert_state_dict(dict(ref.state_dict()), mine, "LCBNet")
+
+    import jax.numpy as jnp
+    speech = rng.standard_normal((1, 30, 24)).astype(np.float32)
+    lens = np.array([30], np.int32)
+    ocr = np.array([[5, 9, 12, 3, 7]], np.int64)
+    ocr_lens = np.array([5], np.int64)
+
+    with torch.no_grad():
+        enc_ref, enc_lens_ref = ref.encode(torch.from_numpy(speech),
+                                           torch.from_numpy(lens))
+        ocr_ref, _, _ = ref.text_encoder(torch.from_numpy(ocr),
+                                         torch.from_numpy(ocr_lens))
+        fusion_ref, _, _, _ = ref.fusion_encoder(enc_ref, None, ocr_ref, None)
+        fused_ref = (enc_ref + fusion_ref).numpy()
+        bias_ref = ref.bias_predictor(ocr_ref, enc_ref).numpy()
+
+    enc_mine, enc_lens_mine = mine.encode(params, jnp.asarray(speech),
+                                          jnp.asarray(lens))
+    fused_mine = np.asarray(mine.fuse_ocr(
+        params, enc_mine[:, :enc_ref.shape[1]],
+        jnp.asarray(ocr.astype(np.int32))))
+    np.testing.assert_allclose(fused_mine, fused_ref, rtol=3e-4, atol=3e-4)
+
+    bias_mine = np.asarray(mine.bias_scores(
+        params, enc_mine[:, :enc_ref.shape[1]],
+        jnp.asarray(ocr.astype(np.int32))))
+    np.testing.assert_allclose(bias_mine, bias_ref, rtol=3e-4, atol=3e-4)
