@@ -1250,7 +1250,7 @@ def convert_branchformer_encoder(sd: SD, num_blocks: int):
     def layer(s: SD):
         a = s.sub("attn")
         cg = s.sub("cgmlp")
-        return {
+        p = {
             "norm_mha": s.norm("norm_mha"), "norm_mlp": s.norm("norm_mlp"),
             "norm_final": s.norm("norm_final"),
             "attn": {
@@ -1268,6 +1268,15 @@ def convert_branchformer_encoder(sd: SD, num_blocks: int):
             },
             "merge_proj": s.linear("merge_proj"),
         }
+        # e-branchformer extras (reference e_branchformer/encoder.py)
+        if s.has("depthwise_conv_fusion.weight"):
+            p["merge_conv"] = s.dwconv("depthwise_conv_fusion")
+        if s.has("norm_ff_macaron.weight"):
+            p["norm_ff1"] = s.norm("norm_ff_macaron")
+            p["ffn1"] = s.ffn("feed_forward_macaron")
+            p["norm_ff2"] = s.norm("norm_ff")
+            p["ffn2"] = s.ffn("feed_forward")
+        return p
 
     params = {
         "after_norm": sd.norm("after_norm"),
@@ -1374,6 +1383,7 @@ CONVERTERS = {
     "UniASR": convert_uniasr,
     "SCAMA": convert_scama,
     "Branchformer": convert_branchformer,
+    "EBranchformer": convert_branchformer,
     "Transducer": convert_transducer,
     "BAT": convert_transducer,
     "LCBNet": convert_lcbnet,

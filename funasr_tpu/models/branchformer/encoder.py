@@ -9,7 +9,7 @@ linear with macaron FFNs (E-Branchformer).
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -121,10 +121,13 @@ class BranchformerEncoder:
                  attention_heads: int = 4, cgmlp_linear_units: int = 2048,
                  cgmlp_conv_kernel: int = 31, num_blocks: int = 12,
                  ffn_units: int = 1024,
-                 attention_layer_type: str = "rel_selfattn", **kwargs):
+                 attention_layer_type: str = "rel_selfattn",
+                 use_ffn: Optional[bool] = None, **kwargs):
+        # e_branchformer reference defaults use_ffn=False (encoder.py:215)
+        macaron = self.MACARON if use_ffn is None else use_ffn
         self.cfg = BranchformerConfig(
             input_size, output_size, attention_heads, cgmlp_linear_units,
-            cgmlp_conv_kernel, num_blocks, self.MERGE, self.MACARON, ffn_units,
+            cgmlp_conv_kernel, num_blocks, self.MERGE, macaron, ffn_units,
             attention_layer_type)
 
     def output_size(self):

@@ -624,3 +624,34 @@ def test_lcbnet_converter_parity(rng):
         params, enc_mine[:, :enc_ref.shape[1]],
         jnp.asarray(ocr.astype(np.int32))))
     np.testing.assert_allclose(bias_mine, bias_ref, rtol=3e-4, atol=3e-4)
+
+
+def test_ebranchformer_converter_parity(rng):
+    """Converted E-Branchformer encoder weights (conv-fusion merge, no
+    macaron by default) reproduce the reference encoder output."""
+    torch.manual_seed(31)
+    from funasr.models.e_branchformer.encoder import (EBranchformerEncoder as
+                                                      RefE)
+    from funasr_tpu.convert.torch_to_jax import (SD,
+                                                 convert_branchformer_encoder)
+    from funasr_tpu.register import tables
+
+    ref = RefE(input_size=24, output_size=32, num_blocks=2, attention_heads=4,
+               cgmlp_linear_units=64, cgmlp_conv_kernel=7,
+               input_layer="conv2d", dropout_rate=0.0).eval()
+    mine = tables.encoder_classes["EBranchformerEncoder"](
+        input_size=24, output_size=32, num_blocks=2, attention_heads=4,
+        cgmlp_linear_units=64, cgmlp_conv_kernel=7, use_ffn=False)
+    params = convert_branchformer_encoder(SD(dict(ref.state_dict())), 2)
+
+    speech = rng.standard_normal((2, 30, 24)).astype(np.float32)
+    lens = np.array([30, 24], np.int32)
+    with torch.no_grad():
+        out = ref(torch.from_numpy(speech), torch.from_numpy(lens))
+        enc_ref, enc_lens_ref = out[0], out[1]
+    import jax.numpy as jnp
+    enc_mine, _ = mine(params, jnp.asarray(speech), jnp.asarray(lens))
+    enc_mine = np.asarray(enc_mine)
+    for b, n in enumerate(np.asarray(enc_lens_ref)):
+        np.testing.assert_allclose(enc_mine[b, :n], enc_ref[b, :n].numpy(),
+                                   rtol=3e-4, atol=3e-4)
