@@ -1377,9 +1377,24 @@ def convert_lcbnet(state_dict: Dict[str, Any], model) -> Dict[str, Any]:
     return params
 
 
+def convert_sanm_aed(state_dict: Dict[str, Any], model) -> Dict[str, Any]:
+    """SANM AED (reference ``funasr/models/sanm/model.py:14``: SANM encoder +
+    AR FsmnDecoder + CTC)."""
+    sd = SD(_strip_module_prefix(state_dict))
+    params = {
+        "encoder": convert_sanm_encoder(sd.sub("encoder"),
+                                        model.encoder.cfg.num_blocks),
+        "decoder": _scama_decoder_params(sd.sub("decoder"), model.decoder.cfg),
+    }
+    if sd.has("ctc.ctc_lo.weight"):
+        params["ctc"] = convert_ctc(sd.sub("ctc"))
+    return params
+
+
 CONVERTERS = {
     "Transformer": convert_transformer,
     "Conformer": convert_conformer,
+    "SANM": convert_sanm_aed,
     "UniASR": convert_uniasr,
     "SCAMA": convert_scama,
     "Branchformer": convert_branchformer,

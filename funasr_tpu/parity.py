@@ -45,9 +45,9 @@ def register_parity_aliases():
         ("ParaformerSANMDecoderOnlineExport", "ParaformerSANMDecoder"),
         ("ParaformerSANMDecoder_v2_community", "ParaformerSANMDecoder"),
         ("ContextualParaformerDecoderExport", "ContextualParaformerDecoder"),
-        # FSMN decoders (sanm/decoder.py:203, scama/decoder.py:203) share the
-        # SANM decoder block layout (FSMN self-memory + src attention)
-        ("FsmnDecoder", "ParaformerSANMDecoder"),
+        # reference FsmnDecoder (sanm/decoder.py:203) is the AR embed+FSMN
+        # decoder — same layout as the SCAMA decoder (scama/decoder.py:204)
+        ("FsmnDecoder", "FsmnDecoderSCAMAOpt"),
         ("FsmnDecoderSCAMAOpt", "ParaformerSANMDecoder"),
         ("TransformerRWKVDecoder", "TransformerDecoder"),
         ("OpenAIWhisperDecoderWarp", "TransformerDecoder"),

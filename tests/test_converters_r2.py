@@ -655,3 +655,54 @@ def test_ebranchformer_converter_parity(rng):
     for b, n in enumerate(np.asarray(enc_lens_ref)):
         np.testing.assert_allclose(enc_mine[b, :n], enc_ref[b, :n].numpy(),
                                    rtol=3e-4, atol=3e-4)
+
+
+def test_sanm_aed_converter_parity(rng):
+    """Converted SANM AED weights (SANM encoder + AR FsmnDecoder) reproduce
+    the reference encoder output and teacher-forced decoder logits."""
+    torch.manual_seed(37)
+    from funasr.models.sanm.model import SANM as RefS
+    from funasr_tpu.convert.torch_to_jax import convert_state_dict
+    from funasr_tpu.register import tables
+
+    ENC = dict(output_size=32, attention_heads=4, linear_units=64,
+               num_blocks=2, input_layer="pe", kernel_size=11, sanm_shfit=0,
+               dropout_rate=0.0, positional_dropout_rate=0.0,
+               attention_dropout_rate=0.0)
+    DEC = dict(attention_heads=4, linear_units=64, num_blocks=2,
+               att_layer_num=2, kernel_size=11, sanm_shfit=0, dropout_rate=0.0,
+               positional_dropout_rate=0.0, self_attention_dropout_rate=0.0,
+               src_attention_dropout_rate=0.0)
+    kw = dict(input_size=24, vocab_size=40, specaug=None,
+              encoder="SANMEncoder", encoder_conf=dict(ENC),
+              decoder="FsmnDecoder", decoder_conf=dict(DEC))
+    ref = RefS(**kw).eval()
+    mine = tables.model_classes["SANM"](**kw)
+    params = convert_state_dict(dict(ref.state_dict()), mine, "SANM")
+
+    import jax.numpy as jnp
+    speech = rng.standard_normal((2, 20, 24)).astype(np.float32)
+    lens = np.array([20, 16], np.int32)
+    with torch.no_grad():
+        enc_ref, enc_lens_ref = ref.encode(torch.from_numpy(speech),
+                                           torch.from_numpy(lens))
+    enc_mine, _ = mine.encode(params, jnp.asarray(speech), jnp.asarray(lens))
+    enc_mine = np.asarray(enc_mine)
+    for b, n in enumerate(lens):
+        np.testing.assert_allclose(enc_mine[b, :n], enc_ref[b, :n].numpy(),
+                                   rtol=3e-4, atol=3e-4)
+
+    ys = np.array([[4, 7, 9, 2], [5, 8, 2, 0]], np.int64)
+    ys_lens = np.array([4, 3], np.int32)
+    with torch.no_grad():
+        dec_ref, _ = ref.decoder(enc_ref, torch.from_numpy(lens),
+                                 torch.from_numpy(ys),
+                                 torch.from_numpy(ys_lens))
+    dec_mine, _ = mine.decoder(params["decoder"], jnp.asarray(enc_mine),
+                               jnp.asarray(lens),
+                               jnp.asarray(ys.astype(np.int32)),
+                               jnp.asarray(ys_lens))
+    dec_mine = np.asarray(dec_mine)
+    for b, n in enumerate(ys_lens):
+        np.testing.assert_allclose(dec_mine[b, :n], dec_ref[b, :n].numpy(),
+                                   rtol=3e-4, atol=3e-4)
