@@ -1,5 +1,7 @@
 // Offline transcription CLI over the native engine (role of the reference's
 // funasr-onnx-offline binary): funasr-tpu-offline <model_dir> <wav>...
+// With --streaming, feeds the wav through the chunked streaming engine in
+// 600 ms strides and prints each partial (the funasr-onnx-online CLI role).
 // model_dir: weights.ftr + tokens.txt + am.mvn (funasr_tpu.export_runtime
 // .export_ftr output).
 
@@ -23,29 +25,67 @@ static std::vector<char> ReadFile(const char* path) {
 }
 
 int main(int argc, char** argv) {
-  if (argc < 3) {
-    std::fprintf(stderr, "usage: %s <model_dir> <wav>...\n", argv[0]);
+  bool streaming = false;
+  int argi = 1;
+  if (argi < argc && std::string(argv[argi]) == "--streaming") {
+    streaming = true;
+    ++argi;
+  }
+  if (argc - argi < 2) {
+    std::fprintf(stderr, "usage: %s [--streaming] <model_dir> <wav>...\n",
+                 argv[0]);
     return 2;
   }
-  FUNASR_HANDLE h = FunASRInit(argv[1], 1);
+  FUNASR_HANDLE h = FunASRInit(argv[argi], 1);
   if (!h) {
-    std::fprintf(stderr, "init failed for %s\n", argv[1]);
+    std::fprintf(stderr, "init failed for %s\n", argv[argi]);
     return 1;
   }
   int rc = 0;
-  for (int i = 2; i < argc; ++i) {
+  for (int i = argi + 1; i < argc; ++i) {
     std::vector<char> wav = ReadFile(argv[i]);
     if (wav.empty()) {
       std::fprintf(stderr, "%s: read failed\n", argv[i]);
       rc = 1;
       continue;
     }
-    FUNASR_RESULT r = FunOfflineInfer(h, wav.data(),
-                                      static_cast<int>(wav.size()),
-                                      FUNASR_MODE_OFFLINE, 16000);
-    const char* text = r ? FunASRGetResult(r, 0) : nullptr;
-    std::printf("%s\t%s\n", argv[i], text ? text : "");
-    if (r) FunASRFreeResult(r);
+    if (streaming) {
+      FUNASR_STREAM stream = FunASRStreamCreate(h);
+      if (!stream) {
+        std::fprintf(stderr, "streaming engine unavailable in %s\n",
+                     argv[argi]);
+        rc = 1;
+        break;
+      }
+      // feed 600 ms PCM16 chunks (skip a RIFF header when present)
+      size_t off = wav.size() >= 44 &&
+                   std::string(wav.data(), 4) == "RIFF" ? 44 : 0;
+      const size_t stride = 19200;  // 600 ms * 16 kHz * 2 bytes
+      std::string full;
+      while (off < wav.size()) {
+        const size_t n = std::min(stride, wav.size() - off);
+        const int is_final = off + n >= wav.size();
+        FUNASR_RESULT r = FunASRStreamInfer(stream, wav.data() + off,
+                                            static_cast<int>(n), is_final,
+                                            16000);
+        const char* text = r ? FunASRGetResult(r, 0) : nullptr;
+        if (text && text[0]) {
+          std::printf("%s\tpartial\t%s\n", argv[i], text);
+          full += text;
+        }
+        if (r) FunASRFreeResult(r);
+        off += n;
+      }
+      std::printf("%s\tfinal\t%s\n", argv[i], full.c_str());
+      FunASRStreamFree(stream);
+    } else {
+      FUNASR_RESULT r = FunOfflineInfer(h, wav.data(),
+                                        static_cast<int>(wav.size()),
+                                        FUNASR_MODE_OFFLINE, 16000);
+      const char* text = r ? FunASRGetResult(r, 0) : nullptr;
+      std::printf("%s\t%s\n", argv[i], text ? text : "");
+      if (r) FunASRFreeResult(r);
+    }
   }
   FunASRUninit(h);
   return rc;
