@@ -2,9 +2,17 @@
  *
  * TPU-era counterpart of the reference C API (FunASR
  * runtime/onnxruntime/include/funasrruntime.h:60-120): the same handle-based
- * surface (init / infer-buffer / result accessors / uninit) over a backend that
- * executes exported StableHLO functions through PJRT (or a host DSP-only path
- * for feature extraction pipelines).
+ * surface (init / infer-buffer / result accessors / uninit) over pure-C++
+ * engines running `.ftr` weight exports. Name mapping for reference users
+ * (the reference surface is C++ std::map-based; this one is plain C):
+ *
+ *   FunOfflineInit/FunTpassInit          -> FunASRInit(model_dir, threads)
+ *   FunOfflineInferBuffer                -> FunOfflineInfer
+ *   FunTpassOnlineInit                   -> FunASRStreamCreate
+ *   FunTpassInferBuffer (online pass)    -> FunASRStreamInfer
+ *   FsmnVad / FsmnVadOnline infer        -> FunVadInfer
+ *   CTTransformer AddPunc (offline/online) -> FunPuncInfer / FunPuncInferOnline
+ *   FunOfflineUninit/FunTpassUninit      -> FunASRUninit / FunASRStreamFree
  */
 
 #ifndef FUNASR_TPU_RUNTIME_H_
