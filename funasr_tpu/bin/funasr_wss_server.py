@@ -36,6 +36,7 @@ class TwoPassSession:
         self.is_speaking = True
         self.hotword = None
         self.online_cache: dict = {}
+        self.punc_online_cache: dict = {}
         self.vad_cache: dict = {}
         self.audio_buffer = np.zeros((0,), np.float32)  # since last endpoint
         self.online_buffer = np.zeros((0,), np.float32)
@@ -61,11 +62,14 @@ class TwoPassSession:
 
 class WSServer:
     def __init__(self, asr_model=None, asr_model_online=None, vad_model=None,
-                 punc_model=None):
+                 punc_model=None, punc_model_online=None):
         self.asr = asr_model
         self.asr_online = asr_model_online
         self.vad = vad_model
         self.punc = punc_model
+        # streaming punc for 2pass-online partials (reference 2pass recipe:
+        # ct-punc-realtime with a per-session cache)
+        self.punc_online = punc_model_online
 
     async def handle(self, ws):
         sess = TwoPassSession(self)
@@ -102,6 +106,9 @@ class WSServer:
                 sess.online_buffer = sess.online_buffer[stride:]
                 text = await loop.run_in_executor(None, self._online_chunk, sess,
                                                   chunk, False)
+                if text and self.punc_online is not None:
+                    text = await loop.run_in_executor(
+                        None, self._punc_online, sess, text)
                 if text:
                     await ws.send(json.dumps({
                         "mode": f"{sess.mode}-online" if sess.mode == "2pass"
@@ -118,6 +125,13 @@ class WSServer:
         text = res[0]["text"] if res else ""
         sess.text_online += text
         return text
+
+    def _punc_online(self, sess, text) -> str:
+        """Streaming punctuation over the chunk's new words (the cache carries
+        the unterminated sentence tail between calls)."""
+        res = self.punc_online.generate(input=text,
+                                        cache=sess.punc_online_cache)
+        return res[0]["text"] if res else text
 
     def _finalize(self, sess):
         # flush the streaming model first: leftover online_buffer (< one stride)
@@ -147,6 +161,7 @@ class WSServer:
         sess.audio_buffer = np.zeros((0,), np.float32)
         sess.online_buffer = np.zeros((0,), np.float32)
         sess.online_cache = {}
+        sess.punc_online_cache = {}
         sess.text_online = ""
 
 
@@ -158,10 +173,12 @@ def build_server(args) -> WSServer:
     punc = None  # punctuation is folded into the offline AutoModel above
     online = AutoModel(model=args.asr_model_online,
                        disable_pbar=True) if args.asr_model_online else None
+    punc_online = AutoModel(model=args.punc_model_online, disable_pbar=True) \
+        if getattr(args, "punc_model_online", "") else None
     vad = AutoModel(model=args.vad_model,
                     disable_pbar=True) if args.vad_model else None
     return WSServer(asr_model=asr, asr_model_online=online, vad_model=vad,
-                    punc_model=punc)
+                    punc_model=punc, punc_model_online=punc_online)
 
 
 def main_cli():
@@ -171,6 +188,9 @@ def main_cli():
     parser.add_argument("--asr_model", default="")
     parser.add_argument("--asr_model_online", default="")
     parser.add_argument("--punc_model", default="")
+    parser.add_argument("--punc_model_online", default="",
+                        help="streaming punc (ct-punc-realtime) for "
+                             "2pass-online partials")
     parser.add_argument("--vad_model", default="")
     args = parser.parse_args()
     logging.basicConfig(level=logging.INFO)

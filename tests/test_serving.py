@@ -222,3 +222,55 @@ def test_vad_pipeline_emits_row_per_key(offline_automodel, tmp_path):
     assert keys == {"k0", "k1"}
     empty = [r for r in res if r["key"] == "k1"][0]
     assert empty["text"] == ""
+
+
+def test_ws_online_punc_partials():
+    """2pass-online partials run through the streaming punc model with a
+    per-session cache (reference 2pass recipe), reset on finalization."""
+    from funasr_tpu.bin.funasr_wss_server import WSServer
+    from funasr_tpu.serving.ws_protocol import connect, serve
+
+    calls = {"punc": 0, "caches": []}
+
+    class StubOnlineASR:
+        def generate(self, input=None, cache=None, is_final=False,
+                     chunk_size=None):
+            return [{"text": "" if is_final else "你好"}]
+
+    class StubOnlinePunc:
+        def generate(self, input=None, cache=None):
+            calls["punc"] += 1
+            calls["caches"].append(cache)
+            cache["pre_text"] = ["你"]
+            return [{"text": input + "，"}]
+
+    server = WSServer(asr_model_online=StubOnlineASR(),
+                      punc_model_online=StubOnlinePunc())
+    port = _free_port()
+
+    async def scenario():
+        srv = await serve(server.handle, "127.0.0.1", port)
+        try:
+            ws = await connect("127.0.0.1", port)
+            await ws.send(json.dumps({"mode": "online", "wav_name": "p",
+                                      "is_speaking": True}))
+            partials = []
+            for seed in (3, 4):  # one 600 ms stride per message -> one partial
+                await ws.send(_pcm(0.62, seed=seed).tobytes())
+                partials.append(json.loads(await asyncio.wait_for(ws.recv(),
+                                                                  30)))
+            await ws.send(json.dumps({"is_speaking": False}))
+            final = json.loads(await asyncio.wait_for(ws.recv(), 30))
+            await ws.close()
+            return partials, final
+        finally:
+            srv.close()
+            await srv.wait_closed()
+
+    partials, final = asyncio.run(scenario())
+    assert all(p["mode"] == "online" and p["text"] == "你好，"
+               for p in partials), partials
+    assert calls["punc"] == 2
+    # both chunks shared one session cache, carrying the sentence tail
+    assert calls["caches"][0] is calls["caches"][1]
+    assert final["is_final"] is True
