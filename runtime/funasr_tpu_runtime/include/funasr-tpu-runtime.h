@@ -83,6 +83,16 @@ FUNASR_RESULT FunASRStreamInfer(FUNASR_STREAM stream, const char* data,
                                 int data_len, int is_final, int sampling_rate);
 void FunASRStreamFree(FUNASR_STREAM stream);
 
+/* ITN grammar archive (the FAR-consumer role): loads the JSON archive
+ * exported by `funasr-tpu-data export_itn_grammar` and applies cardinal ITN
+ * for the word-lexicon (de/es/fr/pt/ru/id/vi/tl) and CJK (zh/ja/ko)
+ * languages. zh/en class grammars are natively embedded (itn.h). */
+typedef void* FUNASR_ITN_GRAMMAR;
+FUNASR_ITN_GRAMMAR FunItnGrammarLoad(const char* path);
+FUNASR_RESULT FunItnGrammarApply(FUNASR_ITN_GRAMMAR grammar, const char* lang,
+                                 const char* text);
+void FunItnGrammarFree(FUNASR_ITN_GRAMMAR grammar);
+
 /* Streaming punctuation (ct-transformer-online role): a cache carries the
  * unterminated sentence tail between calls; each call returns only the new
  * words, punctuated, with the trailing mark withheld for revision. Requires a

@@ -1,0 +1,463 @@
+#include "itn-grammar.h"
+
+#include <algorithm>
+#include <cctype>
+#include <cstdio>
+#include <fstream>
+#include <sstream>
+
+namespace funasr_tpu {
+
+namespace {
+
+// ---- minimal JSON parser (objects/arrays/strings/ints; enough for the
+// grammar archive, which holds only those) --------------------------------
+
+struct JsonValue {
+  enum Kind { kNull, kString, kNumber, kObject, kArray } kind = kNull;
+  std::string str;
+  long long num = 0;
+  std::map<std::string, JsonValue> obj;
+  std::vector<JsonValue> arr;
+};
+
+struct JsonParser {
+  const std::string& s;
+  size_t i = 0;
+  bool ok = true;
+
+  explicit JsonParser(const std::string& text) : s(text) {}
+
+  void Skip() {
+    while (i < s.size() && (s[i] == ' ' || s[i] == '\n' || s[i] == '\t' ||
+                            s[i] == '\r')) {
+      ++i;
+    }
+  }
+
+  JsonValue Parse() {
+    Skip();
+    JsonValue v;
+    if (i >= s.size()) { ok = false; return v; }
+    const char c = s[i];
+    if (c == '{') {
+      v.kind = JsonValue::kObject;
+      ++i;
+      Skip();
+      if (i < s.size() && s[i] == '}') { ++i; return v; }
+      while (ok) {
+        Skip();
+        JsonValue key = Parse();
+        Skip();
+        if (i >= s.size() || s[i] != ':') { ok = false; break; }
+        ++i;
+        v.obj[key.str] = Parse();
+        Skip();
+        if (i < s.size() && s[i] == ',') { ++i; continue; }
+        if (i < s.size() && s[i] == '}') { ++i; break; }
+        ok = false;
+      }
+    } else if (c == '[') {
+      v.kind = JsonValue::kArray;
+      ++i;
+      Skip();
+      if (i < s.size() && s[i] == ']') { ++i; return v; }
+      while (ok) {
+        v.arr.push_back(Parse());
+        Skip();
+        if (i < s.size() && s[i] == ',') { ++i; continue; }
+        if (i < s.size() && s[i] == ']') { ++i; break; }
+        ok = false;
+      }
+    } else if (c == '"') {
+      v.kind = JsonValue::kString;
+      ++i;
+      while (i < s.size() && s[i] != '"') {
+        if (s[i] == '\\' && i + 1 < s.size()) {
+          ++i;
+          switch (s[i]) {
+            case 'n': v.str += '\n'; break;
+            case 't': v.str += '\t'; break;
+            case 'u': {  // \uXXXX -> UTF-8 (BMP only; archive is ensure_ascii=False)
+              if (i + 4 < s.size()) {
+                unsigned cp = std::stoul(s.substr(i + 1, 4), nullptr, 16);
+                if (cp < 0x80) { v.str += static_cast<char>(cp); }
+                else if (cp < 0x800) {
+                  v.str += static_cast<char>(0xC0 | (cp >> 6));
+                  v.str += static_cast<char>(0x80 | (cp & 0x3F));
+                } else {
+                  v.str += static_cast<char>(0xE0 | (cp >> 12));
+                  v.str += static_cast<char>(0x80 | ((cp >> 6) & 0x3F));
+                  v.str += static_cast<char>(0x80 | (cp & 0x3F));
+                }
+                i += 4;
+              }
+              break;
+            }
+            default: v.str += s[i];
+          }
+        } else {
+          v.str += s[i];
+        }
+        ++i;
+      }
+      if (i < s.size()) ++i;  // closing quote
+      else ok = false;
+    } else if (c == '-' || (c >= '0' && c <= '9')) {
+      v.kind = JsonValue::kNumber;
+      size_t j = i;
+      while (j < s.size() && (s[j] == '-' || s[j] == '+' || s[j] == '.' ||
+                              s[j] == 'e' || s[j] == 'E' ||
+                              (s[j] >= '0' && s[j] <= '9'))) {
+        ++j;
+      }
+      v.num = std::atoll(s.substr(i, j - i).c_str());
+      i = j;
+    } else if (s.compare(i, 4, "null") == 0) {
+      i += 4;
+    } else if (s.compare(i, 4, "true") == 0) {
+      i += 4;
+    } else if (s.compare(i, 5, "false") == 0) {
+      i += 5;
+    } else {
+      ok = false;
+    }
+    return v;
+  }
+};
+
+std::map<std::string, long long> ToMap(const JsonValue& v) {
+  std::map<std::string, long long> out;
+  for (const auto& kv : v.obj) out[kv.first] = kv.second.num;
+  return out;
+}
+
+std::set<std::string> ToSet(const JsonValue& v) {
+  std::set<std::string> out;
+  for (const auto& e : v.arr) out.insert(e.str);
+  return out;
+}
+
+// split UTF-8 text on whitespace
+std::vector<std::string> SplitWs(const std::string& text) {
+  std::vector<std::string> out;
+  std::istringstream is(text);
+  std::string w;
+  while (is >> w) out.push_back(w);
+  return out;
+}
+
+std::string AsciiLowerStrip(const std::string& raw) {
+  std::string w = raw;
+  const std::string punct = ",.!?;:";
+  size_t b = 0, e = w.size();
+  while (b < e && punct.find(w[b]) != std::string::npos) ++b;
+  while (e > b && punct.find(w[e - 1]) != std::string::npos) --e;
+  w = w.substr(b, e - b);
+  for (char& c : w) {
+    c = static_cast<char>(std::tolower(static_cast<unsigned char>(c)));
+  }
+  return w;
+}
+
+// multilingual.py _de_pre: greedy longest-vocab-piece compound split
+bool DeCompoundSplit(const ItnLexicon& lex, const std::string& word,
+                     std::vector<std::string>* out) {
+  if (lex.vocab.count(word)) return false;
+  std::vector<std::string> by_len(lex.vocab.begin(), lex.vocab.end());
+  std::sort(by_len.begin(), by_len.end(),
+            [](const std::string& a, const std::string& b) {
+              return a.size() > b.size();
+            });
+  std::string rest = word;
+  std::vector<std::string> pieces;
+  while (!rest.empty()) {
+    bool matched = false;
+    for (const auto& v : by_len) {
+      if (rest.compare(0, v.size(), v) == 0) {
+        pieces.push_back(v);
+        rest = rest.substr(v.size());
+        matched = true;
+        break;
+      }
+    }
+    if (!matched) return false;
+  }
+  if (pieces.size() < 2) return false;
+  *out = std::move(pieces);
+  return true;
+}
+
+// _id_pre: tujuhbelas -> [tujuh, __belas__]
+bool IdBelasSplit(const ItnLexicon& lex, const std::string& word,
+                  std::vector<std::string>* out) {
+  const std::string suf = "belas";
+  if (word.size() > suf.size() &&
+      word.compare(word.size() - suf.size(), suf.size(), suf) == 0) {
+    const std::string head = word.substr(0, word.size() - suf.size());
+    if (lex.ones.count(head)) {
+      *out = {head, "__belas__"};
+      return true;
+    }
+  }
+  return false;
+}
+
+// multilingual.py _parse_words (returns string; empty = not a number)
+std::string ParseWords(const ItnLexicon& lex,
+                       const std::vector<std::string>& tokens) {
+  std::vector<std::string> toks;
+  for (const auto& t : tokens) {
+    if (!lex.joiners.count(t)) toks.push_back(t);
+  }
+  // digit-sequence reading: all single digits -> concatenate
+  if (toks.size() > 1) {
+    bool all_digits = true;
+    std::string seq;
+    for (const auto& t : toks) {
+      auto it = lex.ones.find(t);
+      if (it == lex.ones.end() || it->second > 9) { all_digits = false; break; }
+      seq += std::to_string(it->second);
+    }
+    if (all_digits) return seq;
+  }
+  long long total = 0, current = 0;
+  bool any = false;
+  for (const auto& t : toks) {
+    if (lex.hundreds_direct.count(t)) {
+      current += lex.hundreds_direct.at(t);
+    } else if (lex.ones.count(t)) {
+      current += lex.ones.at(t);
+    } else if (lex.tens.count(t)) {
+      current += lex.tens.at(t);
+    } else if (lex.x10_words.count(t)) {
+      current = (current ? current : 1) * 10;
+    } else if (lex.hundred_words.count(t)) {
+      current = (current ? current : 1) * 100;
+    } else if (lex.scales.count(t)) {
+      total += (current ? current : 1) * lex.scales.at(t);
+      current = 0;
+    } else {
+      return "";
+    }
+    any = true;
+  }
+  return any ? std::to_string(total + current) : "";
+}
+
+std::string WordItn(const ItnLexicon& lex, const std::string& text) {
+  std::vector<std::string> out;
+  std::vector<std::string> span, span_raw;
+
+  auto flush = [&]() {
+    if (span_raw.empty()) return;
+    const std::string val = ParseWords(lex, span);
+    bool non_joiner = false;
+    for (const auto& w : span) {
+      if (!lex.joiners.count(w)) { non_joiner = true; break; }
+    }
+    if (!val.empty() && non_joiner) {
+      out.push_back(val);
+    } else {
+      out.insert(out.end(), span_raw.begin(), span_raw.end());
+    }
+    span.clear();
+    span_raw.clear();
+  };
+
+  for (const auto& raw : SplitWs(text)) {
+    const std::string w = AsciiLowerStrip(raw);
+    std::vector<std::string> toks;
+    bool expanded = false;
+    if (lex.pre == "de") expanded = DeCompoundSplit(lex, w, &toks);
+    else if (lex.pre == "id") expanded = IdBelasSplit(lex, w, &toks);
+    if (!expanded) toks = {w};
+    bool all_vocab = !toks.empty();
+    for (const auto& t : toks) {
+      if (!lex.vocab.count(t)) { all_vocab = false; break; }
+    }
+    if (all_vocab) {
+      span.insert(span.end(), toks.begin(), toks.end());
+      span_raw.push_back(raw);
+    } else {
+      flush();
+      out.push_back(raw);
+    }
+  }
+  flush();
+  std::string joined;
+  for (size_t i = 0; i < out.size(); ++i) {
+    if (i) joined += " ";
+    joined += out[i];
+  }
+  return joined;
+}
+
+// ---- CJK positional engine (multilingual.py _parse_cjk / _cjk_itn) --------
+
+std::vector<std::string> Utf8Chars(const std::string& s) {
+  std::vector<std::string> out;
+  for (size_t i = 0; i < s.size();) {
+    const unsigned char c = s[i];
+    size_t len = c < 0x80 ? 1 : (c & 0xE0) == 0xC0 ? 2
+                 : (c & 0xF0) == 0xE0 ? 3 : (c & 0xF8) == 0xF0 ? 4 : 1;
+    len = std::min(len, s.size() - i);
+    out.push_back(s.substr(i, len));
+    i += len;
+  }
+  return out;
+}
+
+std::string ParseCjk(const ItnLexicon& lex,
+                     const std::vector<std::string>& chars) {
+  if (chars.empty()) return "";
+  bool all_digits = true;
+  for (const auto& ch : chars) {
+    if (!lex.digits.count(ch)) { all_digits = false; break; }
+  }
+  if (all_digits) {
+    if (chars.size() == 1) return std::to_string(lex.digits.at(chars[0]));
+    std::string seq;
+    for (const auto& ch : chars) seq += std::to_string(lex.digits.at(ch));
+    return seq;
+  }
+  long long total = 0, section = 0, current = 0;
+  for (const auto& ch : chars) {
+    if (lex.digits.count(ch)) {
+      current = lex.digits.at(ch);
+    } else if (lex.units.count(ch)) {
+      section += (current ? current : 1) * lex.units.at(ch);
+      current = 0;
+    } else if (lex.big.count(ch)) {
+      const long long contribution = section + current;
+      if (contribution) total += contribution * lex.big.at(ch);
+      else if (total) total *= lex.big.at(ch);
+      else total = lex.big.at(ch);
+      section = current = 0;
+    } else {
+      return "";
+    }
+  }
+  return std::to_string(total + section + current);
+}
+
+std::string CjkItn(const ItnLexicon& lex, const std::string& text) {
+  // groups of number chars, possibly space-separated (Korean "삼만 오천")
+  std::vector<std::string> chars = Utf8Chars(text);
+  std::string out;
+  size_t i = 0;
+  while (i < chars.size()) {
+    if (!lex.cjk_chars.count(chars[i])) {
+      out += chars[i];
+      ++i;
+      continue;
+    }
+    // collect the maximal run incl. internal spaces between number groups
+    std::vector<std::string> run;
+    std::string raw;
+    size_t j = i;
+    while (j < chars.size()) {
+      if (lex.cjk_chars.count(chars[j])) {
+        run.push_back(chars[j]);
+        raw += chars[j];
+        ++j;
+      } else if (chars[j] == " ") {
+        // spaces join only when another number char follows
+        size_t k = j;
+        while (k < chars.size() && chars[k] == " ") ++k;
+        if (k < chars.size() && lex.cjk_chars.count(chars[k])) {
+          for (size_t z = j; z < k; ++z) raw += chars[z];
+          j = k;
+        } else {
+          break;
+        }
+      } else {
+        break;
+      }
+    }
+    const std::string val = ParseCjk(lex, run);
+    out += val.empty() ? raw : val;
+    i = j;
+  }
+  return out;
+}
+
+}  // namespace
+
+bool ItnGrammar::Load(const std::string& path) {
+  std::ifstream f(path);
+  if (!f.is_open()) return false;
+  std::stringstream ss;
+  ss << f.rdbuf();
+  return LoadString(ss.str());
+}
+
+bool ItnGrammar::LoadString(const std::string& json) {
+  JsonParser p(json);
+  JsonValue root = p.Parse();
+  if (!p.ok || root.kind != JsonValue::kObject) return false;
+  auto fmt = root.obj.find("format");
+  if (fmt == root.obj.end() ||
+      fmt->second.str != "funasr_tpu_itn_grammar") {
+    return false;
+  }
+  auto langs = root.obj.find("languages");
+  if (langs == root.obj.end()) return false;
+  for (const auto& kv : langs->second.obj) {
+    const JsonValue& g = kv.second;
+    auto type = g.obj.find("type");
+    if (type == g.obj.end()) continue;
+    ItnLexicon lex;
+    if (type->second.str == "word_lexicon") {
+      if (kv.first == "en") continue;  // en has its own full grammar module
+      auto get = [&](const char* k) {
+        auto it = g.obj.find(k);
+        return it == g.obj.end() ? JsonValue() : it->second;
+      };
+      lex.ones = ToMap(get("ones"));
+      lex.tens = ToMap(get("tens"));
+      lex.scales = ToMap(get("scales"));
+      lex.hundreds_direct = ToMap(get("hundreds_direct"));
+      lex.hundred_words = ToSet(get("hundred_words"));
+      lex.joiners = ToSet(get("joiners"));
+      lex.x10_words = ToSet(get("x10_words"));
+      lex.pre = get("pre").str;
+      for (const auto& m : {lex.ones, lex.tens, lex.scales,
+                            lex.hundreds_direct}) {
+        for (const auto& e : m) lex.vocab.insert(e.first);
+      }
+      for (const auto& s : {lex.hundred_words, lex.joiners, lex.x10_words}) {
+        lex.vocab.insert(s.begin(), s.end());
+      }
+      if (lex.pre == "id") {
+        lex.ones["__belas__"] = 10;
+        lex.vocab.insert("__belas__");
+      }
+      langs_[kv.first] = std::move(lex);
+    } else if (type->second.str == "cjk") {
+      lex.cjk = true;
+      auto get = [&](const char* k) {
+        auto it = g.obj.find(k);
+        return it == g.obj.end() ? JsonValue() : it->second;
+      };
+      lex.digits = ToMap(get("digits"));
+      lex.units = ToMap(get("units"));
+      lex.big = ToMap(get("big"));
+      for (const auto& m : {lex.digits, lex.units, lex.big}) {
+        for (const auto& e : m) lex.cjk_chars.insert(e.first);
+      }
+      langs_[kv.first] = std::move(lex);
+    }
+  }
+  return !langs_.empty();
+}
+
+std::string ItnGrammar::Apply(const std::string& lang,
+                              const std::string& text) const {
+  auto it = langs_.find(lang);
+  if (it == langs_.end()) return text;
+  return it->second.cjk ? CjkItn(it->second, text)
+                        : WordItn(it->second, text);
+}
+
+}  // namespace funasr_tpu

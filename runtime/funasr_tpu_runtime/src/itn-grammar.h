@@ -1,0 +1,48 @@
+// ITN grammar-archive interpreter: loads the JSON grammar archive exported by
+// funasr_tpu.text.export_grammar (the FAR-export role of the reference
+// fun_text_processing export_models.py) and rebuilds runnable inverse-text-
+// normalization for the word-lexicon languages (de/es/fr/pt/ru/id/vi/tl) and
+// the CJK positional systems (ja/ko/zh) purely from the artifact — the C++
+// counterpart of export_grammar.load_grammar.
+
+#ifndef FUNASR_TPU_ITN_GRAMMAR_H_
+#define FUNASR_TPU_ITN_GRAMMAR_H_
+
+#include <map>
+#include <set>
+#include <string>
+#include <vector>
+
+namespace funasr_tpu {
+
+struct ItnLexicon {
+  bool cjk = false;
+  // word-lexicon tables (multilingual.py _Lex)
+  std::map<std::string, long long> ones, tens, scales, hundreds_direct;
+  std::set<std::string> hundred_words, joiners, x10_words, vocab;
+  std::string pre;  // "de" (compound split) | "id" (-belas) | ""
+  // cjk tables
+  std::map<std::string, long long> digits, units, big;
+  std::set<std::string> cjk_chars;
+};
+
+class ItnGrammar {
+ public:
+  // Parses the JSON archive; false on malformed input or wrong format tag.
+  bool Load(const std::string& path);
+  bool LoadString(const std::string& json);
+
+  bool HasLang(const std::string& lang) const {
+    return langs_.count(lang) != 0;
+  }
+  // Replace maximal spoken-number spans with digit strings (load_grammar
+  // semantics: cardinals only; class rules stay host-side).
+  std::string Apply(const std::string& lang, const std::string& text) const;
+
+ private:
+  std::map<std::string, ItnLexicon> langs_;
+};
+
+}  // namespace funasr_tpu
+
+#endif  // FUNASR_TPU_ITN_GRAMMAR_H_

@@ -19,6 +19,7 @@
 #include "../include/funasr-tpu-runtime.h"
 #include "audio.h"
 #include "fbank.h"
+#include "itn-grammar.h"
 #include "paraformer-engine.h"
 #include "punc-engine.h"
 #include "sensevoice-engine.h"
@@ -213,6 +214,29 @@ FUNASR_RESULT FunASRStreamInfer(FUNASR_STREAM stream, const char* data,
 
 void FunASRStreamFree(FUNASR_STREAM stream) {
   delete static_cast<Stream*>(stream);
+}
+
+FUNASR_ITN_GRAMMAR FunItnGrammarLoad(const char* path) {
+  if (path == nullptr) return nullptr;
+  auto* g = new funasr_tpu::ItnGrammar();
+  if (!g->Load(path)) {
+    delete g;
+    return nullptr;
+  }
+  return g;
+}
+
+FUNASR_RESULT FunItnGrammarApply(FUNASR_ITN_GRAMMAR grammar, const char* lang,
+                                 const char* text) {
+  auto* g = static_cast<funasr_tpu::ItnGrammar*>(grammar);
+  if (g == nullptr || lang == nullptr || text == nullptr) return nullptr;
+  auto* r = new Result();
+  r->texts.push_back(g->Apply(lang, text));
+  return r;
+}
+
+void FunItnGrammarFree(FUNASR_ITN_GRAMMAR grammar) {
+  delete static_cast<funasr_tpu::ItnGrammar*>(grammar);
 }
 
 FUNASR_PUNC_CACHE FunPuncCacheCreate() { return new funasr_tpu::PuncCache(); }

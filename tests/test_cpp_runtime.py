@@ -658,3 +658,52 @@ def test_native_streaming_engine(built, tmp_path):
     assert cpp_text.replace(" ", "") == py_text.replace(" ", ""), \
         (cpp_text, py_text)
     assert py_text.strip(), "python streaming produced no text"
+
+
+def test_itn_grammar_archive_cpp(built, tmp_path):
+    """The C++ grammar-archive interpreter (FunItnGrammarLoad/Apply, the
+    FAR-consumer role) byte-matches python load_grammar on cardinal ITN
+    across the word-lexicon and CJK languages."""
+    from funasr_tpu.text.export_grammar import export_grammar, load_grammar
+
+    archive_path = str(tmp_path / "grammar.json")
+    export_grammar(archive_path)
+    py_funcs = load_grammar(archive_path)
+
+    lib = ctypes.CDLL(str(built / "libfunasr_tpu_runtime.so"))
+    lib.FunItnGrammarLoad.restype = ctypes.c_void_p
+    lib.FunItnGrammarLoad.argtypes = [ctypes.c_char_p]
+    lib.FunItnGrammarApply.restype = ctypes.c_void_p
+    lib.FunItnGrammarApply.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                       ctypes.c_char_p]
+    lib.FunASRGetResult.restype = ctypes.c_char_p
+    lib.FunASRGetResult.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.FunItnGrammarFree.argtypes = [ctypes.c_void_p]
+
+    g = lib.FunItnGrammarLoad(archive_path.encode())
+    assert g, "grammar archive failed to load in C++"
+
+    cases = {
+        "de": ["dreihundertfünfundzwanzig euro", "null sieben eins drei",
+               "eine million zweihunderttausend", "hallo welt"],
+        "es": ["doscientos treinta y cuatro", "mil novecientos ochenta"],
+        "fr": ["deux cents", "trois mille quatre"],
+        "pt": ["quinhentos e vinte e um", "dois mil"],
+        "ru": ["двести тридцать четыре", "пять тысяч сто"],
+        "id": ["tujuhbelas", "dua ratus lima puluh"],
+        "vi": ["hai trăm lẻ năm", "ba mươi bảy"],
+        "tl": ["dalawampu at lima", "isang daan"],
+        "ja": ["三千二百十一", "一億二千万", "テスト三十五です"],
+        "ko": ["삼만 오천", "구백구십구"],
+        "zh": ["三百二十一", "五万六千"],
+    }
+    for lang, texts in cases.items():
+        py_fn = py_funcs.get(lang)
+        for text in texts:
+            res = lib.FunItnGrammarApply(g, lang.encode(), text.encode())
+            assert res, (lang, text)
+            cpp_out = lib.FunASRGetResult(res, 0).decode()
+            if py_fn is not None:
+                assert cpp_out == py_fn(text), (lang, text, cpp_out,
+                                                py_fn(text))
+    lib.FunItnGrammarFree(ctypes.c_void_p(g))
