@@ -76,7 +76,12 @@ FUNASR_RESULT FunPuncInfer(FUNASR_HANDLE handle, const char* text);
 /* True streaming ASR (paraformer-online role): a stream carries the chunked
  * encoder/CIF/decoder caches; each FunASRStreamInfer call feeds PCM16 (or raw
  * float via WAV) and returns the NEW tokens decoded by the complete 600 ms
- * strides buffered so far. is_final flushes the tail and resets the stream. */
+ * strides buffered so far. is_final flushes the tail and resets the stream.
+ * The streaming engine is lazily loaded on the first FunASRStreamCreate and
+ * holds its own copy of weights.ftr (the reference ships separate
+ * online/offline ONNX graphs; here the weights are shared on disk but loaded
+ * twice in memory — acceptable for edge models, revisit for very large ones).
+ * Streams from one handle share the engine; each stream is single-threaded. */
 typedef void* FUNASR_STREAM;
 FUNASR_STREAM FunASRStreamCreate(FUNASR_HANDLE handle);
 FUNASR_RESULT FunASRStreamInfer(FUNASR_STREAM stream, const char* data,
