@@ -220,8 +220,11 @@ def _write_ftr(path: str, meta: dict, flat: dict, quant: str = None):
             name_b = name.encode()
             f.write(struct.pack("<I", len(name_b)))
             f.write(name_b)
+            # embedding tables are row-gathered (not matmul'd) by the C++
+            # engines and must stay fp32
+            is_embed = name.startswith("embed/") or "/embed/" in name
             do_quant = (quant == "int8" and arr.ndim == 2 and name.endswith("/w")
-                        and arr.size >= _QUANT_MIN_SIZE)
+                        and not is_embed and arr.size >= _QUANT_MIN_SIZE)
             f.write(struct.pack("<BB", 1 if do_quant else 0, arr.ndim))
             f.write(np.asarray(arr.shape, "<i8").tobytes())
             if do_quant:
@@ -285,7 +288,7 @@ def export_vad_ftr(model, params, path: str, extra_meta: dict = None):
 
 
 def export_punc_ftr(model, params, path: str, token_list=None,
-                    extra_meta: dict = None):
+                    quant: str = None, extra_meta: dict = None):
     """Write a ``punc.ftr`` for the C++ CT-Transformer punctuation engine
     (runtime/funasr_tpu_runtime/src/punc-engine.cc): embedding + SAN-M encoder
     + punc classifier, plus the punc symbol table in the meta block. With
@@ -321,7 +324,7 @@ def export_punc_ftr(model, params, path: str, token_list=None,
             enc[f"encoders.{i}"] = layer
     flat = _flatten_params({"embed": params["embed"], "encoder": enc,
                             "decoder": params["decoder"]})
-    _write_ftr(path, meta, flat)
+    _write_ftr(path, meta, flat, quant=quant)
     if token_list is not None:
         with open(os.path.join(os.path.dirname(path) or ".",
                                "punc_tokens.txt"), "w") as f:
