@@ -756,3 +756,70 @@ def test_native_sensevoice_int8(built, tmp_path, rng):
     assert res, "int8 SenseVoice failed to load/infer"
     out = lib.FunASRGetResult(res, 0)
     assert out is not None  # decode path ran (text may be short on random w)
+
+
+def test_native_streaming_edge_cases(built, tmp_path):
+    """Streaming engine robustness: int8 weights, sub-stride feeds, and
+    session reuse after is_final (the reset path)."""
+    import jax
+
+    from funasr_tpu import tables
+    from funasr_tpu.export_runtime import export_ftr
+
+    tokens = ["<blank>", "<s>", "</s>"] + [chr(ord("一") + i) for i in range(37)] + ["<unk>"]
+    model = tables.model_classes["ParaformerStreaming"](
+        input_size=560, vocab_size=41,
+        encoder_conf=dict(output_size=32, attention_heads=4, linear_units=64,
+                          num_blocks=2),
+        decoder_conf=dict(attention_heads=4, linear_units=64, num_blocks=2,
+                          att_layer_num=2, sanm_shfit=0),
+        predictor_conf=dict(idim=32), sos=1, eos=2, predictor_bias=1)
+    params = model.init_params(jax.random.PRNGKey(1))
+    model_dir = tmp_path / "sq"
+    model_dir.mkdir()
+    export_ftr(model, params, str(model_dir / "weights.ftr"), quant="int8",
+               extra_meta={"lfr_m": 7, "lfr_n": 6, "n_mels": 80,
+                           "encoder_chunk_look_back": 4,
+                           "decoder_chunk_look_back": 1})
+    (model_dir / "tokens.txt").write_text("\n".join(tokens) + "\n")
+
+    lib = ctypes.CDLL(str(built / "libfunasr_tpu_runtime.so"))
+    lib.FunASRInit.restype = ctypes.c_void_p
+    lib.FunASRInit.argtypes = [ctypes.c_char_p, ctypes.c_int]
+    lib.FunASRStreamCreate.restype = ctypes.c_void_p
+    lib.FunASRStreamCreate.argtypes = [ctypes.c_void_p]
+    lib.FunASRStreamInfer.restype = ctypes.c_void_p
+    lib.FunASRStreamInfer.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                      ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    lib.FunASRGetResult.restype = ctypes.c_char_p
+    lib.FunASRGetResult.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.FunASRStreamFree.argtypes = [ctypes.c_void_p]
+
+    h = lib.FunASRInit(str(model_dir).encode(), 1)
+    stream = lib.FunASRStreamCreate(h)
+    assert stream
+
+    rng_l = np.random.default_rng(7)
+
+    def run_utterance(seed):
+        rng_u = np.random.default_rng(seed)
+        pcm = (np.clip(rng_u.standard_normal(16000) * 0.2, -1, 1)
+               * 32767).astype("<i2").tobytes()
+        text = ""
+        # tiny 100 ms feeds — far below one stride — then the final flush
+        step = 3200
+        for off in range(0, len(pcm), step):
+            is_final = off + step >= len(pcm)
+            res = lib.FunASRStreamInfer(stream, pcm[off:off + step],
+                                        min(step, len(pcm) - off), is_final,
+                                        16000)
+            assert res
+            text += lib.FunASRGetResult(res, 0).decode()
+        return text
+
+    t1 = run_utterance(1)
+    t2 = run_utterance(2)  # same stream reused after is_final reset
+    t1_again = run_utterance(1)
+    assert t1, "no text decoded"
+    assert t1 == t1_again, "session reset is not clean (state leaked)"
+    lib.FunASRStreamFree(ctypes.c_void_p(stream))
