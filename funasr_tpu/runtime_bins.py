@@ -1,0 +1,176 @@
+"""funasr_onnx-style python bindings over the native C++ runtime.
+
+Counterpart of the reference ``funasr_onnx`` pip package
+(``runtime/python/onnxruntime/funasr_onnx/{paraformer_bin,
+paraformer_online_bin, vad_bin, punc_bin, sensevoice_bin}.py``): the same
+class-per-model surface, but executing the pure-C++ engines in
+``libfunasr_tpu_runtime.so`` via ctypes — no JAX, no model code, no Python
+compute. Model dirs are produced by :mod:`funasr_tpu.export_runtime`
+(``export_native_dir`` / ``export_vad_ftr`` / ``export_punc_ftr``).
+
+    from funasr_tpu.runtime_bins import Paraformer
+    model = Paraformer("exported_dir/")
+    print(model(["a.wav"]))          # [{"preds": "..."}]
+"""
+
+from __future__ import annotations
+
+import ctypes
+import json
+import os
+from typing import List, Optional, Union
+
+
+def _default_lib() -> str:
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    return os.path.join(here, "runtime", "funasr_tpu_runtime", "build",
+                        "libfunasr_tpu_runtime.so")
+
+
+def _load_lib(lib_path: Optional[str] = None):
+    lib = ctypes.CDLL(lib_path or os.environ.get("FUNASR_TPU_RUNTIME_LIB")
+                      or _default_lib())
+    lib.FunASRInit.restype = ctypes.c_void_p
+    lib.FunASRInit.argtypes = [ctypes.c_char_p, ctypes.c_int]
+    lib.FunOfflineInfer.restype = ctypes.c_void_p
+    lib.FunOfflineInfer.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                    ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    lib.FunASRGetResult.restype = ctypes.c_char_p
+    lib.FunASRGetResult.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.FunASRFreeResult.argtypes = [ctypes.c_void_p]
+    lib.FunASRUninit.argtypes = [ctypes.c_void_p]
+    lib.FunVadInfer.restype = ctypes.c_void_p
+    lib.FunVadInfer.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                ctypes.c_int, ctypes.c_int]
+    lib.FunPuncInfer.restype = ctypes.c_void_p
+    lib.FunPuncInfer.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    lib.FunPuncCacheCreate.restype = ctypes.c_void_p
+    lib.FunPuncCacheFree.argtypes = [ctypes.c_void_p]
+    lib.FunPuncInferOnline.restype = ctypes.c_void_p
+    lib.FunPuncInferOnline.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                       ctypes.c_void_p]
+    lib.FunASRStreamCreate.restype = ctypes.c_void_p
+    lib.FunASRStreamCreate.argtypes = [ctypes.c_void_p]
+    lib.FunASRStreamInfer.restype = ctypes.c_void_p
+    lib.FunASRStreamInfer.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                      ctypes.c_int, ctypes.c_int,
+                                      ctypes.c_int]
+    lib.FunASRStreamFree.argtypes = [ctypes.c_void_p]
+    return lib
+
+
+def _read_audio(item: Union[str, bytes]) -> bytes:
+    if isinstance(item, bytes):
+        return item
+    with open(item, "rb") as f:
+        return f.read()
+
+
+class _Handle:
+    def __init__(self, model_dir: str, lib_path: Optional[str] = None,
+                 quantize: bool = False, **kwargs):
+        del quantize  # quantization is baked into the export, kept for parity
+        self.lib = _load_lib(lib_path)
+        self.handle = self.lib.FunASRInit(str(model_dir).encode(), 1)
+        if not self.handle:
+            raise RuntimeError(f"FunASRInit failed for {model_dir}")
+
+    def __del__(self):
+        try:
+            if getattr(self, "handle", None):
+                self.lib.FunASRUninit(ctypes.c_void_p(self.handle))
+        except Exception:  # noqa: BLE001 — interpreter shutdown
+            pass
+
+    def _result_text(self, res) -> str:
+        if not res:
+            return ""
+        text = self.lib.FunASRGetResult(res, 0)
+        out = text.decode() if text else ""
+        self.lib.FunASRFreeResult(ctypes.c_void_p(res))
+        return out
+
+
+class Paraformer(_Handle):
+    """Offline ASR (funasr_onnx ``Paraformer`` role): also serves SenseVoice
+    exports — FunASRInit picks the engine from the weights.ftr meta."""
+
+    def __call__(self, wav_content: Union[str, bytes, List], fs: int = 16000,
+                 **kwargs) -> List[dict]:
+        items = wav_content if isinstance(wav_content, list) else [wav_content]
+        results = []
+        for item in items:
+            data = _read_audio(item)
+            res = self.lib.FunOfflineInfer(self.handle, data, len(data), 0, fs)
+            results.append({"preds": self._result_text(res)})
+        return results
+
+
+SenseVoiceSmall = Paraformer  # same surface; engine dispatch is in the lib
+
+
+class ParaformerOnline(_Handle):
+    """Streaming ASR (funasr_onnx ``Paraformer`` online role): feed PCM16
+    chunks, collect incremental token strings."""
+
+    def __init__(self, model_dir: str, **kwargs):
+        super().__init__(model_dir, **kwargs)
+        self.stream = self.lib.FunASRStreamCreate(self.handle)
+        if not self.stream:
+            raise RuntimeError("streaming engine unavailable (weights.ftr "
+                               "missing streaming meta?)")
+
+    def __call__(self, pcm_chunk: bytes, is_final: bool = False,
+                 fs: int = 16000) -> List[dict]:
+        res = self.lib.FunASRStreamInfer(self.stream, pcm_chunk,
+                                         len(pcm_chunk), int(is_final), fs)
+        return [{"preds": self._result_text(res)}]
+
+    def __del__(self):
+        try:
+            if getattr(self, "stream", None):
+                self.lib.FunASRStreamFree(ctypes.c_void_p(self.stream))
+        except Exception:  # noqa: BLE001
+            pass
+        super().__del__()
+
+
+class Fsmn_vad(_Handle):
+    """VAD (funasr_onnx ``Fsmn_vad`` role): wav -> [[start_ms, end_ms], ...]."""
+
+    def __call__(self, wav_content: Union[str, bytes], fs: int = 16000,
+                 **kwargs) -> List[list]:
+        data = _read_audio(wav_content)
+        res = self.lib.FunVadInfer(self.handle, data, len(data), fs)
+        text = self._result_text(res)
+        return [json.loads(text)] if text else [[]]
+
+
+class CT_Transformer(_Handle):
+    """Punctuation (funasr_onnx ``CT_Transformer`` role)."""
+
+    def __call__(self, text: str, **kwargs):
+        res = self.lib.FunPuncInfer(self.handle, text.encode())
+        return self._result_text(res), None
+
+
+class CT_Transformer_VadRealtime(_Handle):
+    """Streaming punctuation (funasr_onnx ``CT_Transformer_VadRealtime``
+    role): a cache carries the sentence tail between calls."""
+
+    def __init__(self, model_dir: str, **kwargs):
+        super().__init__(model_dir, **kwargs)
+        self.cache = self.lib.FunPuncCacheCreate()
+
+    def __call__(self, text: str, param_dict: Optional[dict] = None, **kwargs):
+        res = self.lib.FunPuncInferOnline(self.handle, text.encode(),
+                                          ctypes.c_void_p(self.cache))
+        return self._result_text(res), None
+
+    def __del__(self):
+        try:
+            if getattr(self, "cache", None):
+                self.lib.FunPuncCacheFree(ctypes.c_void_p(self.cache))
+        except Exception:  # noqa: BLE001
+            pass
+        super().__del__()

@@ -823,3 +823,83 @@ def test_native_streaming_edge_cases(built, tmp_path):
     assert t1, "no text decoded"
     assert t1 == t1_again, "session reset is not clean (state leaked)"
     lib.FunASRStreamFree(ctypes.c_void_p(stream))
+
+
+def test_runtime_bins_surface(built, tmp_path):
+    """funasr_onnx-style python bindings (funasr_tpu.runtime_bins) drive the
+    native engines: offline ASR, streaming ASR, VAD, offline+streaming punc."""
+    import os as _os
+    import wave
+
+    import jax
+
+    from funasr_tpu import tables
+    from funasr_tpu.export_runtime import (export_ftr, export_punc_ftr,
+                                           export_vad_ftr)
+    from funasr_tpu.models.ct_transformer.model import CTTransformer
+    from funasr_tpu.models.fsmn_vad_streaming.model import FsmnVADStreaming
+
+    _os.environ["FUNASR_TPU_RUNTIME_LIB"] = str(
+        built / "libfunasr_tpu_runtime.so")
+    from funasr_tpu import runtime_bins
+
+    tokens = ["<blank>", "<s>", "</s>"] + [chr(ord("一") + i) for i in range(37)] + ["<unk>"]
+    asr = tables.model_classes["ParaformerStreaming"](
+        input_size=560, vocab_size=41,
+        encoder_conf=dict(output_size=32, attention_heads=4, linear_units=64,
+                          num_blocks=2),
+        decoder_conf=dict(attention_heads=4, linear_units=64, num_blocks=2,
+                          att_layer_num=2, sanm_shfit=0),
+        predictor_conf=dict(idim=32), sos=1, eos=2, predictor_bias=1)
+    model_dir = tmp_path / "bins"
+    model_dir.mkdir()
+    export_ftr(asr, asr.init_params(jax.random.PRNGKey(0)),
+               str(model_dir / "weights.ftr"),
+               extra_meta={"lfr_m": 7, "lfr_n": 6, "n_mels": 80})
+    (model_dir / "tokens.txt").write_text("\n".join(tokens) + "\n")
+    vad = FsmnVADStreaming(
+        encoder="FSMN",
+        encoder_conf=dict(input_dim=400, input_affine_dim=32, fsmn_layers=1,
+                          linear_dim=32, proj_dim=16, lorder=5, rorder=0,
+                          lstride=1, rstride=1, output_affine_dim=32,
+                          output_dim=4))
+    export_vad_ftr(vad, vad.init_params(jax.random.PRNGKey(1)),
+                   str(model_dir / "vad.ftr"))
+    punc_tokens = ["<blank>", "<unk>"] + [chr(ord("一") + i) for i in range(37)]
+    pm = CTTransformer(
+        vocab_size=len(punc_tokens), embed_unit=16, att_unit=32,
+        punc_list=["<unk>", "_", "，", "。", "？", "、"],
+        encoder_conf=dict(output_size=32, attention_heads=4, linear_units=48,
+                          num_blocks=2, kernel_size=7, input_size=16))
+    export_punc_ftr(pm, pm.init_params(jax.random.PRNGKey(2)),
+                    str(model_dir / "punc.ftr"), token_list=punc_tokens)
+
+    rng_l = np.random.default_rng(4)
+    pcm = (np.clip(rng_l.standard_normal(16000) * 0.2, -1, 1)
+           * 32767).astype(np.int16)
+    wav_path = str(tmp_path / "b.wav")
+    with wave.open(wav_path, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(pcm.tobytes())
+
+    out = runtime_bins.Paraformer(str(model_dir))([wav_path])
+    assert out and "preds" in out[0]
+
+    online = runtime_bins.ParaformerOnline(str(model_dir))
+    t = online(pcm.tobytes(), is_final=True)[0]["preds"]
+    assert isinstance(t, str)
+
+    segs = runtime_bins.Fsmn_vad(str(model_dir))(wav_path)
+    assert isinstance(segs[0], list)
+
+    text = "".join(str(rng_l.choice([chr(ord("一") + i) for i in range(37)]))
+                   for _ in range(8))
+    punct, _ = runtime_bins.CT_Transformer(str(model_dir))(text)
+    assert punct
+
+    stream_punc = runtime_bins.CT_Transformer_VadRealtime(str(model_dir))
+    p1, _ = stream_punc(text)
+    p2, _ = stream_punc(text)
+    assert isinstance(p1, str) and isinstance(p2, str)
