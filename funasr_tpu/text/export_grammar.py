@@ -15,7 +15,16 @@ from __future__ import annotations
 import json
 from typing import Dict
 
-GRAMMAR_VERSION = 2
+GRAMMAR_VERSION = 3
+
+# spoken percent spans per language ("<number> <words>" -> "<number> %"; the
+# second spelling covers the cardinal pass already digitizing ciento/cent/trăm)
+_PERCENT_WORDS = {
+    "de": ["prozent"], "es": ["por ciento", "por 100"],
+    "fr": ["pour cent", "pour 100"], "pt": ["por cento", "por 100"],
+    "ru": ["процентов", "процента", "процент"], "id": ["persen"],
+    "vi": ["phần trăm", "phần 100"], "ja": ["パーセント"], "ko": ["퍼센트"],
+}
 
 
 def export_grammar(path: str | None = None) -> Dict:
@@ -62,6 +71,28 @@ def export_grammar(path: str | None = None) -> Dict:
                    "ordinals": en_numbers.ORDINALS,
                    "classes": ["number", "ordinal", "date", "money",
                                "decimal", "percent"]}
+    # class-rule specs (decimals/money/percent/ordinal lookups) from the
+    # post-cardinal overlays — data-driven so the C++ interpreter can apply
+    # the same classes (times keep language-specific code and stay host-side)
+    from funasr_tpu.text.multilingual_classes import _CLASSES
+    for code, cls in _CLASSES.items():
+        spec = {
+            "decimal_words": list(cls.decimal_words),
+            "decimal_mark": cls.decimal_mark,
+            "currencies": dict(cls.currencies),
+            "minor_units": list(cls.minor_units),
+            "percent_words": _PERCENT_WORDS.get(code, []),
+        }
+        if cls.ordinal_value is not None and code in ("es", "pt", "ru"):
+            # lookup-table ordinals serialize directly; de/fr use
+            # suffix-stripping code and stay host-side
+            from funasr_tpu.text.multilingual_classes import (
+                _ES_ORDINALS, _PT_ORDINALS, _RU_ORDINALS)
+            table = {"es": _ES_ORDINALS, "pt": _PT_ORDINALS,
+                     "ru": _RU_ORDINALS}[code]
+            spec["ordinals"] = {w: cls.ordinal_fmt(v) for w, v in table.items()}
+        langs.setdefault(code, {"type": "classes_only"})["classes"] = spec
+
     archive = {"format": "funasr_tpu_itn_grammar",
                "version": GRAMMAR_VERSION, "languages": langs}
     if path:

@@ -382,6 +382,158 @@ std::string CjkItn(const ItnLexicon& lex, const std::string& text) {
   return out;
 }
 
+// ---- post-cardinal class rules (multilingual_classes.py data subset) ------
+
+bool IsDigits(const std::string& s) {
+  if (s.empty()) return false;
+  for (char c : s) {
+    if (c < '0' || c > '9') return false;
+  }
+  return true;
+}
+
+// digits possibly followed by a decimal mark + digits ("5" / "5,20")
+bool IsAmount(const std::string& s, const std::string& mark) {
+  const size_t m = s.find(mark);
+  if (m == std::string::npos) return IsDigits(s);
+  return IsDigits(s.substr(0, m)) && IsDigits(s.substr(m + mark.size()));
+}
+
+std::string ApplyWordClasses(const ItnLexicon& lex, const std::string& text) {
+  std::vector<std::string> toks = SplitWs(text);
+
+  // ordinals: direct surface lookup (with punctuation kept around the core)
+  for (auto& raw : toks) {
+    const std::string core = AsciiLowerStrip(raw);
+    auto it = lex.ordinals.find(core);
+    if (it != lex.ordinals.end()) {
+      const size_t pos = raw.find(core);
+      if (pos != std::string::npos) raw.replace(pos, core.size(), it->second);
+    }
+  }
+
+  // decimals: "3 <sep> 14" -> "3<mark>14" (spaced digit tails join)
+  for (size_t i = 0; i + 2 < toks.size() + 1;) {
+    bool applied = false;
+    if (i + 2 < toks.size() + 1 && i + 2 <= toks.size() && IsDigits(toks[i])) {
+      for (const auto& sep : lex.decimal_words) {
+        if (i + 2 < toks.size() + 1 && i + 1 < toks.size() &&
+            toks[i + 1] == sep && i + 2 < toks.size() &&
+            IsDigits(toks[i + 2])) {
+          std::string frac = toks[i + 2];
+          size_t j = i + 3;
+          while (j < toks.size() && IsDigits(toks[j])) {
+            frac += toks[j];
+            ++j;
+          }
+          toks[i] = toks[i] + lex.decimal_mark + frac;
+          toks.erase(toks.begin() + i + 1, toks.begin() + j);
+          applied = true;
+          break;
+        }
+      }
+    }
+    if (!applied) ++i;
+  }
+
+  // money: "<amount> <currency> [con|com] [<minor> [<minor_unit>]]"
+  for (size_t i = 0; i + 1 < toks.size();) {
+    auto cur = lex.currencies.find(AsciiLowerStrip(toks[i + 1]));
+    if (IsAmount(toks[i], lex.decimal_mark) && cur != lex.currencies.end()) {
+      std::string amount = toks[i];
+      size_t j = i + 2;
+      if (j < toks.size() && (toks[j] == "con" || toks[j] == "com") &&
+          j + 1 < toks.size() && IsDigits(toks[j + 1])) {
+        ++j;
+      }
+      if (amount.find(lex.decimal_mark) == std::string::npos &&
+          j < toks.size() && IsDigits(toks[j]) && toks[j].size() <= 2) {
+        char buf[8];
+        std::snprintf(buf, sizeof(buf), "%02d", std::atoi(toks[j].c_str()));
+        amount += lex.decimal_mark + buf;
+        ++j;
+        if (j < toks.size()) {
+          for (const auto& mu : lex.minor_units) {
+            if (toks[j] == mu) { ++j; break; }
+          }
+        }
+      }
+      toks[i] = cur->second + amount;
+      toks.erase(toks.begin() + i + 1, toks.begin() + j);
+    } else {
+      ++i;
+    }
+  }
+
+  // percent: "<digits> <words...>" -> "<digits> %" (multiword spans)
+  for (size_t i = 0; i < toks.size();) {
+    bool applied = false;
+    if (IsDigits(toks[i])) {
+      for (const auto& pw : lex.percent_words) {
+        const std::vector<std::string> parts = SplitWs(pw);
+        if (i + parts.size() < toks.size() + 1 &&
+            i + parts.size() <= toks.size()) {
+          bool match = !parts.empty();
+          for (size_t k = 0; k < parts.size(); ++k) {
+            if (i + 1 + k >= toks.size() || toks[i + 1 + k] != parts[k]) {
+              match = false;
+              break;
+            }
+          }
+          if (match) {
+            toks.erase(toks.begin() + i + 1,
+                       toks.begin() + i + 1 + parts.size());
+            toks.insert(toks.begin() + i + 1, "%");
+            applied = true;
+            break;
+          }
+        }
+      }
+    }
+    i += applied ? 2 : 1;
+  }
+
+  std::string out;
+  for (size_t i = 0; i < toks.size(); ++i) {
+    if (i) out += " ";
+    out += toks[i];
+  }
+  return out;
+}
+
+std::string ApplyCjkClasses(const ItnLexicon& lex, const std::string& text) {
+  std::string out = text;
+  // decimals: "<digits><sep><digits>" -> "<digits>.<digits>"
+  for (const auto& sep : lex.decimal_words) {
+    size_t pos = 0;
+    while ((pos = out.find(sep, pos)) != std::string::npos) {
+      const bool before = pos > 0 && out[pos - 1] >= '0' && out[pos - 1] <= '9';
+      const size_t after = pos + sep.size();
+      const bool next = after < out.size() && out[after] >= '0' &&
+                        out[after] <= '9';
+      if (before && next) {
+        out = out.substr(0, pos) + lex.decimal_mark + out.substr(after);
+        pos += lex.decimal_mark.size();
+      } else {
+        pos += sep.size();
+      }
+    }
+  }
+  // percent: "<digits><word>" -> "<digits>%"
+  for (const auto& pw : lex.percent_words) {
+    size_t pos = 0;
+    while ((pos = out.find(pw, pos)) != std::string::npos) {
+      if (pos > 0 && out[pos - 1] >= '0' && out[pos - 1] <= '9') {
+        out = out.substr(0, pos) + "%" + out.substr(pos + pw.size());
+        ++pos;
+      } else {
+        pos += pw.size();
+      }
+    }
+  }
+  return out;
+}
+
 }  // namespace
 
 bool ItnGrammar::Load(const std::string& path) {
@@ -433,7 +585,6 @@ bool ItnGrammar::LoadString(const std::string& json) {
         lex.ones["__belas__"] = 10;
         lex.vocab.insert("__belas__");
       }
-      langs_[kv.first] = std::move(lex);
     } else if (type->second.str == "cjk") {
       lex.cjk = true;
       auto get = [&](const char* k) {
@@ -446,8 +597,37 @@ bool ItnGrammar::LoadString(const std::string& json) {
       for (const auto& m : {lex.digits, lex.units, lex.big}) {
         for (const auto& e : m) lex.cjk_chars.insert(e.first);
       }
-      langs_[kv.first] = std::move(lex);
+    } else {
+      continue;
     }
+    auto cls = g.obj.find("classes");
+    if (cls != g.obj.end() && cls->second.kind == JsonValue::kObject) {
+      const auto& c = cls->second.obj;
+      auto arr = [&](const char* k) {
+        std::vector<std::string> out;
+        auto it = c.find(k);
+        if (it != c.end()) {
+          for (const auto& e : it->second.arr) out.push_back(e.str);
+        }
+        return out;
+      };
+      lex.decimal_words = arr("decimal_words");
+      lex.minor_units = arr("minor_units");
+      lex.percent_words = arr("percent_words");
+      auto mk = c.find("decimal_mark");
+      if (mk != c.end()) lex.decimal_mark = mk->second.str;
+      auto smap = [&](const char* k) {
+        std::map<std::string, std::string> out;
+        auto it = c.find(k);
+        if (it != c.end()) {
+          for (const auto& e : it->second.obj) out[e.first] = e.second.str;
+        }
+        return out;
+      };
+      lex.currencies = smap("currencies");
+      lex.ordinals = smap("ordinals");
+    }
+    langs_[kv.first] = std::move(lex);
   }
   return !langs_.empty();
 }
@@ -456,8 +636,10 @@ std::string ItnGrammar::Apply(const std::string& lang,
                               const std::string& text) const {
   auto it = langs_.find(lang);
   if (it == langs_.end()) return text;
-  return it->second.cjk ? CjkItn(it->second, text)
-                        : WordItn(it->second, text);
+  const ItnLexicon& lex = it->second;
+  std::string out = lex.cjk ? CjkItn(lex, text) : WordItn(lex, text);
+  out = lex.cjk ? ApplyCjkClasses(lex, out) : ApplyWordClasses(lex, out);
+  return out;
 }
 
 }  // namespace funasr_tpu

@@ -24,6 +24,11 @@ struct ItnLexicon {
   // cjk tables
   std::map<std::string, long long> digits, units, big;
   std::set<std::string> cjk_chars;
+  // post-cardinal class rules (multilingual_classes.py LangClasses, exported
+  // as data; times keep language-specific code and stay host-side)
+  std::vector<std::string> decimal_words, minor_units, percent_words;
+  std::string decimal_mark = ",";
+  std::map<std::string, std::string> currencies, ordinals;
 };
 
 class ItnGrammar {

@@ -697,15 +697,38 @@ def test_itn_grammar_archive_cpp(built, tmp_path):
         "ko": ["삼만 오천", "구백구십구"],
         "zh": ["三百二十一", "五万六千"],
     }
+    from funasr_tpu.text.inverse_normalize import InverseNormalizer
+    del py_funcs  # Apply() includes class rules; golden is the full pipeline
     for lang, texts in cases.items():
-        py_fn = py_funcs.get(lang)
         for text in texts:
             res = lib.FunItnGrammarApply(g, lang.encode(), text.encode())
             assert res, (lang, text)
             cpp_out = lib.FunASRGetResult(res, 0).decode()
-            if py_fn is not None:
-                assert cpp_out == py_fn(text), (lang, text, cpp_out,
-                                                py_fn(text))
+            py_out = InverseNormalizer(lang=lang).inverse_normalize(text)
+            assert cpp_out == py_out, (lang, text, cpp_out, py_out)
+
+    # class rules (decimals/money/percent/ordinals) byte-match the python
+    # InverseNormalizer (times stay host-side by design)
+    class_cases = [
+        ("de", "drei komma eins vier"), ("de", "fünf euro zwanzig"),
+        ("de", "fünfzig prozent"),
+        ("es", "cinco euros con veinte céntimos"), ("es", "tercero"),
+        ("es", "cincuenta por ciento"),
+        ("fr", "cinq euros vingt"), ("fr", "cinquante pour cent"),
+        ("pt", "primeiro"), ("pt", "cinquenta por cento"),
+        ("ru", "пять рублей"), ("ru", "третий"),
+        ("ru", "пятьдесят процентов"),
+        ("id", "lima puluh persen"), ("vi", "năm mươi phần trăm"),
+        ("ja", "三点一四"), ("ja", "五十パーセント"),
+        ("ko", "삼점일사"), ("ko", "오십퍼센트"),
+        ("de", "dreihundertfünfundzwanzig euro"),
+        ("ja", "三千二百十一"), ("ko", "삼만 오천"),
+    ]
+    for lang, text in class_cases:
+        res = lib.FunItnGrammarApply(g, lang.encode(), text.encode())
+        cpp_out = lib.FunASRGetResult(res, 0).decode()
+        py_out = InverseNormalizer(lang=lang).inverse_normalize(text)
+        assert cpp_out == py_out, (lang, text, cpp_out, py_out)
     lib.FunItnGrammarFree(ctypes.c_void_p(g))
 
 
