@@ -5,6 +5,7 @@
 // model_dir: weights.ftr + tokens.txt + am.mvn (funasr_tpu.export_runtime
 // .export_ftr output).
 
+#include <chrono>
 #include <cstdio>
 #include <string>
 #include <vector>
@@ -25,14 +26,18 @@ static std::vector<char> ReadFile(const char* path) {
 }
 
 int main(int argc, char** argv) {
-  bool streaming = false;
+  bool streaming = false, rtf = false;
   int argi = 1;
-  if (argi < argc && std::string(argv[argi]) == "--streaming") {
-    streaming = true;
+  while (argi < argc && argv[argi][0] == '-') {
+    const std::string a = argv[argi];
+    if (a == "--streaming") streaming = true;
+    else if (a == "--rtf") rtf = true;  // funasr-onnx-offline-rtf role
+    else break;
     ++argi;
   }
   if (argc - argi < 2) {
-    std::fprintf(stderr, "usage: %s [--streaming] <model_dir> <wav>...\n",
+    std::fprintf(stderr,
+                 "usage: %s [--streaming] [--rtf] <model_dir> <wav>...\n",
                  argv[0]);
     return 2;
   }
@@ -79,11 +84,24 @@ int main(int argc, char** argv) {
       std::printf("%s\tfinal\t%s\n", argv[i], full.c_str());
       FunASRStreamFree(stream);
     } else {
+      const auto t0 = std::chrono::steady_clock::now();
       FUNASR_RESULT r = FunOfflineInfer(h, wav.data(),
                                         static_cast<int>(wav.size()),
                                         FUNASR_MODE_OFFLINE, 16000);
+      const double wall =
+          std::chrono::duration<double>(std::chrono::steady_clock::now() - t0)
+              .count();
       const char* text = r ? FunASRGetResult(r, 0) : nullptr;
-      std::printf("%s\t%s\n", argv[i], text ? text : "");
+      if (rtf) {
+        // PCM16 bytes after a possible 44-byte RIFF header -> audio seconds
+        const double audio_s =
+            (wav.size() - (wav.size() > 44 ? 44 : 0)) / 2.0 / 16000.0;
+        std::printf("%s\trtf=%.4f\trtfx=%.1f\taudio_s=%.2f\twall_s=%.3f\t%s\n",
+                    argv[i], wall / audio_s, audio_s / wall, audio_s, wall,
+                    text ? text : "");
+      } else {
+        std::printf("%s\t%s\n", argv[i], text ? text : "");
+      }
       if (r) FunASRFreeResult(r);
     }
   }
