@@ -215,11 +215,13 @@ void ServeConnection(std::shared_ptr<funasr_tpu::WsConnection> conn,
           const char* t = FunASRGetResult(sr, 0);
           if (t != nullptr && t[0] != '\0') {
             stream_text += t;
+            // incremental partials (clients concatenate), matching the
+            // python server and the reference 2pass protocol
             std::string reply =
                 "{\"mode\": \"" +
                 std::string(mode == "2pass" ? "2pass-online" : "online") +
                 "\", \"wav_name\": \"" + JsonEscape(wav_name) +
-                "\", \"text\": \"" + JsonEscape(stream_text) +
+                "\", \"text\": \"" + JsonEscape(t) +
                 "\", \"is_final\": false}";
             conn->SendText(reply);
           }
