@@ -177,6 +177,12 @@ def _ftr_meta(model) -> dict:
         "predictor.smooth_factor": pred.smooth_factor,
         "predictor.noise_threshold": pred.noise_threshold,
     }
+    if hasattr(model.predictor, "upsample_times"):  # CifPredictorV3 (BiCif)
+        meta["predictor.upsample_times"] = model.predictor.upsample_times
+        meta["predictor.upsample_type"] = model.predictor.upsample_type
+        meta["predictor.use_cif1_cnn"] = int(model.predictor.use_cif1_cnn)
+        meta["predictor.smooth_factor2"] = model.predictor.smooth_factor2
+        meta["predictor.noise_threshold2"] = model.predictor.noise_threshold2
     return meta
 
 

@@ -112,6 +112,12 @@ int FunASRGetSegmentStart(FUNASR_RESULT result, int index);
 int FunASRGetSegmentEnd(FUNASR_RESULT result, int index);
 
 const char* FunASRGetResult(FUNASR_RESULT result, int index);
+
+/* BiCif per-token timestamps as JSON "[[start_ms, end_ms], ...]" — filled by
+ * FunOfflineInfer when the weights.ftr carries the CifPredictorV3 upsample
+ * head (export of a BiCifParaformer / SeacoParaformer); "" otherwise.
+ * (reference funasrruntime.h FunASRGetStamp role) */
+const char* FunASRGetStamp(FUNASR_RESULT result);
 int FunASRGetRetNumber(FUNASR_RESULT result);
 const float* FunASRGetFeatureData(FUNASR_RESULT result);
 int FunASRGetFeatureFrames(FUNASR_RESULT result);

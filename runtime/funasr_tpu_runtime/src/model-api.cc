@@ -68,6 +68,7 @@ struct Result {
   int frames = 0;
   int dim = 0;
   std::vector<std::pair<int, int>> segments;  // VAD (start_ms, end_ms)
+  std::string stamp;  // BiCif per-token [start_ms, end_ms] JSON
 };
 
 }  // namespace
@@ -160,8 +161,9 @@ FUNASR_RESULT FunOfflineInfer(FUNASR_HANDLE handle, const char* data,
   if (r == nullptr) return nullptr;
   if (h != nullptr && (h->engine != nullptr || h->sv != nullptr)) {
     std::string text =
-        h->engine != nullptr ? h->engine->Infer(r->features, r->frames)
-                             : h->sv->Infer(r->features, r->frames);
+        h->engine != nullptr
+            ? h->engine->Infer(r->features, r->frames, &r->stamp)
+            : h->sv->Infer(r->features, r->frames);
     // restore punctuation when a punc.ftr sits in the model dir (the
     // reference offline-stream pipeline: ASR -> CT-Transformer punc)
     if (h->punc != nullptr && !text.empty()) text = h->punc->AddPunc(text);
@@ -281,6 +283,11 @@ FUNASR_RESULT FunVadInfer(FUNASR_HANDLE handle, const char* data,
   json += "]";
   r->texts.push_back(json);
   return r;
+}
+
+const char* FunASRGetStamp(FUNASR_RESULT result) {
+  auto* r = static_cast<Result*>(result);
+  return r == nullptr ? "" : r->stamp.c_str();
 }
 
 int FunASRGetSegmentCount(FUNASR_RESULT result) {

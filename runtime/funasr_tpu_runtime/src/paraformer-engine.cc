@@ -2,6 +2,7 @@
 
 #include <cmath>
 #include <cstring>
+#include <utility>
 
 #include "nn.h"
 
@@ -54,6 +55,13 @@ bool ParaformerEngine::Load(const std::string& model_dir) {
   lfr_m_ = ftr_.MetaInt("lfr_m", 7);
   lfr_n_ = ftr_.MetaInt("lfr_n", 6);
   n_mels_ = ftr_.MetaInt("n_mels", 80);
+  upsample_times_ = ftr_.MetaInt("predictor.upsample_times", 0);
+  upsample_blstm_ =
+      ftr_.MetaStr("predictor.upsample_type", "cnn") == "cnn_blstm";
+  use_cif1_cnn_ = ftr_.MetaInt("predictor.use_cif1_cnn", 1) != 0;
+  smooth_factor2_ = ftr_.MetaFloat("predictor.smooth_factor2", 1.0f);
+  noise_threshold2_ = ftr_.MetaFloat("predictor.noise_threshold2", 0.0f);
+  if (ftr_.Find("predictor/upsample_cnn/w") == nullptr) upsample_times_ = 0;
   SanmEncoderCfg ecfg;
   ecfg.input_size = input_size_;
   ecfg.d = d_;
@@ -248,7 +256,200 @@ std::vector<float> ParaformerEngine::Decode(const std::vector<float>& enc,
   return logits;
 }
 
-std::string ParaformerEngine::Infer(const std::vector<float>& feats, int t) {
+namespace {
+
+// single-layer LSTM, torch gate order (i, f, g, o); w_ih (in, 4h) row-major
+void LstmPass(const float* x, int t, int in_dim, const funasr_tpu::WTensor& w_ih,
+              const funasr_tpu::WTensor& w_hh, const float* b_ih,
+              const float* b_hh, bool reverse, float* out /* (t, h) */) {
+  const int h4 = static_cast<int>(w_ih.cols());
+  const int hd = h4 / 4;
+  std::vector<float> h(hd, 0.0f), c(hd, 0.0f), gates(h4);
+  for (int step = 0; step < t; ++step) {
+    const int i = reverse ? t - 1 - step : step;
+    const float* xi = x + static_cast<int64_t>(i) * in_dim;
+    for (int g = 0; g < h4; ++g) gates[g] = b_ih[g] + b_hh[g];
+    for (int k = 0; k < in_dim; ++k) {
+      const float xv = xi[k];
+      if (xv == 0.0f) continue;
+      const float* wr = w_ih.f32.data() + static_cast<int64_t>(k) * h4;
+      for (int g = 0; g < h4; ++g) gates[g] += xv * wr[g];
+    }
+    for (int k = 0; k < hd; ++k) {
+      const float hv = h[k];
+      if (hv == 0.0f) continue;
+      const float* wr = w_hh.f32.data() + static_cast<int64_t>(k) * h4;
+      for (int g = 0; g < h4; ++g) gates[g] += hv * wr[g];
+    }
+    for (int k = 0; k < hd; ++k) {
+      const float ig = 1.0f / (1.0f + std::exp(-gates[k]));
+      const float fg = 1.0f / (1.0f + std::exp(-gates[hd + k]));
+      const float gg = std::tanh(gates[2 * hd + k]);
+      const float og = 1.0f / (1.0f + std::exp(-gates[3 * hd + k]));
+      c[k] = fg * c[k] + ig * gg;
+      h[k] = og * std::tanh(c[k]);
+    }
+    std::memcpy(out + static_cast<int64_t>(i) * hd, h.data(),
+                hd * sizeof(float));
+  }
+}
+
+}  // namespace
+
+std::vector<float> ParaformerEngine::UpsampleAlphas(
+    const std::vector<float>& enc, int t, int n_tokens) {
+  const int d = d_, k = upsample_times_;
+  // shared cif conv (+relu) as the upsample source (use_cif1_cnn)
+  std::vector<float> src(static_cast<int64_t>(t) * d);
+  if (use_cif1_cnn_) {
+    Conv1d(enc.data(), t, d, W("predictor/cif_conv1d/w"),
+           W("predictor/cif_conv1d/b").f32.data(), l_order_, r_order_,
+           src.data());
+    Relu(src.data(), src.size());
+  } else {
+    src = enc;
+  }
+  // ConvTranspose1d with stride == kernel: frame i emits k output frames
+  // (core/layers.py conv_transpose1d_apply_stride_eq_kernel); torch weight
+  // layout (C_in, C_out, K)
+  const WTensor& wt = W("predictor/upsample_cnn/w");
+  const float* wb = W("predictor/upsample_cnn/b").f32.data();
+  const int c_out = static_cast<int>(wt.shape[1]);
+  const int t_up = t * k;
+  std::vector<float> up(static_cast<int64_t>(t_up) * c_out);
+  for (int i = 0; i < t; ++i) {
+    const float* si = src.data() + static_cast<int64_t>(i) * d;
+    for (int kk = 0; kk < k; ++kk) {
+      float* oi = up.data() + static_cast<int64_t>(i * k + kk) * c_out;
+      for (int o = 0; o < c_out; ++o) oi[o] = wb[o];
+      for (int ci = 0; ci < d; ++ci) {
+        const float v = si[ci];
+        if (v == 0.0f) continue;
+        const float* wr = wt.f32.data() +
+                          (static_cast<int64_t>(ci) * c_out) * k + kk;
+        for (int o = 0; o < c_out; ++o) oi[o] += v * wr[static_cast<int64_t>(o) * k];
+      }
+    }
+  }
+  std::vector<float> head(up);
+  int head_dim = c_out;
+  if (upsample_blstm_) {
+    const int hd = static_cast<int>(W("predictor/blstm_fw/w_hh").shape[0]);
+    std::vector<float> fw(static_cast<int64_t>(t_up) * hd);
+    std::vector<float> bw(fw.size());
+    LstmPass(up.data(), t_up, c_out, W("predictor/blstm_fw/w_ih"),
+             W("predictor/blstm_fw/w_hh"),
+             W("predictor/blstm_fw/b_ih").f32.data(),
+             W("predictor/blstm_fw/b_hh").f32.data(), false, fw.data());
+    LstmPass(up.data(), t_up, c_out, W("predictor/blstm_bw/w_ih"),
+             W("predictor/blstm_bw/w_hh"),
+             W("predictor/blstm_bw/b_ih").f32.data(),
+             W("predictor/blstm_bw/b_hh").f32.data(), true, bw.data());
+    head_dim = hd * 2;
+    head.assign(static_cast<int64_t>(t_up) * head_dim, 0.0f);
+    for (int i = 0; i < t_up; ++i) {
+      std::memcpy(head.data() + static_cast<int64_t>(i) * head_dim,
+                  fw.data() + static_cast<int64_t>(i) * hd,
+                  hd * sizeof(float));
+      std::memcpy(head.data() + static_cast<int64_t>(i) * head_dim + hd,
+                  bw.data() + static_cast<int64_t>(i) * hd,
+                  hd * sizeof(float));
+    }
+  }
+  std::vector<float> alphas(t_up);
+  {
+    const WTensor& wo = W("predictor/cif_output2/w");
+    const WTensor* bo = ftr_.Find("predictor/cif_output2/b");
+    MatMul(head.data(), t_up, head_dim, wo, bo ? bo->f32.data() : nullptr,
+           alphas.data());
+  }
+  SigmoidV(alphas.data(), t_up);
+  double total = 0.0;
+  for (int i = 0; i < t_up; ++i) {
+    float a = alphas[i] * smooth_factor2_ - noise_threshold2_;
+    alphas[i] = a > 0.0f ? a : 0.0f;
+    total += alphas[i];
+  }
+  if (n_tokens > 0 && total > 1e-9) {
+    const float scale = static_cast<float>(n_tokens / total);
+    for (float& a : alphas) a *= scale;
+  }
+  return alphas;
+}
+
+// ts_prediction_lfr6_standard (utils/timestamp_tools.py:31-82): fires ->
+// per-token [start_s, end_s] with <sil> insertion; returns only real-token
+// stamps in ms, aligned with the kept token count.
+static std::vector<std::pair<long long, long long>> TsPrediction(
+    std::vector<double> alphas, int n_chars, int upsample_rate) {
+  std::vector<std::pair<long long, long long>> out;
+  if (n_chars <= 0) return out;
+  const int kStartEnd = 5, kMaxDur = 12;
+  const double kTimeRate = 10.0 * 6 / 1000 / upsample_rate;
+  const double thr = 1.0 - 1e-4;
+  const int n = static_cast<int>(alphas.size());
+
+  auto fire_places = [&](const std::vector<double>& a) {
+    std::vector<double> fp;
+    double integrate = 0.0;
+    for (int i = 0; i < n; ++i) {
+      integrate += a[i];
+      if (integrate >= thr) {
+        fp.push_back(i - 1.5);  // force_time_shift
+        integrate -= thr;
+      }
+    }
+    return fp;
+  };
+
+  std::vector<double> fp = fire_places(alphas);
+  if (static_cast<int>(fp.size()) != n_chars + 1) {
+    double total = 0.0;
+    for (double a : alphas) total += a;
+    if (total > 1e-12) {
+      const double scale = (n_chars + 1) / total;
+      for (double& a : alphas) a *= scale;
+    }
+    fp = fire_places(alphas);
+  }
+
+  std::vector<std::pair<double, double>> stamps;  // with <sil> entries
+  std::vector<bool> is_sil;
+  if (!fp.empty() && fp[0] > kStartEnd) {
+    stamps.push_back({0.0, fp[0] * kTimeRate});
+    is_sil.push_back(true);
+  }
+  for (int i = 0; i + 1 < static_cast<int>(fp.size()); ++i) {
+    if (i >= n_chars) break;
+    if (fp[i + 1] - fp[i] <= kMaxDur) {
+      stamps.push_back({fp[i] * kTimeRate, fp[i + 1] * kTimeRate});
+      is_sil.push_back(false);
+    } else {
+      const double split = fp[i] + kMaxDur;
+      stamps.push_back({fp[i] * kTimeRate, split * kTimeRate});
+      is_sil.push_back(false);
+      stamps.push_back({split * kTimeRate, fp[i + 1] * kTimeRate});
+      is_sil.push_back(true);
+    }
+  }
+  if (!fp.empty() && n - fp.back() > kStartEnd) {
+    const double end = (n + fp.back()) * 0.5;
+    if (!stamps.empty()) stamps.back().second = end * kTimeRate;
+    stamps.push_back({end * kTimeRate, n * kTimeRate});
+    is_sil.push_back(true);
+  } else if (!stamps.empty()) {
+    stamps.back().second = n * kTimeRate;
+  }
+  for (size_t i = 0; i < stamps.size(); ++i) {
+    if (is_sil[i]) continue;
+    out.push_back({static_cast<long long>(std::lround(stamps[i].first * 1000)),
+                   static_cast<long long>(std::lround(stamps[i].second * 1000))});
+  }
+  return out;
+}
+
+std::string ParaformerEngine::Infer(const std::vector<float>& feats, int t,
+                                    std::string* stamp) {
   if (!loaded_ || t <= 0) return "";
   std::vector<float> enc = encoder_.Encode(feats, t);
   std::vector<float> embeds;
@@ -258,6 +459,7 @@ std::string ParaformerEngine::Infer(const std::vector<float>& feats, int t) {
 
   std::string text;
   bool prev_ascii = false;
+  int n_chars = 0;  // tokens past blank/sos/eos (the ts_prediction char list)
   for (int i = 0; i < n_tok; ++i) {
     const float* row = logits.data() + static_cast<int64_t>(i) * vocab_size_;
     int best = 0;
@@ -269,6 +471,7 @@ std::string ParaformerEngine::Infer(const std::vector<float>& feats, int t) {
       }
     }
     if (best == blank_ || best == sos_ || best == eos_) continue;
+    ++n_chars;
     const std::string& tok = vocab_.Id2Token(best);
     if (tok == "<unk>") continue;
     const bool ascii = IsAsciiWord(tok);
@@ -281,6 +484,20 @@ std::string ParaformerEngine::Infer(const std::vector<float>& feats, int t) {
       text += tok;
       prev_ascii = ascii;
     }
+  }
+
+  if (stamp != nullptr && upsample_times_ > 0 && n_chars > 0) {
+    std::vector<float> alphas = UpsampleAlphas(enc, t, n_tok);
+    std::vector<double> a64(alphas.begin(), alphas.end());
+    const auto stamps = TsPrediction(std::move(a64), n_chars, upsample_times_);
+    std::string js = "[";
+    for (size_t i = 0; i < stamps.size(); ++i) {
+      if (i) js += ",";
+      js += "[" + std::to_string(stamps[i].first) + "," +
+            std::to_string(stamps[i].second) + "]";
+    }
+    js += "]";
+    *stamp = js;
   }
   return text;
 }

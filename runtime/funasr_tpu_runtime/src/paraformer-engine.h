@@ -25,12 +25,22 @@ class ParaformerEngine {
   int lfr_n() const { return lfr_n_; }
   int n_mels() const { return n_mels_; }
 
-  // feats: (t, feat_dim) LFR+CMVN features -> transcript.
-  std::string Infer(const std::vector<float>& feats, int t);
+  // feats: (t, feat_dim) LFR+CMVN features -> transcript. With a BiCif
+  // (CifPredictorV3) export and stamp != nullptr, also writes per-token
+  // [start_ms, end_ms] pairs as a JSON array string (reference
+  // FunASRGetStamp role; timestamp_tools.ts_prediction_lfr6_standard logic).
+  std::string Infer(const std::vector<float>& feats, int t,
+                    std::string* stamp = nullptr);
+
+  bool has_timestamps() const { return upsample_times_ > 0; }
 
  private:
   // returns acoustic embeds (n_tok, d) via out; fires count as return value
   int Cif(const std::vector<float>& enc, int t, std::vector<float>* out);
+  // BiCif upsample head: (t, d) encoder output -> (t*upsample_times,) alphas2
+  // scaled to n_tokens total mass (cif_predictor.py get_upsample_timestamp)
+  std::vector<float> UpsampleAlphas(const std::vector<float>& enc, int t,
+                                    int n_tokens);
   std::vector<float> Decode(const std::vector<float>& enc, int t,
                             const std::vector<float>& embeds, int n_tok);
 
@@ -56,6 +66,10 @@ class ParaformerEngine {
   int l_order_ = 1, r_order_ = 1;
   int lfr_m_ = 7, lfr_n_ = 6, n_mels_ = 80;
   float tail_threshold_ = 0.45f, smooth_factor_ = 1.0f, noise_threshold_ = 0.0f;
+  // BiCif (CifPredictorV3) timestamp head
+  int upsample_times_ = 0;  // 0 = plain Paraformer (no timestamps)
+  bool upsample_blstm_ = false, use_cif1_cnn_ = true;
+  float smooth_factor2_ = 1.0f, noise_threshold2_ = 0.0f;
 };
 
 }  // namespace funasr_tpu

@@ -926,3 +926,86 @@ def test_runtime_bins_surface(built, tmp_path):
     p1, _ = stream_punc(text)
     p2, _ = stream_punc(text)
     assert isinstance(p1, str) and isinstance(p2, str)
+
+
+def test_native_bicif_timestamps(built, tmp_path, rng):
+    """C++ BiCif timestamps (FunASRGetStamp): upsample-head alphas + the
+    ts_prediction_lfr6_standard port produce the same per-token [start_ms,
+    end_ms] pairs as the python pipeline on the same features."""
+    import json as jsonlib
+    import wave
+
+    import jax
+    import jax.numpy as jnp
+
+    from funasr_tpu import tables
+    from funasr_tpu.export_runtime import export_ftr
+    from funasr_tpu.ops.fbank import fbank
+    from funasr_tpu.ops.lfr import apply_lfr
+    from funasr_tpu.utils.timestamp_tools import ts_prediction_lfr6_standard
+
+    tokens = ["<blank>", "<s>", "</s>"] + [chr(ord("一") + i) for i in range(37)] + ["<unk>"]
+    model = tables.model_classes["BiCifParaformer"](
+        input_size=560, vocab_size=41,
+        encoder_conf=dict(output_size=32, attention_heads=4, linear_units=64,
+                          num_blocks=2),
+        decoder_conf=dict(attention_heads=4, linear_units=64, num_blocks=2,
+                          att_layer_num=2, sanm_shfit=0),
+        predictor_conf=dict(idim=32, upsample_times=3,
+                            upsample_type="cnn_blstm"),
+        sos=1, eos=2, predictor_bias=1)
+    params = model.init_params(jax.random.PRNGKey(0))
+    model_dir = tmp_path / "bicif"
+    model_dir.mkdir()
+    export_ftr(model, params, str(model_dir / "weights.ftr"),
+               extra_meta={"lfr_m": 7, "lfr_n": 6, "n_mels": 80})
+    (model_dir / "tokens.txt").write_text("\n".join(tokens) + "\n")
+
+    pcm = (np.clip(rng.standard_normal(32000) * 0.2, -1, 1)
+           * 32767).astype(np.int16)
+    wav_path = str(tmp_path / "ts.wav")
+    with wave.open(wav_path, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(pcm.tobytes())
+
+    # python expected stamps on the exact same features
+    wav_q = pcm.astype(np.float32) / 32768.0
+    mel = np.asarray(fbank(jnp.asarray(wav_q * 32768.0)))
+    feats = np.asarray(apply_lfr(jnp.asarray(mel), 7, 6))[None]
+    lens = np.asarray([feats.shape[1]], np.int32)
+    yseq, tok_lens, _, us_alphas, us_peaks, enc_lens = \
+        model.infer_jit_timestamp(params, jnp.asarray(feats),
+                                  jnp.asarray(lens))
+    ids = [int(t) for t in np.asarray(yseq)[0, : int(np.asarray(tok_lens)[0])]
+           if t not in (0, 1, 2)]
+    char_list = [tokens[t] for t in ids]
+    up = model.predictor.upsample_times
+    n_us = int(np.asarray(enc_lens)[0]) * up
+    _, ts = ts_prediction_lfr6_standard(
+        np.asarray(us_alphas)[0, :n_us], np.asarray(us_peaks)[0, :n_us],
+        list(char_list), upsample_rate=up)
+    expected = ts  # already per-token [start_ms, end_ms], sils excluded
+
+    lib = ctypes.CDLL(str(built / "libfunasr_tpu_runtime.so"))
+    lib.FunASRInit.restype = ctypes.c_void_p
+    lib.FunASRInit.argtypes = [ctypes.c_char_p, ctypes.c_int]
+    lib.FunOfflineInfer.restype = ctypes.c_void_p
+    lib.FunOfflineInfer.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                    ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    lib.FunASRGetStamp.restype = ctypes.c_char_p
+    lib.FunASRGetStamp.argtypes = [ctypes.c_void_p]
+    lib.FunASRGetResult.restype = ctypes.c_char_p
+    lib.FunASRGetResult.argtypes = [ctypes.c_void_p, ctypes.c_int]
+
+    h = lib.FunASRInit(str(model_dir).encode(), 1)
+    data = open(wav_path, "rb").read()
+    res = lib.FunOfflineInfer(h, data, len(data), 0, 16000)
+    assert res
+    stamp = lib.FunASRGetStamp(res).decode()
+    assert stamp, "no timestamps returned"
+    got = jsonlib.loads(stamp)
+    assert len(got) == len(expected), (got, expected)
+    for (gs, ge), (es, ee) in zip(got, expected):
+        assert abs(gs - es) <= 21 and abs(ge - ee) <= 21, (got, expected)
