@@ -37,6 +37,8 @@ def _load_lib(lib_path: Optional[str] = None):
                                     ctypes.c_int, ctypes.c_int, ctypes.c_int]
     lib.FunASRGetResult.restype = ctypes.c_char_p
     lib.FunASRGetResult.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.FunASRGetStamp.restype = ctypes.c_char_p
+    lib.FunASRGetStamp.argtypes = [ctypes.c_void_p]
     lib.FunASRFreeResult.argtypes = [ctypes.c_void_p]
     lib.FunASRUninit.argtypes = [ctypes.c_void_p]
     lib.FunVadInfer.restype = ctypes.c_void_p
@@ -102,7 +104,16 @@ class Paraformer(_Handle):
         for item in items:
             data = _read_audio(item)
             res = self.lib.FunOfflineInfer(self.handle, data, len(data), 0, fs)
-            results.append({"preds": self._result_text(res)})
+            out = {"preds": ""}
+            if res:
+                text = self.lib.FunASRGetResult(res, 0)
+                out["preds"] = text.decode() if text else ""
+                stamp = self.lib.FunASRGetStamp(res)
+                if stamp and stamp != b"":
+                    # BiCif exports carry per-token [start_ms, end_ms]
+                    out["timestamp"] = json.loads(stamp.decode())
+                self.lib.FunASRFreeResult(ctypes.c_void_p(res))
+            results.append(out)
         return results
 
 
