@@ -1009,3 +1009,76 @@ def test_native_bicif_timestamps(built, tmp_path, rng):
     assert len(got) == len(expected), (got, expected)
     for (gs, ge), (es, ee) in zip(got, expected):
         assert abs(gs - es) <= 21 and abs(ge - ee) <= 21, (got, expected)
+
+
+def test_native_seaco_export_runs(built, tmp_path, rng):
+    """A SeacoParaformer export (the paraformer-zh default class: BiCif +
+    hotword bias heads) loads in the C++ engine and produces the same
+    transcript as the JAX no-hotword path, with timestamps."""
+    import wave
+
+    import jax
+    import jax.numpy as jnp
+
+    from funasr_tpu import tables
+    from funasr_tpu.export_runtime import export_ftr
+    from funasr_tpu.ops.fbank import fbank
+    from funasr_tpu.ops.lfr import apply_lfr
+
+    tokens = ["<blank>", "<s>", "</s>"] + [chr(ord("一") + i) for i in range(36)] + ["<unk>", "<NO_BIAS>"]
+    model = tables.model_classes["SeacoParaformer"](
+        input_size=560, vocab_size=42,
+        encoder_conf=dict(output_size=32, attention_heads=4, linear_units=64,
+                          num_blocks=2),
+        decoder_conf=dict(attention_heads=4, linear_units=64, num_blocks=2,
+                          att_layer_num=2, sanm_shfit=0),
+        predictor="CifPredictorV3",
+        predictor_conf=dict(idim=32, upsample_times=3, upsample_type="cnn"),
+        seaco_decoder_conf=dict(attention_heads=4, linear_units=64,
+                                num_blocks=1, att_layer_num=1,
+                                use_output_layer=False, wo_input_layer=True),
+        inner_dim=32, sos=1, eos=2, predictor_bias=1, NO_BIAS=41)
+    params = model.init_params(jax.random.PRNGKey(0))
+    model_dir = tmp_path / "seaco"
+    model_dir.mkdir()
+    export_ftr(model, params, str(model_dir / "weights.ftr"),
+               extra_meta={"lfr_m": 7, "lfr_n": 6, "n_mels": 80})
+    (model_dir / "tokens.txt").write_text("\n".join(tokens) + "\n")
+
+    pcm = (np.clip(rng.standard_normal(24000) * 0.2, -1, 1)
+           * 32767).astype(np.int16)
+    wav_path = str(tmp_path / "sc.wav")
+    with wave.open(wav_path, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(pcm.tobytes())
+
+    # python no-hotword decode on the same features
+    wav_q = pcm.astype(np.float32) / 32768.0
+    mel = np.asarray(fbank(jnp.asarray(wav_q * 32768.0)))
+    feats = np.asarray(apply_lfr(jnp.asarray(mel), 7, 6))[None]
+    lens = np.asarray([feats.shape[1]], np.int32)
+    yseq, tok_lens, _, _, _ = model.infer_jit(params, jnp.asarray(feats),
+                                              jnp.asarray(lens))
+    ids = [int(t) for t in np.asarray(yseq)[0, : int(np.asarray(tok_lens)[0])]
+           if t not in (0, 1, 2)]
+    expected = "".join(tokens[t] for t in ids if tokens[t] != "<unk>")
+
+    lib = ctypes.CDLL(str(built / "libfunasr_tpu_runtime.so"))
+    lib.FunASRInit.restype = ctypes.c_void_p
+    lib.FunASRInit.argtypes = [ctypes.c_char_p, ctypes.c_int]
+    lib.FunOfflineInfer.restype = ctypes.c_void_p
+    lib.FunOfflineInfer.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                    ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    lib.FunASRGetResult.restype = ctypes.c_char_p
+    lib.FunASRGetResult.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.FunASRGetStamp.restype = ctypes.c_char_p
+    lib.FunASRGetStamp.argtypes = [ctypes.c_void_p]
+    h = lib.FunASRInit(str(model_dir).encode(), 1)
+    data = open(wav_path, "rb").read()
+    res = lib.FunOfflineInfer(h, data, len(data), 0, 16000)
+    assert res
+    got = lib.FunASRGetResult(res, 0).decode()
+    assert got.replace(" ", "") == expected.replace(" ", ""), (got, expected)
+    assert lib.FunASRGetStamp(res).decode(), "no timestamps from seaco export"
