@@ -67,6 +67,17 @@ FUNASR_RESULT FunFrontendExtract(FUNASR_HANDLE handle, const char* data,
 FUNASR_RESULT FunVadInfer(FUNASR_HANDLE handle, const char* data, int data_len,
                           int sampling_rate);
 
+/* Streaming VAD (fsmn-vad-online role): feed audio incrementally; each call
+ * returns the NEW events as segments — [beg_ms, -1] when an utterance opens,
+ * [-1, end_ms] when it closes (the reference streaming partial protocol).
+ * is_final flushes and resets the stream. */
+typedef void* FUNASR_VAD_STREAM;
+FUNASR_VAD_STREAM FunVadStreamCreate(FUNASR_HANDLE handle);
+FUNASR_RESULT FunVadStreamInfer(FUNASR_VAD_STREAM stream, const char* data,
+                                int data_len, int is_final,
+                                int sampling_rate);
+void FunVadStreamFree(FUNASR_VAD_STREAM stream);
+
 /* Punctuation restoration over a raw transcript: requires a model dir holding
  * a punc.ftr + punc_tokens.txt export
  * (funasr_tpu.export_runtime.export_punc_ftr). When present, FunOfflineInfer

@@ -285,6 +285,41 @@ FUNASR_RESULT FunVadInfer(FUNASR_HANDLE handle, const char* data,
   return r;
 }
 
+FUNASR_VAD_STREAM FunVadStreamCreate(FUNASR_HANDLE handle) {
+  auto* h = static_cast<Handle*>(handle);
+  if (h == nullptr || h->vad == nullptr) return nullptr;
+  return new funasr_tpu::FsmnVadStream(h->vad.get());
+}
+
+FUNASR_RESULT FunVadStreamInfer(FUNASR_VAD_STREAM stream, const char* data,
+                                int data_len, int is_final,
+                                int sampling_rate) {
+  auto* s = static_cast<funasr_tpu::FsmnVadStream*>(stream);
+  if (s == nullptr) return nullptr;
+  std::vector<float> wav;
+  if (data != nullptr && data_len > 0) {
+    if (!funasr_tpu::DecodeAudio(data, data_len, sampling_rate, 16000, &wav)) {
+      return nullptr;
+    }
+  }
+  auto* r = new Result();
+  r->segments = s->Accept(wav.data(), static_cast<int>(wav.size()),
+                          is_final != 0);
+  std::string json = "[";
+  for (size_t i = 0; i < r->segments.size(); ++i) {
+    if (i) json += ",";
+    json += "[" + std::to_string(r->segments[i].first) + "," +
+            std::to_string(r->segments[i].second) + "]";
+  }
+  json += "]";
+  r->texts.push_back(json);
+  return r;
+}
+
+void FunVadStreamFree(FUNASR_VAD_STREAM stream) {
+  delete static_cast<funasr_tpu::FsmnVadStream*>(stream);
+}
+
 const char* FunASRGetStamp(FUNASR_RESULT result) {
   auto* r = static_cast<Result*>(result);
   return r == nullptr ? "" : r->stamp.c_str();

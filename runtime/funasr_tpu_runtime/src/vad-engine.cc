@@ -168,4 +168,39 @@ std::vector<std::pair<int, int>> FsmnVadEngine::Segments(
   return segs;
 }
 
+std::vector<std::pair<int, int>> FsmnVadStream::Accept(const float* samples,
+                                                       int n, bool is_final) {
+  buf_.insert(buf_.end(), samples, samples + n);
+  std::vector<std::pair<int, int>> events;
+  if (buf_.size() < 1600 && !is_final) return events;  // <100 ms: wait
+
+  auto segs = engine_->Segments(buf_);
+  const int total_ms = static_cast<int>(buf_.size()) / 16;
+  const int guard = engine_->max_end_silence_ms() / 4;
+
+  for (const auto& seg : segs) {
+    const int s = seg.first, e = seg.second;
+    if (e <= last_end_ms_) continue;  // already fully emitted
+    const bool closed = is_final || e + guard < total_ms;
+    if (emitted_beg_ms_ < 0 && s >= last_end_ms_) {
+      events.push_back({s, -1});  // utterance opened
+      emitted_beg_ms_ = s;
+    }
+    if (closed && emitted_beg_ms_ >= 0) {
+      events.push_back({-1, e});  // utterance closed
+      last_end_ms_ = e;
+      emitted_beg_ms_ = -1;
+    }
+  }
+  if (is_final) {
+    if (emitted_beg_ms_ >= 0) {  // flush a dangling open segment
+      events.push_back({-1, total_ms});
+      emitted_beg_ms_ = -1;
+    }
+    buf_.clear();
+    last_end_ms_ = 0;
+  }
+  return events;
+}
+
 }  // namespace funasr_tpu

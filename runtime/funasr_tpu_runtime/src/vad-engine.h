@@ -30,6 +30,8 @@ class FsmnVadEngine {
   // silence-pdf score per frame (exposed for golden tests)
   std::vector<float> SilScores(const std::vector<float>& feats, int t);
 
+  int max_end_silence_ms() const { return max_end_silence_ms_; }
+
   int lfr_m() const { return lfr_m_; }
   int lfr_n() const { return lfr_n_; }
   int n_mels() const { return n_mels_; }
@@ -50,6 +52,26 @@ class FsmnVadEngine {
   int max_end_silence_ms_ = 800, max_single_segment_ms_ = 60000;
   float speech_noise_thres_ = 0.6f, speech_2_noise_ratio_ = 1.0f;
   int sil_pdf_id_ = 0;
+};
+
+// Streaming wrapper (the fsmn-vad-online role, reference
+// runtime/onnxruntime/src/fsmn-vad-online.cpp): accumulate audio, re-detect
+// on the buffered window, and emit events incrementally —
+// [beg, -1] when an utterance opens, [-1, end] when it closes (reference
+// streaming protocol, funasr_tpu/models/fsmn_vad_streaming/model.py:867-887).
+class FsmnVadStream {
+ public:
+  explicit FsmnVadStream(FsmnVadEngine* engine) : engine_(engine) {}
+
+  // samples: mono float 16 kHz; returns the NEW events since the last call.
+  std::vector<std::pair<int, int>> Accept(const float* samples, int n,
+                                          bool is_final);
+
+ private:
+  FsmnVadEngine* engine_;
+  std::vector<float> buf_;
+  int emitted_beg_ms_ = -1;   // open segment start (absolute ms), -1 = closed
+  int last_end_ms_ = 0;       // absolute end of the last emitted close
 };
 
 }  // namespace funasr_tpu

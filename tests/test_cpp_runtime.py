@@ -1082,3 +1082,69 @@ def test_native_seaco_export_runs(built, tmp_path, rng):
     got = lib.FunASRGetResult(res, 0).decode()
     assert got.replace(" ", "") == expected.replace(" ", ""), (got, expected)
     assert lib.FunASRGetStamp(res).decode(), "no timestamps from seaco export"
+
+
+def test_native_vad_streaming(built, tmp_path, rng):
+    """Streaming VAD C API (fsmn-vad-online role): incremental [beg,-1] /
+    [-1,end] events over chunked audio, consistent with the whole-buffer
+    segmentation."""
+    import json as jsonlib
+
+    import jax
+
+    from funasr_tpu.export_runtime import export_vad_ftr
+    from funasr_tpu.models.fsmn_vad_streaming.model import FsmnVADStreaming
+
+    model = FsmnVADStreaming(
+        encoder="FSMN",
+        encoder_conf=dict(input_dim=400, input_affine_dim=64, fsmn_layers=2,
+                          linear_dim=64, proj_dim=32, lorder=10, rorder=0,
+                          lstride=1, rstride=1, output_affine_dim=64,
+                          output_dim=8))
+    params = model.init_params(jax.random.PRNGKey(3))
+    model_dir = tmp_path / "vadstream"
+    model_dir.mkdir()
+    export_vad_ftr(model, params, str(model_dir / "vad.ftr"))
+
+    pcm = (np.clip(rng.standard_normal(16000 * 2) * 0.1, -1, 1)
+           * 32767).astype("<i2").tobytes()
+
+    lib = ctypes.CDLL(str(built / "libfunasr_tpu_runtime.so"))
+    lib.FunASRInit.restype = ctypes.c_void_p
+    lib.FunASRInit.argtypes = [ctypes.c_char_p, ctypes.c_int]
+    lib.FunVadStreamCreate.restype = ctypes.c_void_p
+    lib.FunVadStreamCreate.argtypes = [ctypes.c_void_p]
+    lib.FunVadStreamInfer.restype = ctypes.c_void_p
+    lib.FunVadStreamInfer.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                      ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    lib.FunASRGetResult.restype = ctypes.c_char_p
+    lib.FunASRGetResult.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.FunVadStreamFree.argtypes = [ctypes.c_void_p]
+
+    h = lib.FunASRInit(str(model_dir).encode(), 1)
+    stream = lib.FunVadStreamCreate(h)
+    assert stream, "vad stream creation failed"
+    events = []
+    step = 6400  # 200 ms chunks
+    for off in range(0, len(pcm), step):
+        is_final = off + step >= len(pcm)
+        res = lib.FunVadStreamInfer(stream, pcm[off:off + step],
+                                    min(step, len(pcm) - off), is_final, 16000)
+        assert res
+        events.extend(jsonlib.loads(lib.FunASRGetResult(res, 0).decode()))
+    lib.FunVadStreamFree(ctypes.c_void_p(stream))
+
+    # protocol shape: opens [beg,-1] and closes [-1,end] strictly alternate,
+    # ending closed
+    state_open = False
+    for beg, end in events:
+        if beg >= 0 and end == -1:
+            assert not state_open, events
+            state_open = True
+        elif beg == -1 and end >= 0:
+            assert state_open, events
+            state_open = False
+        else:
+            raise AssertionError(f"malformed event {beg},{end}")
+    assert not state_open, events
+    assert events, "no VAD events emitted on speech-shaped noise"
