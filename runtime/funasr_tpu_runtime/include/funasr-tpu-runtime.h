@@ -10,7 +10,7 @@
  *   FunOfflineInferBuffer                -> FunOfflineInfer
  *   FunTpassOnlineInit                   -> FunASRStreamCreate
  *   FunTpassInferBuffer (online pass)    -> FunASRStreamInfer
- *   FsmnVad / FsmnVadOnline infer        -> FunVadInfer
+ *   FsmnVad / FsmnVadOnline infer        -> FunVadInfer / FunVadStreamInfer
  *   CTTransformer AddPunc (offline/online) -> FunPuncInfer / FunPuncInferOnline
  *   FunOfflineUninit/FunTpassUninit      -> FunASRUninit / FunASRStreamFree
  */
