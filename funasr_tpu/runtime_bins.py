@@ -157,6 +157,39 @@ class Fsmn_vad(_Handle):
         return [json.loads(text)] if text else [[]]
 
 
+class Fsmn_vad_online(_Handle):
+    """Streaming VAD (funasr_onnx ``Fsmn_vad_online`` role): feed PCM16
+    chunks; events are [[beg_ms, -1]] on open and [[-1, end_ms]] on close."""
+
+    def __init__(self, model_dir: str, **kwargs):
+        super().__init__(model_dir, **kwargs)
+        self.lib.FunVadStreamCreate.restype = ctypes.c_void_p
+        self.lib.FunVadStreamCreate.argtypes = [ctypes.c_void_p]
+        self.lib.FunVadStreamInfer.restype = ctypes.c_void_p
+        self.lib.FunVadStreamInfer.argtypes = [ctypes.c_void_p,
+                                               ctypes.c_char_p, ctypes.c_int,
+                                               ctypes.c_int, ctypes.c_int]
+        self.lib.FunVadStreamFree.argtypes = [ctypes.c_void_p]
+        self.stream = self.lib.FunVadStreamCreate(self.handle)
+        if not self.stream:
+            raise RuntimeError("no vad.ftr in model dir")
+
+    def __call__(self, pcm_chunk: bytes, is_final: bool = False,
+                 fs: int = 16000) -> List[list]:
+        res = self.lib.FunVadStreamInfer(self.stream, pcm_chunk,
+                                         len(pcm_chunk), int(is_final), fs)
+        text = self._result_text(res)
+        return json.loads(text) if text else []
+
+    def __del__(self):
+        try:
+            if getattr(self, "stream", None):
+                self.lib.FunVadStreamFree(ctypes.c_void_p(self.stream))
+        except Exception:  # noqa: BLE001
+            pass
+        super().__del__()
+
+
 class CT_Transformer(_Handle):
     """Punctuation (funasr_onnx ``CT_Transformer`` role)."""
 
