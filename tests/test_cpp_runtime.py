@@ -917,6 +917,10 @@ def test_runtime_bins_surface(built, tmp_path):
     segs = runtime_bins.Fsmn_vad(str(model_dir))(wav_path)
     assert isinstance(segs[0], list)
 
+    vad_online = runtime_bins.Fsmn_vad_online(str(model_dir))
+    ev = vad_online(pcm.tobytes(), is_final=True)
+    assert isinstance(ev, list)
+
     text = "".join(str(rng_l.choice([chr(ord("一") + i) for i in range(37)]))
                    for _ in range(8))
     punct, _ = runtime_bins.CT_Transformer(str(model_dir))(text)
