@@ -227,10 +227,16 @@ def _write_ftr(path: str, meta: dict, flat: dict, quant: str = None):
             f.write(struct.pack("<I", len(name_b)))
             f.write(name_b)
             # embedding tables are row-gathered (not matmul'd) by the C++
-            # engines and must stay fp32
+            # engines and must stay fp32; depthwise-conv kernels
+            # (fsmn_block/w K x C, VAD conv_left/right) are consumed raw via
+            # WTensor.f32 by DepthwiseConv1d, never through the
+            # int8-aware MatMul, so they must not be quantized either
             is_embed = name.startswith("embed/") or "/embed/" in name
+            is_raw_f32 = name.endswith(("fsmn_block/w", "conv_left/w",
+                                        "conv_right/w"))
             do_quant = (quant == "int8" and arr.ndim == 2 and name.endswith("/w")
-                        and not is_embed and arr.size >= _QUANT_MIN_SIZE)
+                        and not is_embed and not is_raw_f32
+                        and arr.size >= _QUANT_MIN_SIZE)
             f.write(struct.pack("<BB", 1 if do_quant else 0, arr.ndim))
             f.write(np.asarray(arr.shape, "<i8").tobytes())
             if do_quant:

@@ -116,6 +116,36 @@ def fsdp_param_shardings(params, mesh: Mesh, axis: str = "data",
     return jax.tree_util.tree_map_with_path(_spec, params)
 
 
+def opt_state_shardings(opt_state, mesh: Mesh, fsdp: bool = False,
+                        axis: str = "data", min_size: int = 2 ** 16) -> Any:
+    """NamedSharding tree for an optax opt_state.
+
+    Optimizer moments (adam mu/nu etc.) are param-shaped subtrees whose tree
+    paths embed the param path (e.g. ``0/mu/encoder/.../linear_q_k_v/w``), so
+    the same path-regex policy as :func:`param_pspec` applies leaf-wise;
+    scalars (step counts) come out replicated. With ``fsdp=True`` large moment
+    tensors are additionally sharded over the data axis — ZeRO's defining
+    property (sharded optimizer state, DeepSpeed ``ds_stage3.json`` role).
+    """
+    model_size = mesh.shape.get("model", 1)
+    n = mesh.shape.get(axis, 1)
+
+    def _spec(path, leaf):
+        if not hasattr(leaf, "shape"):
+            return leaf
+        base = param_pspec(path, leaf, model_size=model_size)
+        if fsdp:
+            first_free = len(base) == 0 or base[0] is None
+            if (leaf.size >= min_size and leaf.ndim >= 1
+                    and leaf.shape[0] % n == 0 and first_free):
+                spec = list(base) + [None] * (leaf.ndim - len(base))
+                spec[0] = axis
+                return NamedSharding(mesh, P(*spec))
+        return NamedSharding(mesh, base)
+
+    return jax.tree_util.tree_map_with_path(_spec, opt_state)
+
+
 def batch_shardings(mesh: Mesh, tree_example) -> Any:
     """Shard every batch array's leading dim over "data"."""
     return jax.tree_util.tree_map(

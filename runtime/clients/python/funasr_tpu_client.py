@@ -92,11 +92,14 @@ class FunASRClient:
                 if on_partial:
                     on_partial(data)
                 if data.get("mode", "").endswith("online"):
-                    online_text = data.get("text", "")
+                    # the C++/python servers send incremental online partials
+                    # ("clients concatenate"); the final for pure-online
+                    # sessions also arrives in mode "online" with is_final
+                    online_text += data.get("text", "") or ""
                 else:
                     final_text.append(data.get("text", ""))
-                    if data.get("is_final"):
-                        return
+                if data.get("is_final"):
+                    return
 
         recv_task = asyncio.ensure_future(pump())
         for off in range(0, len(pcm), stride):

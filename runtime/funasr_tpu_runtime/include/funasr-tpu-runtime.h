@@ -88,16 +88,19 @@ FUNASR_RESULT FunPuncInfer(FUNASR_HANDLE handle, const char* text);
  * encoder/CIF/decoder caches; each FunASRStreamInfer call feeds PCM16 (or raw
  * float via WAV) and returns the NEW tokens decoded by the complete 600 ms
  * strides buffered so far. is_final flushes the tail and resets the stream.
- * The streaming engine is lazily loaded on the first FunASRStreamCreate and
- * holds its own copy of weights.ftr (the reference ships separate
- * online/offline ONNX graphs; here the weights are shared on disk but loaded
- * twice in memory — acceptable for edge models, revisit for very large ones).
- * Streams from one handle share the engine; each stream is single-threaded. */
+ * The streaming engine is created eagerly in FunASRInit over the SAME
+ * weights.ftr tensor arena as the offline engine (one copy in memory for
+ * 2pass deployments; the reference ships separate online/offline ONNX graphs
+ * and loads both). Streams from one handle share the engine and may be
+ * created from concurrent threads; each stream itself is single-threaded. */
 typedef void* FUNASR_STREAM;
 FUNASR_STREAM FunASRStreamCreate(FUNASR_HANDLE handle);
 FUNASR_RESULT FunASRStreamInfer(FUNASR_STREAM stream, const char* data,
                                 int data_len, int is_final, int sampling_rate);
 void FunASRStreamFree(FUNASR_STREAM stream);
+/* 1 if the offline + streaming engines share one weights arena (diagnostic,
+ * asserted by tests so the memory guarantee cannot silently regress). */
+int FunASRSharedWeights(FUNASR_HANDLE handle);
 
 /* ITN grammar archive (the FAR-consumer role): loads the JSON archive
  * exported by `funasr-tpu-data export_itn_grammar` and applies cardinal ITN

@@ -12,6 +12,11 @@ bool ReadExact(FILE* f, void* buf, size_t n) {
   return std::fread(buf, 1, n, f) == n;
 }
 
+bool EndsWith(const std::string& s, const char* suffix) {
+  const size_t n = std::strlen(suffix);
+  return s.size() >= n && s.compare(s.size() - n, n, suffix) == 0;
+}
+
 }  // namespace
 
 bool FtrFile::Load(const std::string& path) {
@@ -63,6 +68,20 @@ bool FtrFile::Load(const std::string& path) {
       ok = ReadExact(f, t.f32.data(), numel * sizeof(float));
     }
     if (!ok) break;
+    // Depthwise-conv kernels are consumed raw via WTensor::f32 (not through
+    // the int8-aware MatMul). Older exporters quantized them; dequantize at
+    // load so those files still produce correct (int8-precision) kernels.
+    if (!t.i8.empty() &&
+        (EndsWith(name, "fsmn_block/w") || EndsWith(name, "conv_left/w") ||
+         EndsWith(name, "conv_right/w"))) {
+      const int64_t cols = t.cols();
+      t.f32.resize(t.i8.size());
+      for (size_t j = 0; j < t.i8.size(); ++j)
+        t.f32[j] = static_cast<float>(t.i8[j]) *
+                   t.scales[static_cast<int64_t>(j) % cols];
+      t.i8.clear();
+      t.scales.clear();
+    }
     tensors.emplace(std::move(name), std::move(t));
   }
   std::fclose(f);

@@ -54,7 +54,10 @@ struct Handle {
   std::unique_ptr<SenseVoiceEngine> sv;
   std::unique_ptr<FsmnVadEngine> vad;
   std::unique_ptr<PuncEngine> punc;
-  std::unique_ptr<StreamingEngine> stream_engine;  // lazily loaded
+  // Loaded eagerly in FunASRInit over the SAME FtrFile arena as the offline
+  // engine (one weights.ftr in memory for 2pass; no lazy-init data race when
+  // FunASRStreamCreate is called from concurrent connection threads).
+  std::unique_ptr<StreamingEngine> stream_engine;
 };
 
 struct Stream {
@@ -81,13 +84,18 @@ FUNASR_HANDLE FunASRInit(const char* model_dir, int /*thread_num*/) {
   if (!h->model_dir.empty()) {
     h->has_cmvn = h->cmvn.Load(h->model_dir + "/am.mvn");
     h->has_vocab = h->vocab.Load(h->model_dir + "/tokens.txt");
+    // one weights.ftr read, shared (read-only) by every engine built from it
+    auto ftr = std::make_shared<funasr_tpu::FtrFile>();
+    const bool has_ftr = ftr->Load(h->model_dir + "/weights.ftr");
     auto engine = std::make_unique<ParaformerEngine>();
-    if (engine->Load(h->model_dir)) {
+    if (has_ftr && engine->Load(ftr, h->model_dir)) {
       h->lfr_m = engine->lfr_m();
       h->lfr_n = engine->lfr_n();
       h->n_mels = engine->n_mels();
       h->engine = std::move(engine);
-    } else {
+      auto stream = std::make_unique<StreamingEngine>();
+      if (stream->Load(ftr, h->model_dir)) h->stream_engine = std::move(stream);
+    } else if (has_ftr) {
       auto sv = std::make_unique<SenseVoiceEngine>();
       if (sv->Load(h->model_dir)) {
         h->lfr_m = sv->lfr_m();
@@ -184,12 +192,9 @@ FUNASR_RESULT FunPuncInfer(FUNASR_HANDLE handle, const char* text) {
 
 FUNASR_STREAM FunASRStreamCreate(FUNASR_HANDLE handle) {
   auto* h = static_cast<Handle*>(handle);
-  if (h == nullptr || h->model_dir.empty()) return nullptr;
-  if (h->stream_engine == nullptr) {
-    auto eng = std::make_unique<StreamingEngine>();
-    if (!eng->Load(h->model_dir)) return nullptr;
-    h->stream_engine = std::move(eng);
-  }
+  // stream_engine is created eagerly in FunASRInit (immutable afterwards), so
+  // concurrent per-connection threads only ever read it here.
+  if (h == nullptr || h->stream_engine == nullptr) return nullptr;
   auto* s = new Stream();
   s->engine = h->stream_engine.get();
   s->sess = s->engine->NewSession();
@@ -216,6 +221,12 @@ FUNASR_RESULT FunASRStreamInfer(FUNASR_STREAM stream, const char* data,
 
 void FunASRStreamFree(FUNASR_STREAM stream) {
   delete static_cast<Stream*>(stream);
+}
+
+int FunASRSharedWeights(FUNASR_HANDLE handle) {
+  auto* h = static_cast<Handle*>(handle);
+  return h != nullptr && h->engine != nullptr && h->stream_engine != nullptr &&
+         h->engine->arena() == h->stream_engine->arena();
 }
 
 FUNASR_ITN_GRAMMAR FunItnGrammarLoad(const char* path) {

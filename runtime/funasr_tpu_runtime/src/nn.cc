@@ -1,9 +1,22 @@
 #include "nn.h"
 
 #include <cmath>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
 
 namespace funasr_tpu {
+
+const float* RawF32(const WTensor& w, const char* what) {
+  if (w.f32.empty() && w.quantized()) {
+    std::fprintf(stderr,
+                 "funasr_tpu: tensor %s is int8-quantized but consumed raw as "
+                 "f32; re-export with a current exporter\n",
+                 what);
+    std::abort();
+  }
+  return w.f32.data();
+}
 
 void MatMul(const float* x, int m, int k, const WTensor& w, const float* bias,
             float* y) {
@@ -118,7 +131,7 @@ void Conv1d(const float* x, int t, int c_in, const WTensor& w, const float* bias
       const int src = i - left_pad + kk;
       if (src < 0 || src >= t) continue;
       const float* xi = x + static_cast<int64_t>(src) * c_in;
-      const float* wk = w.f32.data() +
+      const float* wk = RawF32(w, "conv1d weight") +
           static_cast<int64_t>(kk) * c_in * c_out;
       for (int ci = 0; ci < c_in; ++ci) {
         const float xv = xi[ci];

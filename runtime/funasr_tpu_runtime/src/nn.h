@@ -32,6 +32,11 @@ struct WTensor {
 void MatMul(const float* x, int m, int k, const WTensor& w, const float* bias,
             float* y);
 
+// Raw fp32 view for weights consumed outside MatMul (depthwise convs, LSTM
+// gates). Aborts loudly if the tensor arrived int8-quantized — a silent
+// empty-vector read here produced garbage transcripts before.
+const float* RawF32(const WTensor& w, const char* what);
+
 // x (t,c): per-row layer norm with eps 1e-12 (FunASR convention).
 void LayerNorm(float* x, int t, int c, const float* scale, const float* bias);
 

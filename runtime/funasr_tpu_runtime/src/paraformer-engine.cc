@@ -1,6 +1,7 @@
 #include "paraformer-engine.h"
 
 #include <cmath>
+#include <memory>
 #include <cstring>
 #include <utility>
 
@@ -20,48 +21,55 @@ bool IsAsciiWord(const std::string& tok) {
 }  // namespace
 
 const WTensor& ParaformerEngine::W(const std::string& name) const {
-  const WTensor* t = ftr_.Find(name);
+  const WTensor* t = ftr_->Find(name);
   static WTensor empty;
   return t ? *t : empty;
 }
 
 bool ParaformerEngine::Load(const std::string& model_dir) {
-  if (!ftr_.Load(model_dir + "/weights.ftr")) return false;
+  auto ftr = std::make_shared<FtrFile>();
+  if (!ftr->Load(model_dir + "/weights.ftr")) return false;
+  return Load(std::move(ftr), model_dir);
+}
+
+bool ParaformerEngine::Load(std::shared_ptr<const FtrFile> ftr,
+                            const std::string& model_dir) {
+  ftr_ = std::move(ftr);
   // other weights.ftr exports (e.g. SenseVoice) have their own engines
-  if (ftr_.Find("predictor/cif_output/w") == nullptr) return false;
+  if (ftr_->Find("predictor/cif_output/w") == nullptr) return false;
   if (!vocab_.Load(model_dir + "/tokens.txt")) return false;
-  input_size_ = ftr_.MetaInt("input_size", 560);
-  d_ = ftr_.MetaInt("encoder.output_size", 512);
-  heads_ = ftr_.MetaInt("encoder.attention_heads", 4);
-  ffn_ = ftr_.MetaInt("encoder.linear_units", 2048);
-  blocks_ = ftr_.MetaInt("encoder.num_blocks", 50);
-  kernel_ = ftr_.MetaInt("encoder.kernel_size", 11);
-  shift_ = ftr_.MetaInt("encoder.sanm_shift", 0);
-  dec_heads_ = ftr_.MetaInt("decoder.attention_heads", 16);
-  dec_ffn_ = ftr_.MetaInt("decoder.linear_units", 2048);
-  dec_blocks_ = ftr_.MetaInt("decoder.num_blocks", 16);
-  dec_att_ = ftr_.MetaInt("decoder.att_layer_num", 16);
-  dec_kernel_ = ftr_.MetaInt("decoder.kernel_size", 11);
-  dec_shift_ = ftr_.MetaInt("decoder.sanm_shift", 0);
-  vocab_size_ = ftr_.MetaInt("vocab_size", vocab_.Size());
-  blank_ = ftr_.MetaInt("blank_id", 0);
-  sos_ = ftr_.MetaInt("sos", 1);
-  eos_ = ftr_.MetaInt("eos", 2);
-  l_order_ = ftr_.MetaInt("predictor.l_order", 1);
-  r_order_ = ftr_.MetaInt("predictor.r_order", 1);
-  tail_threshold_ = ftr_.MetaFloat("predictor.tail_threshold", 0.45f);
-  smooth_factor_ = ftr_.MetaFloat("predictor.smooth_factor", 1.0f);
-  noise_threshold_ = ftr_.MetaFloat("predictor.noise_threshold", 0.0f);
-  lfr_m_ = ftr_.MetaInt("lfr_m", 7);
-  lfr_n_ = ftr_.MetaInt("lfr_n", 6);
-  n_mels_ = ftr_.MetaInt("n_mels", 80);
-  upsample_times_ = ftr_.MetaInt("predictor.upsample_times", 0);
+  input_size_ = ftr_->MetaInt("input_size", 560);
+  d_ = ftr_->MetaInt("encoder.output_size", 512);
+  heads_ = ftr_->MetaInt("encoder.attention_heads", 4);
+  ffn_ = ftr_->MetaInt("encoder.linear_units", 2048);
+  blocks_ = ftr_->MetaInt("encoder.num_blocks", 50);
+  kernel_ = ftr_->MetaInt("encoder.kernel_size", 11);
+  shift_ = ftr_->MetaInt("encoder.sanm_shift", 0);
+  dec_heads_ = ftr_->MetaInt("decoder.attention_heads", 16);
+  dec_ffn_ = ftr_->MetaInt("decoder.linear_units", 2048);
+  dec_blocks_ = ftr_->MetaInt("decoder.num_blocks", 16);
+  dec_att_ = ftr_->MetaInt("decoder.att_layer_num", 16);
+  dec_kernel_ = ftr_->MetaInt("decoder.kernel_size", 11);
+  dec_shift_ = ftr_->MetaInt("decoder.sanm_shift", 0);
+  vocab_size_ = ftr_->MetaInt("vocab_size", vocab_.Size());
+  blank_ = ftr_->MetaInt("blank_id", 0);
+  sos_ = ftr_->MetaInt("sos", 1);
+  eos_ = ftr_->MetaInt("eos", 2);
+  l_order_ = ftr_->MetaInt("predictor.l_order", 1);
+  r_order_ = ftr_->MetaInt("predictor.r_order", 1);
+  tail_threshold_ = ftr_->MetaFloat("predictor.tail_threshold", 0.45f);
+  smooth_factor_ = ftr_->MetaFloat("predictor.smooth_factor", 1.0f);
+  noise_threshold_ = ftr_->MetaFloat("predictor.noise_threshold", 0.0f);
+  lfr_m_ = ftr_->MetaInt("lfr_m", 7);
+  lfr_n_ = ftr_->MetaInt("lfr_n", 6);
+  n_mels_ = ftr_->MetaInt("n_mels", 80);
+  upsample_times_ = ftr_->MetaInt("predictor.upsample_times", 0);
   upsample_blstm_ =
-      ftr_.MetaStr("predictor.upsample_type", "cnn") == "cnn_blstm";
-  use_cif1_cnn_ = ftr_.MetaInt("predictor.use_cif1_cnn", 1) != 0;
-  smooth_factor2_ = ftr_.MetaFloat("predictor.smooth_factor2", 1.0f);
-  noise_threshold2_ = ftr_.MetaFloat("predictor.noise_threshold2", 0.0f);
-  if (ftr_.Find("predictor/upsample_cnn/w") == nullptr) upsample_times_ = 0;
+      ftr_->MetaStr("predictor.upsample_type", "cnn") == "cnn_blstm";
+  use_cif1_cnn_ = ftr_->MetaInt("predictor.use_cif1_cnn", 1) != 0;
+  smooth_factor2_ = ftr_->MetaFloat("predictor.smooth_factor2", 1.0f);
+  noise_threshold2_ = ftr_->MetaFloat("predictor.noise_threshold2", 0.0f);
+  if (ftr_->Find("predictor/upsample_cnn/w") == nullptr) upsample_times_ = 0;
   SanmEncoderCfg ecfg;
   ecfg.input_size = input_size_;
   ecfg.d = d_;
@@ -70,8 +78,8 @@ bool ParaformerEngine::Load(const std::string& model_dir) {
   ecfg.blocks = blocks_;
   ecfg.kernel = kernel_;
   ecfg.shift = shift_;
-  encoder_.Init(&ftr_, "encoder", ecfg);
-  loaded_ = ftr_.Find("encoder/after_norm/scale") != nullptr;
+  encoder_.Init(ftr_.get(), "encoder", ecfg);
+  loaded_ = ftr_->Find("encoder/after_norm/scale") != nullptr;
   return loaded_;
 }
 
@@ -86,12 +94,12 @@ void ParaformerEngine::CrossAttention(const std::string& prefix,
   const int d = d_, h = dec_heads_, dk = d / h;
   std::vector<float> q(static_cast<int64_t>(n_tok) * d);
   const WTensor& wq = W(prefix + "/linear_q/w");
-  const WTensor* bq = ftr_.Find(prefix + "/linear_q/b");
+  const WTensor* bq = ftr_->Find(prefix + "/linear_q/b");
   MatMul(x.data(), n_tok, d, wq, bq ? bq->f32.data() : nullptr, q.data());
 
   std::vector<float> kv(static_cast<int64_t>(t_mem) * 2 * d);
   const WTensor& wkv = W(prefix + "/linear_k_v/w");
-  const WTensor* bkv = ftr_.Find(prefix + "/linear_k_v/b");
+  const WTensor* bkv = ftr_->Find(prefix + "/linear_k_v/b");
   MatMul(memory.data(), t_mem, d, wkv, bkv ? bkv->f32.data() : nullptr,
          kv.data());
 
@@ -121,7 +129,7 @@ void ParaformerEngine::CrossAttention(const std::string& prefix,
   }
   out->assign(static_cast<int64_t>(n_tok) * d, 0.0f);
   const WTensor& wo = W(prefix + "/linear_out/w");
-  const WTensor* bo = ftr_.Find(prefix + "/linear_out/b");
+  const WTensor* bo = ftr_->Find(prefix + "/linear_out/b");
   MatMul(ctx.data(), n_tok, d, wo, bo ? bo->f32.data() : nullptr, out->data());
 }
 
@@ -140,7 +148,7 @@ int ParaformerEngine::Cif(const std::vector<float>& enc, int t,
   std::vector<float> alphas(t);
   {
     const WTensor& wo = W("predictor/cif_output/w");
-    const WTensor* bo = ftr_.Find("predictor/cif_output/b");
+    const WTensor* bo = ftr_->Find("predictor/cif_output/b");
     std::vector<float> a1(static_cast<int64_t>(t) * 1);
     MatMul(h.data(), t, d, wo, bo ? bo->f32.data() : nullptr, a1.data());
     for (int i = 0; i < t; ++i) alphas[i] = a1[i];
@@ -213,7 +221,7 @@ void ParaformerEngine::DecLayer(const std::string& prefix,
     FsmnPads(dec_kernel_, dec_shift_, &left, &right);
     std::vector<float> mem(static_cast<int64_t>(n_tok) * d);
     DepthwiseConv1d(h2.data(), n_tok, d,
-                    W(prefix + "/self_attn/fsmn_block/w").f32.data(),
+                    RawF32(W(prefix + "/self_attn/fsmn_block/w"), "fsmn_block/w"),
                     dec_kernel_, left, right, mem.data());
     for (int64_t i = 0; i < static_cast<int64_t>(n_tok) * d; ++i)
       mem[i] += h2[i];
@@ -251,7 +259,7 @@ std::vector<float> ParaformerEngine::Decode(const std::vector<float>& enc,
             W("decoder/after_norm/bias").f32.data());
   std::vector<float> logits(static_cast<int64_t>(n_tok) * vocab_size_);
   const WTensor& wo = W("decoder/output_layer/w");
-  const WTensor* bo = ftr_.Find("decoder/output_layer/b");
+  const WTensor* bo = ftr_->Find("decoder/output_layer/b");
   MatMul(x.data(), n_tok, d_, wo, bo ? bo->f32.data() : nullptr, logits.data());
   return logits;
 }
@@ -272,13 +280,13 @@ void LstmPass(const float* x, int t, int in_dim, const funasr_tpu::WTensor& w_ih
     for (int k = 0; k < in_dim; ++k) {
       const float xv = xi[k];
       if (xv == 0.0f) continue;
-      const float* wr = w_ih.f32.data() + static_cast<int64_t>(k) * h4;
+      const float* wr = RawF32(w_ih, "lstm w_ih") + static_cast<int64_t>(k) * h4;
       for (int g = 0; g < h4; ++g) gates[g] += xv * wr[g];
     }
     for (int k = 0; k < hd; ++k) {
       const float hv = h[k];
       if (hv == 0.0f) continue;
-      const float* wr = w_hh.f32.data() + static_cast<int64_t>(k) * h4;
+      const float* wr = RawF32(w_hh, "lstm w_hh") + static_cast<int64_t>(k) * h4;
       for (int g = 0; g < h4; ++g) gates[g] += hv * wr[g];
     }
     for (int k = 0; k < hd; ++k) {
@@ -359,7 +367,7 @@ std::vector<float> ParaformerEngine::UpsampleAlphas(
   std::vector<float> alphas(t_up);
   {
     const WTensor& wo = W("predictor/cif_output2/w");
-    const WTensor* bo = ftr_.Find("predictor/cif_output2/b");
+    const WTensor* bo = ftr_->Find("predictor/cif_output2/b");
     MatMul(head.data(), t_up, head_dim, wo, bo ? bo->f32.data() : nullptr,
            alphas.data());
   }
@@ -460,6 +468,7 @@ std::string ParaformerEngine::Infer(const std::vector<float>& feats, int t,
   std::string text;
   bool prev_ascii = false;
   int n_chars = 0;  // tokens past blank/sos/eos (the ts_prediction char list)
+  std::vector<bool> char_kept;  // false for <unk> (suppressed in the text)
   for (int i = 0; i < n_tok; ++i) {
     const float* row = logits.data() + static_cast<int64_t>(i) * vocab_size_;
     int best = 0;
@@ -473,6 +482,7 @@ std::string ParaformerEngine::Infer(const std::vector<float>& feats, int t,
     if (best == blank_ || best == sos_ || best == eos_) continue;
     ++n_chars;
     const std::string& tok = vocab_.Id2Token(best);
+    char_kept.push_back(tok != "<unk>");
     if (tok == "<unk>") continue;
     const bool ascii = IsAsciiWord(tok);
     if (ascii && prev_ascii) text += " ";
@@ -490,9 +500,14 @@ std::string ParaformerEngine::Infer(const std::vector<float>& feats, int t,
     std::vector<float> alphas = UpsampleAlphas(enc, t, n_tok);
     std::vector<double> a64(alphas.begin(), alphas.end());
     const auto stamps = TsPrediction(std::move(a64), n_chars, upsample_times_);
+    // drop the rows of <unk> tokens suppressed in the text so timestamps stay
+    // aligned 1:1 with the words actually returned
     std::string js = "[";
+    bool first = true;
     for (size_t i = 0; i < stamps.size(); ++i) {
-      if (i) js += ",";
+      if (i < char_kept.size() && !char_kept[i]) continue;
+      if (!first) js += ",";
+      first = false;
       js += "[" + std::to_string(stamps[i].first) + "," +
             std::to_string(stamps[i].second) + "]";
     }

@@ -6,6 +6,7 @@
 #ifndef FUNASR_TPU_PARAFORMER_ENGINE_H_
 #define FUNASR_TPU_PARAFORMER_ENGINE_H_
 
+#include <memory>
 #include <string>
 #include <vector>
 
@@ -20,6 +21,11 @@ class ParaformerEngine {
   // model_dir must hold weights.ftr + tokens.txt (+ am.mvn consumed by the
   // caller's frontend).
   bool Load(const std::string& model_dir);
+  // Share an already-loaded weights.ftr tensor arena (2pass setups load the
+  // file once for the offline + streaming engines; ref note: the onnxruntime
+  // runtime likewise keeps one session per model, funasrruntime.cpp).
+  bool Load(std::shared_ptr<const FtrFile> ftr, const std::string& model_dir);
+  const FtrFile* arena() const { return ftr_.get(); }
   bool loaded() const { return loaded_; }
   int lfr_m() const { return lfr_m_; }
   int lfr_n() const { return lfr_n_; }
@@ -53,7 +59,7 @@ class ParaformerEngine {
 
   const WTensor& W(const std::string& name) const;
 
-  FtrFile ftr_;
+  std::shared_ptr<const FtrFile> ftr_;
   Vocab vocab_;
   SanmEncoder encoder_;
   bool loaded_ = false;

@@ -47,7 +47,7 @@ void SanmEncoder::SelfAttention(const std::string& prefix,
   int left, right;
   FsmnPads(cfg_.kernel, cfg_.shift, &left, &right);
   std::vector<float> fsmn(static_cast<int64_t>(t) * d);
-  DepthwiseConv1d(v.data(), t, d, W(prefix + "/fsmn_block/w").f32.data(),
+  DepthwiseConv1d(v.data(), t, d, RawF32(W(prefix + "/fsmn_block/w"), "fsmn_block/w"),
                   cfg_.kernel, left, right, fsmn.data());
   for (int64_t i = 0; i < static_cast<int64_t>(t) * d; ++i) fsmn[i] += v[i];
 

@@ -2,6 +2,7 @@
 
 #include <algorithm>
 #include <cmath>
+#include <memory>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
@@ -35,49 +36,56 @@ void DebugDump(const char* tag, const std::vector<float>& a) {
 }  // namespace
 
 const WTensor& StreamingEngine::W(const std::string& name) const {
-  const WTensor* t = ftr_.Find(name);
+  const WTensor* t = ftr_->Find(name);
   static WTensor empty;
   return t ? *t : empty;
 }
 
 bool StreamingEngine::Load(const std::string& model_dir) {
-  if (!ftr_.Load(model_dir + "/weights.ftr")) return false;
-  if (ftr_.Find("predictor/cif_output/w") == nullptr) return false;
+  auto ftr = std::make_shared<FtrFile>();
+  if (!ftr->Load(model_dir + "/weights.ftr")) return false;
+  return Load(std::move(ftr), model_dir);
+}
+
+bool StreamingEngine::Load(std::shared_ptr<const FtrFile> ftr,
+                           const std::string& model_dir) {
+  ftr_ = std::move(ftr);
+  if (ftr_->Find("predictor/cif_output/w") == nullptr) return false;
   if (!vocab_.Load(model_dir + "/tokens.txt")) return false;
-  input_size_ = ftr_.MetaInt("input_size", 560);
-  d_ = ftr_.MetaInt("encoder.output_size", 512);
-  heads_ = ftr_.MetaInt("encoder.attention_heads", 4);
-  ffn_ = ftr_.MetaInt("encoder.linear_units", 2048);
-  blocks_ = ftr_.MetaInt("encoder.num_blocks", 50);
-  kernel_ = ftr_.MetaInt("encoder.kernel_size", 11);
-  shift_ = ftr_.MetaInt("encoder.sanm_shift", 0);
-  dec_heads_ = ftr_.MetaInt("decoder.attention_heads", 16);
-  dec_ffn_ = ftr_.MetaInt("decoder.linear_units", 2048);
-  dec_blocks_ = ftr_.MetaInt("decoder.num_blocks", 16);
-  dec_att_ = ftr_.MetaInt("decoder.att_layer_num", 16);
-  dec_kernel_ = ftr_.MetaInt("decoder.kernel_size", 11);
-  vocab_size_ = ftr_.MetaInt("vocab_size", vocab_.Size());
-  blank_ = ftr_.MetaInt("blank_id", 0);
-  sos_ = ftr_.MetaInt("sos", 1);
-  eos_ = ftr_.MetaInt("eos", 2);
-  l_order_ = ftr_.MetaInt("predictor.l_order", 1);
-  r_order_ = ftr_.MetaInt("predictor.r_order", 1);
-  tail_threshold_ = ftr_.MetaFloat("predictor.tail_threshold", 0.45f);
-  smooth_factor_ = ftr_.MetaFloat("predictor.smooth_factor", 1.0f);
-  noise_threshold_ = ftr_.MetaFloat("predictor.noise_threshold", 0.0f);
-  lfr_m_ = ftr_.MetaInt("lfr_m", 7);
-  lfr_n_ = ftr_.MetaInt("lfr_n", 6);
-  n_mels_ = ftr_.MetaInt("n_mels", 80);
-  pad_left_ = ftr_.MetaInt("chunk_pad_left", 0);
-  stride_ = ftr_.MetaInt("chunk_stride", 10);
-  lookahead_ = ftr_.MetaInt("chunk_lookahead", 5);
-  enc_look_back_ = ftr_.MetaInt("encoder_chunk_look_back", 0);
-  dec_look_back_ = ftr_.MetaInt("decoder_chunk_look_back", 0);
+  input_size_ = ftr_->MetaInt("input_size", 560);
+  d_ = ftr_->MetaInt("encoder.output_size", 512);
+  heads_ = ftr_->MetaInt("encoder.attention_heads", 4);
+  ffn_ = ftr_->MetaInt("encoder.linear_units", 2048);
+  blocks_ = ftr_->MetaInt("encoder.num_blocks", 50);
+  kernel_ = ftr_->MetaInt("encoder.kernel_size", 11);
+  shift_ = ftr_->MetaInt("encoder.sanm_shift", 0);
+  dec_heads_ = ftr_->MetaInt("decoder.attention_heads", 16);
+  dec_ffn_ = ftr_->MetaInt("decoder.linear_units", 2048);
+  dec_blocks_ = ftr_->MetaInt("decoder.num_blocks", 16);
+  dec_att_ = ftr_->MetaInt("decoder.att_layer_num", 16);
+  dec_kernel_ = ftr_->MetaInt("decoder.kernel_size", 11);
+  vocab_size_ = ftr_->MetaInt("vocab_size", vocab_.Size());
+  blank_ = ftr_->MetaInt("blank_id", 0);
+  sos_ = ftr_->MetaInt("sos", 1);
+  eos_ = ftr_->MetaInt("eos", 2);
+  l_order_ = ftr_->MetaInt("predictor.l_order", 1);
+  r_order_ = ftr_->MetaInt("predictor.r_order", 1);
+  tail_threshold_ = ftr_->MetaFloat("predictor.tail_threshold", 0.45f);
+  smooth_factor_ = ftr_->MetaFloat("predictor.smooth_factor", 1.0f);
+  noise_threshold_ = ftr_->MetaFloat("predictor.noise_threshold", 0.0f);
+  lfr_m_ = ftr_->MetaInt("lfr_m", 7);
+  lfr_n_ = ftr_->MetaInt("lfr_n", 6);
+  n_mels_ = ftr_->MetaInt("n_mels", 80);
+  pad_left_ = ftr_->MetaInt("chunk_pad_left", 0);
+  stride_ = ftr_->MetaInt("chunk_stride", 10);
+  lookahead_ = ftr_->MetaInt("chunk_lookahead", 5);
+  enc_look_back_ = ftr_->MetaInt("encoder_chunk_look_back", 0);
+  dec_look_back_ = ftr_->MetaInt("decoder_chunk_look_back", 0);
   FbankOptions opts;
   opts.n_mels = n_mels_;
   fbank_ = std::make_unique<Fbank>(opts);
   has_cmvn_ = cmvn_.Load(model_dir + "/am.mvn");
-  loaded_ = ftr_.Find("encoder/after_norm/scale") != nullptr;
+  loaded_ = ftr_->Find("encoder/after_norm/scale") != nullptr;
   return loaded_;
 }
 
@@ -186,7 +194,7 @@ void StreamingEngine::SelfAttentionChunk(const std::string& prefix,
   const int d = d_, h = heads_, dk = d / h;
   std::vector<float> qkv(static_cast<int64_t>(t) * 3 * d);
   const WTensor& wqkv = W(prefix + "/linear_q_k_v/w");
-  const WTensor* bq = ftr_.Find(prefix + "/linear_q_k_v/b");
+  const WTensor* bq = ftr_->Find(prefix + "/linear_q_k_v/b");
   MatMul(x.data(), t, in_feat, wqkv, bq ? bq->f32.data() : nullptr, qkv.data());
 
   std::vector<float> q(static_cast<int64_t>(t) * d), k(q.size()), v(q.size());
@@ -205,7 +213,7 @@ void StreamingEngine::SelfAttentionChunk(const std::string& prefix,
   int left, right;
   FsmnPads(kernel_, shift_, &left, &right);
   std::vector<float> fsmn(static_cast<int64_t>(t) * d);
-  DepthwiseConv1d(v.data(), t, d, W(prefix + "/fsmn_block/w").f32.data(),
+  DepthwiseConv1d(v.data(), t, d, RawF32(W(prefix + "/fsmn_block/w"), "fsmn_block/w"),
                   kernel_, left, right, fsmn.data());
   for (int64_t i = 0; i < static_cast<int64_t>(t) * d; ++i) fsmn[i] += v[i];
 
@@ -274,7 +282,7 @@ void StreamingEngine::SelfAttentionChunk(const std::string& prefix,
 
   out->assign(static_cast<int64_t>(t) * d, 0.0f);
   const WTensor& wo = W(prefix + "/linear_out/w");
-  const WTensor* bo = ftr_.Find(prefix + "/linear_out/b");
+  const WTensor* bo = ftr_->Find(prefix + "/linear_out/b");
   MatMul(ctx.data(), t, d, wo, bo ? bo->f32.data() : nullptr, out->data());
   for (int64_t i = 0; i < static_cast<int64_t>(t) * d; ++i) (*out)[i] += fsmn[i];
 }
@@ -365,7 +373,7 @@ int StreamingEngine::CifChunk(StreamSession* s, const std::vector<float>& enc,
   std::vector<float> alphas(t);
   {
     const WTensor& wo = W("predictor/cif_output/w");
-    const WTensor* bo = ftr_.Find("predictor/cif_output/b");
+    const WTensor* bo = ftr_->Find("predictor/cif_output/b");
     MatMul(h.data(), t, d, wo, bo ? bo->f32.data() : nullptr, alphas.data());
   }
   SigmoidV(alphas.data(), t);
@@ -419,12 +427,12 @@ void StreamingEngine::CrossAttentionChunk(const std::string& prefix,
   const int d = d_, h = dec_heads_, dk = d / h;
   std::vector<float> q(static_cast<int64_t>(n_tok) * d);
   const WTensor& wq = W(prefix + "/linear_q/w");
-  const WTensor* bq = ftr_.Find(prefix + "/linear_q/b");
+  const WTensor* bq = ftr_->Find(prefix + "/linear_q/b");
   MatMul(x.data(), n_tok, d, wq, bq ? bq->f32.data() : nullptr, q.data());
 
   std::vector<float> kv(static_cast<int64_t>(t_mem) * 2 * d);
   const WTensor& wkv = W(prefix + "/linear_k_v/w");
-  const WTensor* bkv = ftr_.Find(prefix + "/linear_k_v/b");
+  const WTensor* bkv = ftr_->Find(prefix + "/linear_k_v/b");
   MatMul(memory.data(), t_mem, d, wkv, bkv ? bkv->f32.data() : nullptr,
          kv.data());
   // split (t_mem, 2d) -> k (t_mem, d), v (t_mem, d)
@@ -490,7 +498,7 @@ void StreamingEngine::CrossAttentionChunk(const std::string& prefix,
   }
   out->assign(static_cast<int64_t>(n_tok) * d, 0.0f);
   const WTensor& wo = W(prefix + "/linear_out/w");
-  const WTensor* bo = ftr_.Find(prefix + "/linear_out/b");
+  const WTensor* bo = ftr_->Find(prefix + "/linear_out/b");
   MatMul(ctx.data(), n_tok, d, wo, bo ? bo->f32.data() : nullptr, out->data());
 }
 
@@ -525,7 +533,7 @@ std::vector<float> StreamingEngine::DecodeChunk(StreamSession* s,
     const int buf_rows = (kc - 1) + n_tok;
     std::vector<float> conv(static_cast<int64_t>(n_tok) * d);
     DepthwiseConv1d(buf.data(), buf_rows, d,
-                    W(prefix + "/self_attn/fsmn_block/w").f32.data(), kc, 0, 0,
+                    RawF32(W(prefix + "/self_attn/fsmn_block/w"), "fsmn_block/w"), kc, 0, 0,
                     conv.data());
     for (int64_t i = 0; i < static_cast<int64_t>(n_tok) * d; ++i)
       conv[i] += (*x2)[i];
@@ -587,7 +595,7 @@ std::vector<float> StreamingEngine::DecodeChunk(StreamSession* s,
             W("decoder/after_norm/bias").f32.data());
   std::vector<float> logits(static_cast<int64_t>(n_tok) * vocab_size_);
   const WTensor& wo = W("decoder/output_layer/w");
-  const WTensor* bo = ftr_.Find("decoder/output_layer/b");
+  const WTensor* bo = ftr_->Find("decoder/output_layer/b");
   MatMul(x.data(), n_tok, d_, wo, bo ? bo->f32.data() : nullptr, logits.data());
   return logits;
 }

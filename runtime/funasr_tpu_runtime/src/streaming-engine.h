@@ -58,6 +58,10 @@ class StreamingEngine {
   // chunk_lookahead, encoder_chunk_look_back, decoder_chunk_look_back),
   // defaulting to [0, 10, 5] / 0 / 0 (model.py init_cache defaults).
   bool Load(const std::string& model_dir);
+  // Share an already-loaded weights.ftr arena with the offline engine
+  // (halves 2pass-server model memory vs each engine loading its own copy).
+  bool Load(std::shared_ptr<const FtrFile> ftr, const std::string& model_dir);
+  const FtrFile* arena() const { return ftr_.get(); }
   bool loaded() const { return loaded_; }
 
   std::unique_ptr<StreamSession> NewSession() const;
@@ -98,7 +102,7 @@ class StreamingEngine {
 
   const WTensor& W(const std::string& name) const;
 
-  FtrFile ftr_;
+  std::shared_ptr<const FtrFile> ftr_;
   Vocab vocab_;
   std::unique_ptr<Fbank> fbank_;
   Cmvn cmvn_;

@@ -68,7 +68,7 @@ std::vector<float> FsmnVadEngine::SilScores(const std::vector<float>& feats,
   for (int i = 0; i < fsmn_layers_; ++i) {
     const std::string p = "encoder/fsmn." + std::to_string(i) + "/";
     MatMul(g.data(), t, linear_dim_, W(p + "linear/w"), nullptr, proj.data());
-    DepthwiseConv1d(proj.data(), t, proj_dim_, W(p + "conv_left/w").f32.data(),
+    DepthwiseConv1d(proj.data(), t, proj_dim_, RawF32(W(p + "conv_left/w"), "conv_left/w"),
                     lorder_, lorder_ - 1, 0, conv.data());
     for (size_t k = 0; k < conv.size(); ++k) conv[k] += proj[k];
     if (rorder_ > 0) {
@@ -78,7 +78,7 @@ std::vector<float> FsmnVadEngine::SilScores(const std::vector<float>& feats,
         std::vector<float> shifted(proj.begin() + proj_dim_, proj.end());
         std::vector<float> rout((t - 1) * proj_dim_);
         DepthwiseConv1d(shifted.data(), t - 1, proj_dim_,
-                        W(p + "conv_right/w").f32.data(), rorder_, 0, rorder_,
+                        RawF32(W(p + "conv_right/w"), "conv_right/w"), rorder_, 0, rorder_,
                         rout.data());
         std::copy(rout.begin(), rout.end(), right.begin());
       }

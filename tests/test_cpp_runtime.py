@@ -821,6 +821,11 @@ def test_native_streaming_edge_cases(built, tmp_path):
     h = lib.FunASRInit(str(model_dir).encode(), 1)
     stream = lib.FunASRStreamCreate(h)
     assert stream
+    # 2pass memory guarantee: offline + streaming engines share ONE weights
+    # arena (a single FtrFile loaded in FunASRInit), not two copies
+    lib.FunASRSharedWeights.restype = ctypes.c_int
+    lib.FunASRSharedWeights.argtypes = [ctypes.c_void_p]
+    assert lib.FunASRSharedWeights(h) == 1
 
     rng_l = np.random.default_rng(7)
 
@@ -1152,3 +1157,134 @@ def test_native_vad_streaming(built, tmp_path, rng):
             raise AssertionError(f"malformed event {beg},{end}")
     assert not state_open, events
     assert events, "no VAD events emitted on speech-shaped noise"
+
+
+def _parse_ftr_records(path):
+    """Walk the FTR container -> [(name, dtype, dims, payload_bytes)] + header."""
+    import struct
+
+    with open(path, "rb") as f:
+        assert f.read(4) == b"FTR1"
+        (meta_len,) = struct.unpack("<I", f.read(4))
+        meta = f.read(meta_len)
+        (n,) = struct.unpack("<I", f.read(4))
+        records = []
+        for _ in range(n):
+            (nl,) = struct.unpack("<I", f.read(4))
+            name = f.read(nl).decode()
+            dtype, ndim = struct.unpack("<BB", f.read(2))
+            dims = struct.unpack(f"<{ndim}q", f.read(8 * ndim))
+            numel = int(np.prod(dims)) if ndim else 1
+            if dtype == 1:
+                (ns,) = struct.unpack("<q", f.read(8))
+                payload = struct.pack("<q", ns) + f.read(4 * ns) + f.read(numel)
+            else:
+                payload = f.read(4 * numel)
+            records.append((name, dtype, dims, payload))
+    return meta, records
+
+
+def test_int8_export_keeps_depthwise_conv_f32(tiny_model_dir, tmp_path,
+                                              monkeypatch):
+    """Production-size depthwise FSMN kernels (e.g. 11x512, above the quant
+    threshold) must never be int8-quantized: every C++ engine consumes
+    fsmn_block/w raw via WTensor::f32 (sanm-encoder.cc:50), which is an empty
+    vector for quantized tensors -> garbage transcripts. Regression for the
+    round-2 advisor's high-severity finding."""
+    import funasr_tpu.export_runtime as er
+    from funasr_tpu.auto.auto_model import AutoModel
+
+    am = AutoModel(model=tiny_model_dir, disable_pbar=True)
+    # tiny dims are below the real threshold; force everything quantizable
+    monkeypatch.setattr(er, "_QUANT_MIN_SIZE", 1)
+    path = str(tmp_path / "weights.ftr")
+    er.export_ftr(am.model, am.model_params, path, quant="int8")
+    _, records = _parse_ftr_records(path)
+    dtypes = {name: dtype for name, dtype, _, _ in records}
+    fsmn = {k: v for k, v in dtypes.items() if k.endswith("fsmn_block/w")}
+    assert fsmn and all(v == 0 for v in fsmn.values()), fsmn
+    mats = {k: v for k, v in dtypes.items() if k.endswith("linear_q_k_v/w")}
+    assert mats and all(v == 1 for v in mats.values()), mats
+
+
+def test_legacy_quantized_fsmn_dequantized_at_load(built, tiny_model_dir,
+                                                   tmp_path, monkeypatch):
+    """Old int8 exports DID quantize fsmn_block/w; FtrFile::Load must
+    dequantize those records so legacy files still transcribe (matching a
+    Python model whose fsmn weights go through the same quant round-trip)."""
+    import struct
+    import wave
+
+    import funasr_tpu.export_runtime as er
+    from funasr_tpu.auto.auto_model import AutoModel
+
+    am = AutoModel(model=tiny_model_dir, disable_pbar=True)
+    out_dir = tmp_path / "legacy_native"
+    out_dir.mkdir()
+    er.export_native_dir(am.model, am.model_params, tiny_model_dir,
+                         str(out_dir))
+    path = str(out_dir / "weights.ftr")
+    meta, records = _parse_ftr_records(path)
+
+    def quant_cols(arr):
+        scales = np.maximum(np.abs(arr).max(axis=0), 1e-12) / 127.0
+        q = np.clip(np.round(arr / scales[None, :]), -127, 127).astype(np.int8)
+        return q, scales.astype(np.float32)
+
+    with open(path, "wb") as f:
+        f.write(b"FTR1")
+        f.write(struct.pack("<I", len(meta)))
+        f.write(meta)
+        f.write(struct.pack("<I", len(records)))
+        for name, dtype, dims, payload in records:
+            nb = name.encode()
+            f.write(struct.pack("<I", len(nb)))
+            f.write(nb)
+            if name.endswith("fsmn_block/w"):
+                arr = np.frombuffer(payload, "<f4").reshape(dims)
+                q, scales = quant_cols(arr)
+                f.write(struct.pack("<BB", 1, len(dims)))
+                f.write(np.asarray(dims, "<i8").tobytes())
+                f.write(struct.pack("<q", scales.size))
+                f.write(scales.tobytes())
+                f.write(q.tobytes())
+            else:
+                f.write(struct.pack("<BB", dtype, len(dims)))
+                f.write(np.asarray(dims, "<i8").tobytes())
+                f.write(payload)
+
+    rng = np.random.default_rng(9)
+    sig = (rng.standard_normal(24000) * 0.1 * 32767).astype(np.int16)
+    wav_path = str(tmp_path / "legacy.wav")
+    with wave.open(wav_path, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(sig.tobytes())
+
+    # python twin: same quant round-trip applied to the fsmn kernels
+    import jax
+
+    def roundtrip(path_leaf):
+        def fn(p, leaf):
+            keys = [getattr(k, "key", getattr(k, "idx", None)) for k in p]
+            if "fsmn_block" in keys and keys[-1] == "w":
+                arr = np.asarray(leaf)
+                flat = arr.reshape(-1, arr.shape[-1])
+                q, scales = quant_cols(flat)
+                return (q.astype(np.float32) * scales[None, :]).reshape(
+                    arr.shape).astype(arr.dtype)
+            return leaf
+        return fn
+
+    am.model_params = jax.tree_util.tree_map_with_path(
+        roundtrip(None), am.model_params)
+    py_text = am.generate(input=wav_path)[0]["text"]
+
+    cli = str(built / "funasr-tpu-offline")
+    r = subprocess.run([cli, str(out_dir), wav_path], capture_output=True,
+                       text=True)
+    assert r.returncode == 0, r.stderr
+    cpp_text = r.stdout.strip().split("\t")[-1]
+    assert cpp_text.replace(" ", "") == py_text.replace(" ", ""), \
+        (cpp_text, py_text)
