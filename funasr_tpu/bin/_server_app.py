@@ -36,9 +36,17 @@ def parse_multipart(body: bytes, content_type: str) -> Dict[str, bytes]:
 
 
 class TranscriptionApp:
-    def __init__(self, model, model_name: str = "funasr-tpu"):
+    def __init__(self, model, model_name: str = "funasr-tpu",
+                 batch_wait_ms: float = 15.0, max_batch: int = 8):
+        from funasr_tpu.serving.batcher import BatchAggregator
+
         self.model = model  # AutoModel
         self.model_name = model_name
+        # Triton-role cross-request dynamic batching: concurrent requests
+        # decode as one jitted batch instead of serializing (batch_wait_ms=0
+        # still drains already-queued requests into one batch).
+        self.batcher = BatchAggregator(model, max_batch=max_batch,
+                                       max_wait_ms=batch_wait_ms)
 
     # -- request routing ----------------------------------------------------
 
@@ -77,6 +85,8 @@ class TranscriptionApp:
     async def route(self, method, path, headers, body) -> Tuple[str, dict]:
         if method == "GET" and path in ("/health", "/"):
             return "200 OK", {"status": "ok"}
+        if method == "GET" and path == "/stats":
+            return "200 OK", self.batcher.stats()
         if method == "GET" and path == "/v1/models":
             return "200 OK", {"object": "list", "data": [
                 {"id": self.model_name, "object": "model",
@@ -100,15 +110,14 @@ class TranscriptionApp:
         response_format = fields.get("response_format", b"json").decode()
         hotword = fields.get("hotword", b"").decode() or None
 
-        loop = asyncio.get_event_loop()
         kwargs = {}
         if language:
             kwargs["language"] = language
         if hotword:
             kwargs["hotword"] = hotword
-        results = await loop.run_in_executor(
-            None, lambda: self.model.generate(input=bytes(audio), **kwargs))
-        text = results[0].get("text", "") if results else ""
+        result = await self.batcher.submit(bytes(audio), **kwargs)
+        results = [result]
+        text = result.get("text", "")
         if response_format == "text":
             return "200 OK", {"text": text}
         if response_format == "verbose_json":

@@ -102,6 +102,28 @@ void FunASRStreamFree(FUNASR_STREAM stream);
  * asserted by tests so the memory guarantee cannot silently regress). */
 int FunASRSharedWeights(FUNASR_HANDLE handle);
 
+/* Score-driven VADX state machine (the full endpoint machine of
+ * funasr/models/fsmn_vad_streaming/model.py:825-1157, ported in vadx.h).
+ * Drives the machine with raw per-frame (silence-score, decibel) pairs so
+ * golden tests can byte-compare segmentation against the Python tracker.
+ * config: "key=value;key=value" over the VADXOptions field names
+ * (max_end_silence_time, window_size_ms, sil_to_speech_time_thres,
+ * speech_to_sil_time_thres, max_single_segment_time, speech_noise_thres,
+ * detect_mode, do_extend, lookback_time_start_point,
+ * lookahead_time_end_point, max_start_silence_time); "" = defaults. */
+typedef void* FUNASR_VADX;
+FUNASR_VADX FunVadXCreate(const char* config);
+/* Returns the new events as a JSON [[beg,end],...] string (FunASRGetResult);
+ * streaming=1 emits [beg,-1]/[-1,end]/[beg,end] partials, 0 only complete
+ * segments. */
+FUNASR_RESULT FunVadXFeed(FUNASR_VADX handle, const float* sil_scores,
+                          const float* decibels, int n, int is_final,
+                          int streaming);
+void FunVadXSetMaxEndSilThresh(FUNASR_VADX handle, int ms);
+void FunVadXSetSpeechNoiseThres(FUNASR_VADX handle, float v);
+void FunVadXReset(FUNASR_VADX handle);
+void FunVadXFree(FUNASR_VADX handle);
+
 /* ITN grammar archive (the FAR-consumer role): loads the JSON archive
  * exported by `funasr-tpu-data export_itn_grammar` and applies cardinal ITN
  * for the word-lexicon (de/es/fr/pt/ru/id/vi/tl) and CJK (zh/ja/ko)

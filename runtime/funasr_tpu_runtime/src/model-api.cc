@@ -21,6 +21,7 @@
 #include "fbank.h"
 #include "itn-grammar.h"
 #include "paraformer-engine.h"
+#include "vadx.h"
 #include "punc-engine.h"
 #include "sensevoice-engine.h"
 #include "streaming-engine.h"
@@ -227,6 +228,75 @@ int FunASRSharedWeights(FUNASR_HANDLE handle) {
   auto* h = static_cast<Handle*>(handle);
   return h != nullptr && h->engine != nullptr && h->stream_engine != nullptr &&
          h->engine->arena() == h->stream_engine->arena();
+}
+
+FUNASR_VADX FunVadXCreate(const char* config) {
+  funasr_tpu::VadxOptions o;
+  std::string cfg = config ? config : "";
+  size_t pos = 0;
+  while (pos < cfg.size()) {
+    size_t sep = cfg.find(';', pos);
+    if (sep == std::string::npos) sep = cfg.size();
+    const std::string kv = cfg.substr(pos, sep - pos);
+    pos = sep + 1;
+    const size_t eq = kv.find('=');
+    if (eq == std::string::npos) continue;
+    const std::string k = kv.substr(0, eq);
+    const double v = std::atof(kv.substr(eq + 1).c_str());
+    if (k == "max_end_silence_time") o.max_end_silence_time = (int)v;
+    else if (k == "max_start_silence_time") o.max_start_silence_time = (int)v;
+    else if (k == "window_size_ms") o.window_size_ms = (int)v;
+    else if (k == "sil_to_speech_time_thres") o.sil_to_speech_time_thres = (int)v;
+    else if (k == "speech_to_sil_time_thres") o.speech_to_sil_time_thres = (int)v;
+    else if (k == "speech_2_noise_ratio") o.speech_2_noise_ratio = v;
+    else if (k == "do_extend") o.do_extend = (int)v;
+    else if (k == "lookback_time_start_point") o.lookback_time_start_point = (int)v;
+    else if (k == "lookahead_time_end_point") o.lookahead_time_end_point = (int)v;
+    else if (k == "max_single_segment_time") o.max_single_segment_time = (int)v;
+    else if (k == "speech_noise_thres") o.speech_noise_thres = v;
+    else if (k == "detect_mode") o.detect_mode = (int)v;
+    else if (k == "decibel_thres") o.decibel_thres = v;
+    else if (k == "snr_thres") o.snr_thres = v;
+  }
+  return new funasr_tpu::VadStateMachine(o);
+}
+
+FUNASR_RESULT FunVadXFeed(FUNASR_VADX handle, const float* sil_scores,
+                          const float* decibels, int n, int is_final,
+                          int streaming) {
+  auto* m = static_cast<funasr_tpu::VadStateMachine*>(handle);
+  if (m == nullptr) return nullptr;
+  auto* r = new Result();
+  r->segments = m->Feed(sil_scores, decibels, n, is_final != 0,
+                        streaming != 0);
+  std::string json = "[";
+  for (size_t i = 0; i < r->segments.size(); ++i) {
+    if (i) json += ",";
+    json += "[" + std::to_string(r->segments[i].first) + "," +
+            std::to_string(r->segments[i].second) + "]";
+  }
+  json += "]";
+  r->texts.push_back(json);
+  return r;
+}
+
+void FunVadXSetMaxEndSilThresh(FUNASR_VADX handle, int ms) {
+  auto* m = static_cast<funasr_tpu::VadStateMachine*>(handle);
+  if (m != nullptr) m->set_max_end_sil_thresh_ms(ms);
+}
+
+void FunVadXSetSpeechNoiseThres(FUNASR_VADX handle, float v) {
+  auto* m = static_cast<funasr_tpu::VadStateMachine*>(handle);
+  if (m != nullptr) m->set_speech_noise_thres(v);
+}
+
+void FunVadXReset(FUNASR_VADX handle) {
+  auto* m = static_cast<funasr_tpu::VadStateMachine*>(handle);
+  if (m != nullptr) m->Reset();
+}
+
+void FunVadXFree(FUNASR_VADX handle) {
+  delete static_cast<funasr_tpu::VadStateMachine*>(handle);
 }
 
 FUNASR_ITN_GRAMMAR FunItnGrammarLoad(const char* path) {

@@ -274,3 +274,68 @@ def test_ws_online_punc_partials():
     # both chunks shared one session cache, carrying the sentence tail
     assert calls["caches"][0] is calls["caches"][1]
     assert final["is_final"] is True
+
+
+def test_cross_request_dynamic_batching(offline_automodel):
+    """Triton-role micro-batching: 8 concurrent requests coalesce into far
+    fewer jitted generate calls, and every client still receives ITS OWN
+    transcript (results are distributed by position, not shared)."""
+    import concurrent.futures
+    import io
+    import time
+    import urllib.request
+
+    from funasr_tpu.bin._server_app import TranscriptionApp
+
+    app = TranscriptionApp(offline_automodel, batch_wait_ms=200, max_batch=8)
+    port = _free_port()
+
+    def wav_bytes(seed):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(16000)
+            w.writeframes(_pcm(1.0, seed=seed).tobytes())
+        return buf.getvalue()
+
+    # expected per-clip transcripts from a direct (unbatched) generate
+    expected = {
+        seed: offline_automodel.generate(input=wav_bytes(seed))[0]["text"]
+        for seed in range(8)
+    }
+
+    def request(seed):
+        boundary = "x123"
+        body = (f"--{boundary}\r\nContent-Disposition: form-data; "
+                f"name=\"file\"; filename=\"a.wav\"\r\n\r\n").encode() + \
+            wav_bytes(seed) + (f"\r\n--{boundary}--\r\n").encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/audio/transcriptions", data=body,
+            headers={"Content-Type":
+                     f"multipart/form-data; boundary={boundary}"})
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            return seed, json.loads(resp.read())["text"]
+
+    async def scenario():
+        server = await asyncio.start_server(app.handle, "127.0.0.1", port)
+        loop = asyncio.get_event_loop()
+        async with server:
+            with concurrent.futures.ThreadPoolExecutor(8) as pool:
+                futs = [loop.run_in_executor(pool, request, seed)
+                        for seed in range(8)]
+                return await asyncio.gather(*futs)
+
+    t0 = time.perf_counter()
+    results = asyncio.run(scenario())
+    wall = time.perf_counter() - t0
+
+    for seed, text in results:
+        assert text == expected[seed], (seed, text, expected[seed])
+    stats = app.batcher.stats()
+    assert stats["requests"] == 8
+    # 8 concurrent requests must batch: strictly fewer forwards than requests
+    assert stats["generate_calls"] <= 4, stats
+    assert stats["max_batch_seen"] >= 2, stats
+    print(f"batched 8 requests into {stats['generate_calls']} generate calls "
+          f"(mean batch {stats['mean_batch']:.1f}) in {wall:.2f}s")
