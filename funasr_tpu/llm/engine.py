@@ -4,17 +4,32 @@ Role of vLLM in the reference serving stack (FunASR ``funasr/models/fun_asr_nano
 inference_vllm.py``, ``auto/auto_model_vllm.py``): admit prompt-embedding requests,
 batch the decode loop, stream tokens out.
 
-Design for XLA: a fixed pool of B slots sharing pre-allocated (B, max_len) kv caches.
-Admission prefilleds one request into its slot (bucketed prompt lengths -> bounded
-compile count); the decode step advances ALL active slots one token per call — a single
+Design for XLA: a fixed pool of B slots sharing pre-allocated (B, cache_len) kv
+caches. The decode step advances ALL active slots one token per call — a single
 fixed-shape program, so new requests join between steps with zero recompilation
-(the continuous-batching property).
+(the continuous-batching property). Two vLLM properties are provided in
+TPU-idiomatic form:
+
+* **Chunked prefill** (vLLM's answer to head-of-line blocking): admission does
+  NOT run the whole prompt in one pass. Prompts prefill in ``prefill_chunk``-
+  sized slices, at most one slice per engine step, interleaved with the batch
+  decode — so a 2k-token prompt admitting never stalls in-flight decodes for
+  more than one chunk's forward.
+* **Occupancy-proportional KV memory** (vLLM's paged KV role): the cache
+  starts at ``init_cache_len`` and doubles (power-of-two buckets, bounded
+  recompiles) only when a live sequence needs it. On TPU a contiguous
+  (B, S) cache layout keeps the attention fusable by XLA — a block-table
+  gather per step would fight the compiler for no memory win beyond this
+  length bucketing, since HBM is reclaimed at the bucket level anyway.
+
+Sampling is seeded: engine ``seed`` + ``request_id`` derive a per-request
+generator, so temperature sampling is reproducible run-to-run.
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Dict, List, Optional
+from typing import Callable, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -34,51 +49,85 @@ class Request:
     output_ids: List[int] = dataclasses.field(default_factory=list)
     done: bool = False
     stream_cb: Optional[Callable[[int], None]] = None
+    _rng: Optional[np.random.Generator] = None
 
 
 class LLMEngine:
     def __init__(self, lm, params, num_slots: int = 8, max_len: int = 2048,
-                 dtype=jnp.bfloat16):
+                 dtype=jnp.bfloat16, prefill_chunk: int = 128,
+                 init_cache_len: int = 256, seed: int = 0):
         self.lm = lm
         self.params = params
         self.num_slots = num_slots
         self.max_len = max_len
         self.dtype = dtype
-        self.kv = lm.init_kv_cache(num_slots, max_len, dtype)
+        self.prefill_chunk = max(32, int(prefill_chunk))
+        self.seed = seed
+        self.cache_len = 1
+        while self.cache_len < min(init_cache_len, max_len):
+            self.cache_len *= 2
+        self.cache_len = min(self.cache_len, max_len)
+        self.kv = lm.init_kv_cache(num_slots, self.cache_len, dtype)
         self.slot_req: List[Optional[Request]] = [None] * num_slots
-        self.slot_len = np.zeros((num_slots,), np.int32)     # tokens in cache
-        self.slot_new = np.zeros((num_slots,), np.int32)     # generated so far
-        self.last_token_embed = jnp.zeros((num_slots, 1, lm.cfg.hidden_size), dtype)
+        self.slot_len = np.zeros((num_slots,), np.int32)      # valid cache rows
+        self.slot_new = np.zeros((num_slots,), np.int32)      # generated so far
+        self.slot_prefill_pos = np.zeros((num_slots,), np.int32)
+        self.last_token_embed = jnp.zeros((num_slots, 1, lm.cfg.hidden_size),
+                                          dtype)
         self.queue: List[Request] = []
+        self.n_cache_grows = 0
         self._prefill_jit = jax.jit(self._prefill, static_argnames=("t",),
                                     donate_argnums=(1,))
         self._decode_jit = jax.jit(self._decode, donate_argnums=(1,))
 
     # -- jitted kernels ------------------------------------------------------
 
-    def _prefill(self, params, kv, embeds, slot, prompt_len, t):
-        """embeds: (1, t, D) padded prompt -> writes slot's cache, returns next-token
-        logits for the last valid position."""
-        positions = jnp.arange(t)[None]
+    def _prefill(self, params, kv, embeds, slot, start, valid, t):
+        """One prompt slice: embeds (1, t, D) covering global positions
+        start..start+t of `slot`'s sequence (valid <= t real rows). Returns the
+        next-token logits at the last valid position (meaningful only on the
+        final slice)."""
+        positions = (start + jnp.arange(t))[None]
         sub_kv = [{"k": c["k"][slot][None], "v": c["v"][slot][None]} for c in kv]
         logits, sub_kv = self.lm.forward(params, embeds, positions, sub_kv,
-                                         jnp.zeros((1,), jnp.int32),
-                                         prompt_len[None])
+                                         start[None], (start + valid)[None])
         for c, s in zip(kv, sub_kv):
             c["k"] = c["k"].at[slot].set(s["k"][0])
             c["v"] = c["v"].at[slot].set(s["v"][0])
         last = jnp.take_along_axis(
-            logits, (prompt_len - 1)[None, None, None].repeat(logits.shape[-1], -1),
+            logits, (valid - 1)[None, None, None].repeat(logits.shape[-1], -1),
             axis=1)[0, 0]
         return kv, last
 
-    def _decode(self, params, kv, token_embeds, slot_lens, active):
-        """One step for all slots. token_embeds: (B, 1, D); slot_lens: (B,) current
-        cache lengths; returns (next logits (B, V), new kv)."""
+    def _decode(self, params, kv, token_embeds, slot_lens):
+        """One step for all slots. token_embeds: (B, 1, D); slot_lens: (B,)
+        current cache lengths; returns (new kv, next logits (B, V)). Inactive
+        and still-prefilling slots produce garbage rows that are either
+        ignored (free slots restart prefill at 0) or overwritten by the next
+        prefill slice (which covers position slot_len)."""
         positions = slot_lens[:, None]
         logits, kv = self.lm.forward(params, token_embeds, positions, kv,
                                      slot_lens, slot_lens + 1)
         return kv, logits[:, 0]
+
+    # -- cache growth ----------------------------------------------------------
+
+    def _ensure_capacity(self, needed: int):
+        needed = min(needed, self.max_len)
+        if needed <= self.cache_len:
+            return
+        new_len = self.cache_len
+        while new_len < needed:
+            new_len *= 2
+        new_len = min(new_len, self.max_len)
+        old = self.cache_len
+        self.kv = [
+            {k: jnp.zeros(v.shape[:1] + (new_len,) + v.shape[2:], v.dtype)
+                .at[:, :old].set(v) for k, v in c.items()}
+            for c in self.kv
+        ]
+        self.cache_len = new_len
+        self.n_cache_grows += 1
 
     # -- host loop -----------------------------------------------------------
 
@@ -86,34 +135,66 @@ class LLMEngine:
         self.queue.append(req)
 
     def _admit(self):
+        """Assign queued requests to free slots (bookkeeping only — the prompt
+        prefills chunk-by-chunk in subsequent steps)."""
         for slot in range(self.num_slots):
             if self.slot_req[slot] is None and self.queue:
                 req = self.queue.pop(0)
                 t = req.input_embeds.shape[0]
-                tb = bucket_length(t, minimum=32, multiple=32)
-                embeds = np.zeros((1, tb, req.input_embeds.shape[1]), np.float32)
-                embeds[0, :t] = req.input_embeds
-                self.kv, last_logits = self._prefill_jit(
-                    self.params, self.kv, jnp.asarray(embeds, self.dtype),
-                    jnp.asarray(slot), jnp.asarray(t, jnp.int32), t=tb)
-                tok = self._sample(np.asarray(last_logits), req)
-                req.output_ids.append(tok)
-                if req.stream_cb:
-                    req.stream_cb(tok)
+                if t >= self.max_len:
+                    req.input_embeds = req.input_embeds[: self.max_len - 1]
+                    t = self.max_len - 1
                 self.slot_req[slot] = req
-                self.slot_len[slot] = t
-                self.slot_new[slot] = 1
-                self.last_token_embed = self.last_token_embed.at[slot].set(
-                    self.lm.embed(self.params, jnp.asarray([tok]),
-                                  self.dtype))
-                if tok in req.eos_token_ids or req.max_new_tokens <= 1:
-                    self._finish(slot)
+                self.slot_len[slot] = 0
+                self.slot_new[slot] = 0
+                self.slot_prefill_pos[slot] = 0
 
-    def _sample(self, logits, req) -> int:
+    def _prefilling_slots(self) -> List[int]:
+        return [i for i, r in enumerate(self.slot_req)
+                if r is not None
+                and self.slot_prefill_pos[i] < r.input_embeds.shape[0]]
+
+    def _prefill_one_chunk(self):
+        """Advance ONE prefilling slot by one chunk (bounds the decode stall
+        to a single chunk forward per step)."""
+        slots = self._prefilling_slots()
+        if not slots:
+            return
+        slot = slots[0]
+        req = self.slot_req[slot]
+        start = int(self.slot_prefill_pos[slot])
+        total = req.input_embeds.shape[0]
+        valid = min(self.prefill_chunk, total - start)
+        tb = bucket_length(valid, minimum=32, multiple=32)
+        self._ensure_capacity(start + tb + 1)
+        embeds = np.zeros((1, tb, req.input_embeds.shape[1]), np.float32)
+        embeds[0, :valid] = req.input_embeds[start: start + valid]
+        self.kv, last_logits = self._prefill_jit(
+            self.params, self.kv, jnp.asarray(embeds, self.dtype),
+            jnp.asarray(slot), jnp.asarray(start, jnp.int32),
+            jnp.asarray(valid, jnp.int32), t=tb)
+        self.slot_prefill_pos[slot] = start + valid
+        self.slot_len[slot] = start + valid
+        if start + valid >= total:  # final slice: sample the first token
+            tok = self._sample(np.asarray(last_logits), req)
+            req.output_ids.append(tok)
+            if req.stream_cb:
+                req.stream_cb(tok)
+            self.slot_new[slot] = 1
+            self.last_token_embed = self.last_token_embed.at[slot].set(
+                self.lm.embed(self.params, jnp.asarray([tok]), self.dtype))
+            if tok in req.eos_token_ids or req.max_new_tokens <= 1:
+                self._finish(slot)
+
+    def _sample(self, logits, req: Request) -> int:
         if req.temperature and req.temperature > 0:
-            probs = np.exp((logits - logits.max()) / req.temperature)
+            if req._rng is None:
+                req._rng = np.random.default_rng(
+                    np.random.SeedSequence([self.seed, req.request_id]))
+            x = (logits - logits.max()) / req.temperature
+            probs = np.exp(x)
             probs /= probs.sum()
-            return int(np.random.default_rng().choice(len(probs), p=probs))
+            return int(req._rng.choice(len(probs), p=probs))
         return int(np.argmax(logits))
 
     def _finish(self, slot: int):
@@ -122,18 +203,24 @@ class LLMEngine:
         self.slot_req[slot] = None
         self.slot_len[slot] = 0
         self.slot_new[slot] = 0
+        self.slot_prefill_pos[slot] = 0
 
     def step(self) -> bool:
-        """Admit + one decode step. Returns True while anything is in flight."""
+        """Admit + one prefill slice + one decode step for all active slots.
+        Returns True while anything is in flight."""
         self._admit()
-        active_slots = [i for i, r in enumerate(self.slot_req) if r is not None]
+        self._prefill_one_chunk()
+        prefilling = set(self._prefilling_slots())
+        active_slots = [i for i, r in enumerate(self.slot_req)
+                        if r is not None and i not in prefilling
+                        and self.slot_new[i] > 0]
         if not active_slots:
-            return bool(self.queue)
-        active = np.zeros((self.num_slots,), bool)
-        active[active_slots] = True
+            return bool(self.queue) or bool(prefilling) or any(
+                r is not None for r in self.slot_req)
+        self._ensure_capacity(int(self.slot_len[active_slots].max()) + 2)
         self.kv, logits = self._decode_jit(
             self.params, self.kv, self.last_token_embed,
-            jnp.asarray(self.slot_len), jnp.asarray(active))
+            jnp.asarray(self.slot_len))
         logits_np = np.asarray(logits)
         new_embeds = np.zeros((self.num_slots,), np.int64)
         for slot in active_slots:

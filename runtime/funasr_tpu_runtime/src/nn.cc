@@ -18,6 +18,11 @@ const float* RawF32(const WTensor& w, const char* what) {
   return w.f32.data();
 }
 
+// Register-blocked axpy-style GEMM: 4 output rows share each streamed weight
+// row, quartering the w-bandwidth (the bottleneck — w is k*n*4 bytes and the
+// y rows stay L1-resident). Per-output accumulation order over kk is
+// unchanged vs the naive loop, so results stay byte-identical to the
+// reference JAX path the engines are parity-tested against.
 void MatMul(const float* x, int m, int k, const WTensor& w, const float* bias,
             float* y) {
   const int n = static_cast<int>(w.cols());
@@ -26,16 +31,43 @@ void MatMul(const float* x, int m, int k, const WTensor& w, const float* bias,
 #ifdef _OPENMP
 #pragma omp parallel for schedule(static) if (static_cast<int64_t>(m) * k * n > 1 << 20)
 #endif
-    for (int i = 0; i < m; ++i) {
-      float* yi = y + i * n;
-      if (bias) std::memcpy(yi, bias, n * sizeof(float));
-      else std::memset(yi, 0, n * sizeof(float));
-      const float* xi = x + i * k;
-      for (int kk = 0; kk < k; ++kk) {
-        const float xv = xi[kk];
-        if (xv == 0.0f) continue;
-        const float* wr = wd + static_cast<int64_t>(kk) * n;
-        for (int j = 0; j < n; ++j) yi[j] += xv * wr[j];
+    for (int i0 = 0; i0 < m; i0 += 4) {
+      const int rows = m - i0 < 4 ? m - i0 : 4;
+      for (int r = 0; r < rows; ++r) {
+        float* yi = y + static_cast<int64_t>(i0 + r) * n;
+        if (bias) std::memcpy(yi, bias, n * sizeof(float));
+        else std::memset(yi, 0, n * sizeof(float));
+      }
+      if (rows == 4) {
+        float* y0 = y + static_cast<int64_t>(i0) * n;
+        float* y1 = y0 + n;
+        float* y2 = y1 + n;
+        float* y3 = y2 + n;
+        const float* x0 = x + static_cast<int64_t>(i0) * k;
+        for (int kk = 0; kk < k; ++kk) {
+          const float a0 = x0[kk], a1 = x0[k + kk];
+          const float a2 = x0[2 * k + kk], a3 = x0[3 * k + kk];
+          if (a0 == 0.0f && a1 == 0.0f && a2 == 0.0f && a3 == 0.0f) continue;
+          const float* wr = wd + static_cast<int64_t>(kk) * n;
+          for (int j = 0; j < n; ++j) {
+            const float wv = wr[j];
+            y0[j] += a0 * wv;
+            y1[j] += a1 * wv;
+            y2[j] += a2 * wv;
+            y3[j] += a3 * wv;
+          }
+        }
+      } else {
+        for (int r = 0; r < rows; ++r) {
+          float* yi = y + static_cast<int64_t>(i0 + r) * n;
+          const float* xi = x + static_cast<int64_t>(i0 + r) * k;
+          for (int kk = 0; kk < k; ++kk) {
+            const float xv = xi[kk];
+            if (xv == 0.0f) continue;
+            const float* wr = wd + static_cast<int64_t>(kk) * n;
+            for (int j = 0; j < n; ++j) yi[j] += xv * wr[j];
+          }
+        }
       }
     }
   } else {
@@ -43,19 +75,49 @@ void MatMul(const float* x, int m, int k, const WTensor& w, const float* bias,
 #ifdef _OPENMP
 #pragma omp parallel for schedule(static) if (static_cast<int64_t>(m) * k * n > 1 << 20)
 #endif
-    for (int i = 0; i < m; ++i) {
-      float* yi = y + i * n;
-      std::memset(yi, 0, n * sizeof(float));
-      const float* xi = x + i * k;
-      for (int kk = 0; kk < k; ++kk) {
-        const float xv = xi[kk];
-        if (xv == 0.0f) continue;
-        const int8_t* wr = wd + static_cast<int64_t>(kk) * n;
-        for (int j = 0; j < n; ++j) yi[j] += xv * static_cast<float>(wr[j]);
+    for (int i0 = 0; i0 < m; i0 += 4) {
+      const int rows = m - i0 < 4 ? m - i0 : 4;
+      for (int r = 0; r < rows; ++r) {
+        std::memset(y + static_cast<int64_t>(i0 + r) * n, 0,
+                    n * sizeof(float));
       }
-      for (int j = 0; j < n; ++j) {
-        yi[j] *= w.scales[j];
-        if (bias) yi[j] += bias[j];
+      if (rows == 4) {
+        float* y0 = y + static_cast<int64_t>(i0) * n;
+        float* y1 = y0 + n;
+        float* y2 = y1 + n;
+        float* y3 = y2 + n;
+        const float* x0 = x + static_cast<int64_t>(i0) * k;
+        for (int kk = 0; kk < k; ++kk) {
+          const float a0 = x0[kk], a1 = x0[k + kk];
+          const float a2 = x0[2 * k + kk], a3 = x0[3 * k + kk];
+          if (a0 == 0.0f && a1 == 0.0f && a2 == 0.0f && a3 == 0.0f) continue;
+          const int8_t* wr = wd + static_cast<int64_t>(kk) * n;
+          for (int j = 0; j < n; ++j) {
+            const float wv = static_cast<float>(wr[j]);
+            y0[j] += a0 * wv;
+            y1[j] += a1 * wv;
+            y2[j] += a2 * wv;
+            y3[j] += a3 * wv;
+          }
+        }
+      } else {
+        for (int r = 0; r < rows; ++r) {
+          float* yi = y + static_cast<int64_t>(i0 + r) * n;
+          const float* xi = x + static_cast<int64_t>(i0 + r) * k;
+          for (int kk = 0; kk < k; ++kk) {
+            const float xv = xi[kk];
+            if (xv == 0.0f) continue;
+            const int8_t* wr = wd + static_cast<int64_t>(kk) * n;
+            for (int j = 0; j < n; ++j) yi[j] += xv * static_cast<float>(wr[j]);
+          }
+        }
+      }
+      for (int r = 0; r < rows; ++r) {
+        float* yi = y + static_cast<int64_t>(i0 + r) * n;
+        for (int j = 0; j < n; ++j) {
+          yi[j] *= w.scales[j];
+          if (bias) yi[j] += bias[j];
+        }
       }
     }
   }
