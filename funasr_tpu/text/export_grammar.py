@@ -15,7 +15,7 @@ from __future__ import annotations
 import json
 from typing import Dict
 
-GRAMMAR_VERSION = 3
+GRAMMAR_VERSION = 4
 
 # spoken percent spans per language ("<number> <words>" -> "<number> %"; the
 # second spelling covers the cardinal pass already digitizing ciento/cent/trăm)
@@ -25,6 +25,50 @@ _PERCENT_WORDS = {
     "ru": ["процентов", "процента", "процент"], "id": ["persen"],
     "vi": ["phần trăm", "phần 100"], "ja": ["パーセント"], "ko": ["퍼센트"],
 }
+
+
+def _gen_ordinal_surfaces(code: str, up_to: int = 31) -> Dict[str, int]:
+    """Enumerate de/fr ordinal word surfaces for 1..up_to by inverting the
+    cardinal lexicon and appending the language's ordinal suffixes; each
+    candidate is validated through the host suffix-stripping parser so only
+    true surfaces (and the irregulars) are exported."""
+    from funasr_tpu.text import multilingual as ml
+    from funasr_tpu.text import multilingual_classes as mc
+
+    lex = ml._DE_LEX if code == "de" else ml._FR_LEX
+    value_fn = (mc._de_ordinal_value if code == "de"
+                else mc._fr_ordinal_value)
+    inv = {}
+    for w, v in {**lex.ones, **lex.tens}.items():
+        inv.setdefault(v, w)
+    cardinals: Dict[int, str] = {}
+    for n in range(1, up_to + 1):
+        if n in inv:
+            cardinals[n] = inv[n]
+        elif code == "de" and n > 20 and n % 10 in inv and (n // 10) * 10 in inv:
+            one = "ein" if n % 10 == 1 else inv[n % 10]
+            cardinals[n] = f"{one}und{inv[(n // 10) * 10]}"
+        elif code == "fr" and n > 20 and n % 10 in inv and (n // 10) * 10 in inv:
+            joiner = " et " if n % 10 == 1 else "-"
+            cardinals[n] = f"{inv[(n // 10) * 10]}{joiner}{inv[n % 10]}"
+    out: Dict[str, int] = {}
+    irregular = (mc._DE_ORD_IRREGULAR if code == "de"
+                 else mc._FR_ORD_IRREGULAR)
+    out.update(irregular)
+    suffixes = (("te", "ter", "ten", "tes", "ste", "ster", "sten", "stes")
+                if code == "de" else ("ième", "ièmes", "ieme", "iemes"))
+    for n, word in cardinals.items():
+        bases = [word]
+        if code == "fr":
+            bases += [word[:-1]] if word.endswith("e") else []
+            bases += [word + "u"] if word.endswith("q") else []  # cinq->cinqu
+            bases += [word[:-1] + "v"] if word.endswith("f") else []  # neuf
+        for base in bases:
+            for suf in suffixes:
+                cand = base + suf
+                if value_fn(cand) == n:
+                    out[cand] = n
+    return out
 
 
 def export_grammar(path: str | None = None) -> Dict:
@@ -73,8 +117,9 @@ def export_grammar(path: str | None = None) -> Dict:
                                "decimal", "percent"]}
     # class-rule specs (decimals/money/percent/ordinal lookups) from the
     # post-cardinal overlays — data-driven so the C++ interpreter can apply
-    # the same classes (times keep language-specific code and stay host-side)
-    from funasr_tpu.text.multilingual_classes import _CLASSES
+    # the same classes
+    from funasr_tpu.text.multilingual_classes import (_CLASSES, _TD_MAPS,
+                                                      TIMEDATE_RULES)
     for code, cls in _CLASSES.items():
         spec = {
             "decimal_words": list(cls.decimal_words),
@@ -84,17 +129,31 @@ def export_grammar(path: str | None = None) -> Dict:
             "percent_words": _PERCENT_WORDS.get(code, []),
         }
         if cls.ordinal_value is not None and code in ("es", "pt", "ru"):
-            # lookup-table ordinals serialize directly; de/fr use
-            # suffix-stripping code and stay host-side
             from funasr_tpu.text.multilingual_classes import (
                 _ES_ORDINALS, _PT_ORDINALS, _RU_ORDINALS)
             table = {"es": _ES_ORDINALS, "pt": _PT_ORDINALS,
                      "ru": _RU_ORDINALS}[code]
             spec["ordinals"] = {w: cls.ordinal_fmt(v) for w, v in table.items()}
+        elif cls.ordinal_value is not None and code in ("de", "fr"):
+            # de/fr ordinals are suffix-stripping code host-side; for the
+            # archive, enumerate day-range surfaces (1..31) by generating
+            # candidates and validating them back through the host parser —
+            # enough for the date rules the C++ interpreter applies
+            spec["ordinals"] = {
+                w: cls.ordinal_fmt(v)
+                for w, v in _gen_ordinal_surfaces(code).items()}
+        # v4: declarative time/date regex rules (Python-re ∩ ECMAScript
+        # dialect) + lookup maps — the C++ interpreter applies the SAME rules
+        # via std::regex (itn-grammar.cc ApplyTimedateRules)
+        spec["timedate_rules"] = [
+            {"pattern": p, "icase": bool(ic), "template": t}
+            for p, ic, t in TIMEDATE_RULES.get(code, [])]
         langs.setdefault(code, {"type": "classes_only"})["classes"] = spec
+    archive_maps = {name: dict(table) for name, table in _TD_MAPS.items()}
 
     archive = {"format": "funasr_tpu_itn_grammar",
-               "version": GRAMMAR_VERSION, "languages": langs}
+               "version": GRAMMAR_VERSION, "languages": langs,
+               "maps": archive_maps}
     if path:
         with open(path, "w", encoding="utf-8") as f:
             json.dump(archive, f, ensure_ascii=False, indent=1)

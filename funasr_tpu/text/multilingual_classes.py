@@ -182,6 +182,168 @@ _DE_MONTHS = {"januar": "Jan.", "februar": "Feb.", "märz": "März",
               "august": "Aug.", "september": "Sep.", "oktober": "Okt.",
               "november": "Nov.", "dezember": "Dez."}
 
+# ---------------------------------------------------------------------------
+# declarative time/date rules — the single source of truth shared with the
+# C++ grammar-archive interpreter (itn-grammar.cc applies the SAME rules via
+# std::regex, so patterns must stay in the Python-re ∩ ECMAScript dialect:
+# \b, \d, (?:...), {m,n}, alternation; byte-exact multibyte literals).
+#
+# Template language (render_template / C++ RenderTdTemplate):
+#   {N}          raw group text ("" if unmatched)
+#   {N:i}        int-parse (strips leading zeros)
+#   {N:02}       int-parse, zero-pad to 2
+#   {N:m1mod24}  (int-1) mod 24  ("halb zwölf" -> 11:30 style)
+#   {N:map:NAME} lookup in _TD_MAPS[NAME] (key lowercased)
+#   [ ... ]      segment emitted only if every group inside matched non-empty
+# ---------------------------------------------------------------------------
+
+_TD_MAPS: Dict[str, Dict[str, str]] = {
+    "de_months": _DE_MONTHS,
+    "ko_hours": {"한": "1", "두": "2", "세": "3", "네": "4", "다섯": "5",
+                 "여섯": "6", "일곱": "7", "여덟": "8", "아홉": "9",
+                 "열": "10", "열한": "11", "열두": "12"},
+    "ru_months": {"января": "января", "февраля": "февраля",
+                  "марта": "марта", "апреля": "апреля", "мая": "мая",
+                  "июня": "июня", "июля": "июля", "августа": "августа",
+                  "сентября": "сентября", "октября": "октября",
+                  "ноября": "ноября", "декабря": "декабря"},
+}
+
+_ES_MONTH_ALT = ("enero|febrero|marzo|abril|mayo|junio|julio|agosto|"
+                 "septiembre|octubre|noviembre|diciembre")
+_FR_MONTH_ALT = ("janvier|février|mars|avril|mai|juin|juillet|août|"
+                 "septembre|octobre|novembre|décembre")
+_PT_MONTH_ALT = ("janeiro|fevereiro|março|abril|maio|junho|julho|agosto|"
+                 "setembro|outubro|novembro|dezembro")
+_RU_MONTH_ALT = "|".join(_TD_MAPS["ru_months"])
+
+# lang -> [(pattern, icase, template), ...]; applied in order after the
+# ordinal/decimal/money passes
+TIMEDATE_RULES: Dict[str, list] = {
+    "de": [
+        # dreizehn uhr zehn -> 13:10 Uhr (de time verbalizer docstring)
+        (r"\b(\d{1,2}) uhr (\d{1,2})\b", True, "{1:i}:{2:02} Uhr"),
+        (r"\b(\d{1,2}) uhr\b", True, "{1} Uhr"),
+        (r"\bhalb (\d{1,2})\b", True, "{1:m1mod24}:30"),
+        # 24. juli 2013 -> 24. Juli 2013 (de date tagger: month abbreviated)
+        (r"\b(\d{1,2}\.) (" + "|".join(_DE_MONTHS) +
+         r")( \d{3,4})?(?=\s|$|[,.!?;:])", True, "{1} {2:map:de_months}{3}"),
+        (r"\b(\d+) prozent\b", True, "{1} %"),
+    ],
+    "es": [
+        (r"\b(\d{1,2}) y media\b", False, "{1:i}:30"),
+        (r"\b(\d{1,2}) y cuarto\b", False, "{1:i}:15"),
+        (r"\b(\d{1,2}) menos cuarto\b", False, "{1:m1mod24}:45"),
+        # las 3 40 -> las 3:40 (es time tagger "las tres cuarenta")
+        (r"\b(?:las|la) (\d{1,2}) (\d{2})\b", False, "las {1:i}:{2:02}"),
+        # "ciento" is a number word; cardinal pass may pre-digitize it
+        (r"\b(\d+) por (?:ciento|100)\b", False, "{1} %"),
+        # 24 de julio de(l) 2013 stays words+digits (es date verbalizer);
+        # normalize "primero de julio" handled by the ordinal pass
+    ],
+    "fr": [
+        (r"\b(\d{1,2}) heures? (\d{1,2})\b", True, "{1:i}h{2:02}"),
+        (r"\b(\d{1,2}) heures?\b", True, "{1}h"),
+        (r"\b(\d{1,2})h et quart\b", True, "{1}h15"),
+        (r"\b(\d{1,2})h et demie?\b", True, "{1}h30"),
+        (r"\b(\d+) pour (?:cent|100)\b", True, "{1} %"),
+    ],
+    "pt": [
+        (r"\b(\d{1,2}) horas? e (\d{1,2})\b", True, "{1:i}:{2:02}"),
+        (r"\b(\d{1,2}) e meia\b", True, "{1:i}:30"),
+        (r"\b(\d+) por (?:cento|100)\b", True, "{1} %"),
+    ],
+    # NOTE: patterns are shared with the C++ std::regex interpreter, which
+    # matches bytes — so no `?` on a multibyte char (spell the alternation
+    # out) and no trailing \b after non-ASCII (use an explicit lookahead).
+    "ru": [
+        (r"\b(\d{1,2}) (?:часов|часа|час) (\d{1,2}) "
+         r"(?:минуты|минуту|минут)(?=\s|$|[,.!?;:])", False, "{1:i}:{2:02}"),
+        (r"\b(\d+) (?:процентов|процента|процент)(?=\s|$|[,.!?;:])", False,
+         "{1} %"),
+        # 24 июля 2013 года — day/year already digits from the cardinal pass;
+        # the date rule pins the genitive month form (ru date tagger)
+        (r"\b(\d{1,2}) (" + _RU_MONTH_ALT + r") (\d{4}) года(?=\s|$|[,.!?;:])",
+         False, "{1} {2} {3} года"),
+    ],
+    "id": [
+        (r"\bjam (\d{1,2}) lewat (\d{1,2})\b", True, "{1:i}:{2:02}"),
+        (r"\bjam (\d{1,2})\b", True, "{1:i}:00"),
+        (r"\b(\d+) persen\b", True, "{1} %"),
+    ],
+    "vi": [
+        (r"\b(\d{1,2}) giờ (\d{1,2}) phút\b", True, "{1:i}:{2:02}"),
+        (r"\bngày (\d{1,2}) tháng (\d{1,2}) năm (\d{4})\b", True,
+         "ngày {1} tháng {2} năm {3}"),
+        (r"\b(\d+) phần (?:trăm|100)\b", True, "{1} %"),
+    ],
+    "ja": [
+        (r"(\d+)点(\d+)", False, "{1}.{2}"),
+        # 3時15分(20秒) -> 3:15(:20)
+        (r"(\d{1,2})時(\d{1,2})分(?:(\d{1,2})秒)?", False,
+         "{1:i}:{2:02}[:{3:02}]"),
+        # 2013年7月24日 -> digits flow from the cardinal pass; keep markers
+        (r"(\d+)パーセント", False, "{1}%"),
+    ],
+    "ko": [
+        (r"(\d+)점(\d+)", False, "{1}.{2}"),
+        # native-Korean hour words (한/두/세시...), minutes sino-Korean
+        (r"(한|두|세|네|다섯|여섯|일곱|여덟|아홉|열한|열두|열)시", False,
+         "{1:map:ko_hours}시"),
+        (r"(\d{1,2})시 ?(\d{1,2})분", False, "{1:i}:{2:02}"),
+        (r"(\d+)퍼센트", False, "{1}%"),
+    ],
+}
+
+
+def render_template(template: str, groups, maps: Dict[str, Dict[str, str]]
+                    ) -> str:
+    """Expand a time/date rule template against match groups (see the grammar
+    above; mirrored by itn-grammar.cc RenderTdTemplate)."""
+    out = []
+    i = 0
+    while i < len(template):
+        c = template[i]
+        if c == "[":
+            end = template.index("]", i)
+            seg = template[i + 1: end]
+            refs = re.findall(r"\{(\d+)", seg)
+            if all(groups[int(r) - 1] for r in refs):
+                out.append(render_template(seg, groups, maps))
+            i = end + 1
+        elif c == "{":
+            end = template.index("}", i)
+            spec = template[i + 1: end]
+            parts = spec.split(":")
+            g = groups[int(parts[0]) - 1] or ""
+            if len(parts) == 1:
+                out.append(g)
+            elif parts[1] == "i":
+                out.append(str(int(g)) if g else "")
+            elif parts[1] == "02":
+                out.append(f"{int(g):02d}" if g else "")
+            elif parts[1] == "m1mod24":
+                out.append(str((int(g) - 1) % 24) if g else "")
+            elif parts[1] == "map":
+                out.append(maps[parts[2]].get(g.lower(), g))
+            else:
+                out.append(g)
+            i = end + 1
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def _td_extras(lang: str) -> list:
+    """Compile the declarative rules into (compiled_pattern, repl) passes."""
+    rules = []
+    for pattern, icase, template in TIMEDATE_RULES.get(lang, []):
+        pat = re.compile(pattern, re.IGNORECASE if icase else 0)
+        rules.append((pat, (lambda t: lambda m: render_template(
+            t, m.groups(), _TD_MAPS))(template)))
+    return rules
+
 _CLASSES: Dict[str, LangClasses] = {
     "de": LangClasses(
         decimal_words=["komma"], decimal_mark=",",
@@ -189,22 +351,7 @@ _CLASSES: Dict[str, LangClasses] = {
                     "pfund": "£"},
         minor_units=["cent", "cents"],
         ordinal_value=_de_ordinal_value,
-        extra=[
-            # dreizehn uhr zehn -> 13:10 Uhr (de time verbalizer docstring)
-            (re.compile(r"\b(\d{1,2}) uhr (\d{1,2})\b", re.IGNORECASE),
-             lambda m: f"{int(m.group(1))}:{int(m.group(2)):02d} Uhr"),
-            (re.compile(r"\b(\d{1,2}) uhr\b", re.IGNORECASE),
-             lambda m: f"{m.group(1)} Uhr"),
-            # halb zwölf -> 11:30
-            (re.compile(r"\bhalb (\d{1,2})\b", re.IGNORECASE),
-             lambda m: f"{(int(m.group(1)) - 1) % 24}:30"),
-            # 24. juli 2013 -> 24. Juli 2013 (month canonicalized/abbreviated)
-            (re.compile(r"\b(\d{1,2}\.) (" + "|".join(_DE_MONTHS) +
-                        r")( \d{3,4})?\b", re.IGNORECASE),
-             lambda m: m.group(1) + " " + _DE_MONTHS[m.group(2).lower()]
-             + (m.group(3) or "")),
-            (re.compile(r"\b(\d+) prozent\b", re.IGNORECASE), r"\1 %"),
-        ]),
+        extra=_td_extras("de")),
     "es": LangClasses(
         decimal_words=["coma"], decimal_mark=",",
         currencies={"euro": "€", "euros": "€", "dólar": "$", "dólares": "$",
@@ -212,17 +359,7 @@ _CLASSES: Dict[str, LangClasses] = {
         minor_units=["céntimos", "centimos", "centavos"],
         ordinal_value=_lookup_ordinal(_ES_ORDINALS),
         ordinal_fmt=lambda n: f"{n}º",
-        extra=[
-            (re.compile(r"\b(\d{1,2}) y media\b"),
-             lambda m: f"{int(m.group(1))}:30"),
-            (re.compile(r"\b(\d{1,2}) y cuarto\b"),
-             lambda m: f"{int(m.group(1))}:15"),
-            (re.compile(r"\b(\d{1,2}) menos cuarto\b"),
-             lambda m: f"{(int(m.group(1)) - 1) % 24}:45"),
-            # "ciento" is itself a number word, so the cardinal pass may have
-            # already rewritten "por ciento" to "por 100"
-            (re.compile(r"\b(\d+) por (?:ciento|100)\b"), r"\1 %"),
-        ]),
+        extra=_td_extras("es")),
     "fr": LangClasses(
         decimal_words=["virgule"], decimal_mark=",",
         currencies={"euro": "€", "euros": "€", "dollar": "$", "dollars": "$",
@@ -230,15 +367,7 @@ _CLASSES: Dict[str, LangClasses] = {
         minor_units=["centimes", "centime"],
         ordinal_value=_fr_ordinal_value,
         ordinal_fmt=lambda n: "1er" if n == 1 else f"{n}e",
-        extra=[
-            (re.compile(r"\b(\d{1,2}) heures? (\d{1,2})\b", re.IGNORECASE),
-             lambda m: f"{int(m.group(1))}h{int(m.group(2)):02d}"),
-            (re.compile(r"\b(\d{1,2}) heures?\b", re.IGNORECASE),
-             lambda m: f"{m.group(1)}h"),
-            # "cent" is a number word, so the cardinal pass may emit "pour 100"
-            (re.compile(r"\b(\d+) pour (?:cent|100)\b", re.IGNORECASE),
-             r"\1 %"),
-        ]),
+        extra=_td_extras("fr")),
     "pt": LangClasses(
         decimal_words=["vírgula", "virgula"], decimal_mark=",",
         currencies={"real": "R$", "reais": "R$", "euro": "€", "euros": "€",
@@ -247,12 +376,7 @@ _CLASSES: Dict[str, LangClasses] = {
         minor_units=["centavos", "centavo"],
         ordinal_value=_lookup_ordinal(_PT_ORDINALS),
         ordinal_fmt=lambda n: f"{n}º",
-        extra=[
-            (re.compile(r"\b(\d{1,2}) horas? e (\d{1,2})\b", re.IGNORECASE),
-             lambda m: f"{int(m.group(1))}:{int(m.group(2)):02d}"),
-            (re.compile(r"\b(\d+) por (?:cento|100)\b", re.IGNORECASE),
-             r"\1 %"),
-        ]),
+        extra=_td_extras("pt")),
     "ru": LangClasses(
         decimal_words=["запятая", "целых", "целая"], decimal_mark=",",
         currencies={"рубль": "₽", "рубля": "₽", "рублей": "₽",
@@ -261,59 +385,22 @@ _CLASSES: Dict[str, LangClasses] = {
         minor_units=["копеек", "копейки", "копейка"],
         ordinal_value=_lookup_ordinal(_RU_ORDINALS),
         ordinal_fmt=lambda n: f"{n}-й",
-        extra=[
-            (re.compile(r"\b(\d{1,2}) часов? (\d{1,2}) минуты?\b"),
-             lambda m: f"{int(m.group(1))}:{int(m.group(2)):02d}"),
-            (re.compile(r"\b(\d+) процентов?\b"), r"\1 %"),
-            (re.compile(r"\b(\d+) процента\b"), r"\1 %"),
-        ]),
+        extra=_td_extras("ru")),
     "id": LangClasses(
         decimal_words=["koma"], decimal_mark=",",
         currencies={"rupiah": "Rp", "dolar": "$"},
-        extra=[
-            (re.compile(r"\bjam (\d{1,2}) lewat (\d{1,2})\b", re.IGNORECASE),
-             lambda m: f"{int(m.group(1))}:{int(m.group(2)):02d}"),
-            (re.compile(r"\b(\d+) persen\b", re.IGNORECASE), r"\1 %"),
-        ]),
+        extra=_td_extras("id")),
     "vi": LangClasses(
         decimal_words=["phẩy", "phay"], decimal_mark=",",
         currencies={"đồng": "₫", "dong": "₫", "đô la": "$"},
-        extra=[
-            (re.compile(r"\b(\d{1,2}) giờ (\d{1,2}) phút\b", re.IGNORECASE),
-             lambda m: f"{int(m.group(1))}:{int(m.group(2)):02d}"),
-            # "trăm" (100) may already be digits after the cardinal pass
-            (re.compile(r"\b(\d+) phần (?:trăm|100)\b", re.IGNORECASE),
-             r"\1 %"),
-        ]),
+        extra=_td_extras("vi")),
     "ja": LangClasses(
         decimal_words=["点"], decimal_mark=".",
-        extra=[
-            # 3時15分(20秒) -> 3:15(:20)
-            (re.compile(r"(\d{1,2})時(\d{1,2})分(?:(\d{1,2})秒)?"),
-             lambda m: f"{int(m.group(1))}:{int(m.group(2)):02d}"
-             + (f":{int(m.group(3)):02d}" if m.group(3) else "")),
-            (re.compile(r"(\d+)パーセント"), r"\1%"),
-            (re.compile(r"(\d+)円"), r"\1円"),
-        ]),
+        extra=_td_extras("ja")),
     "ko": LangClasses(
         decimal_words=["점"], decimal_mark=".",
-        extra=[
-            # hours use native-Korean numerals (한/두/세시...), minutes sino
-            (re.compile(r"(한|두|세|네|다섯|여섯|일곱|여덟|아홉|열한|열두|열)시"),
-             lambda m: str({"한": 1, "두": 2, "세": 3, "네": 4, "다섯": 5,
-                            "여섯": 6, "일곱": 7, "여덟": 8, "아홉": 9,
-                            "열": 10, "열한": 11, "열두": 12}[m.group(1)])
-             + "시"),
-            (re.compile(r"(\d{1,2})시 ?(\d{1,2})분"),
-             lambda m: f"{int(m.group(1))}:{int(m.group(2)):02d}"),
-            (re.compile(r"(\d+)퍼센트"), r"\1%"),
-        ]),
+        extra=_td_extras("ko")),
 }
-
-# "점"/"点" decimal words attach without spaces in CJK; add no-space variants
-for _lang, _sep in (("ja", "点"), ("ko", "점")):
-    _CLASSES[_lang].extra.insert(
-        0, (re.compile(rf"(\d+){_sep}(\d+)"), r"\1.\2"))
 
 
 def apply_classes(lang: str, text: str) -> str:

@@ -116,8 +116,12 @@ struct JsonParser {
     } else if (s.compare(i, 4, "null") == 0) {
       i += 4;
     } else if (s.compare(i, 4, "true") == 0) {
+      v.kind = JsonValue::kNumber;
+      v.num = 1;
       i += 4;
     } else if (s.compare(i, 5, "false") == 0) {
+      v.kind = JsonValue::kNumber;
+      v.num = 0;
       i += 5;
     } else {
       ok = false;
@@ -626,10 +630,129 @@ bool ItnGrammar::LoadString(const std::string& json) {
       };
       lex.currencies = smap("currencies");
       lex.ordinals = smap("ordinals");
+      // v4: declarative time/date regex rules
+      auto td = c.find("timedate_rules");
+      if (td != c.end() && td->second.kind == JsonValue::kArray) {
+        for (const auto& r : td->second.arr) {
+          auto pat = r.obj.find("pattern");
+          auto tpl = r.obj.find("template");
+          auto ic = r.obj.find("icase");
+          if (pat == r.obj.end() || tpl == r.obj.end()) continue;
+          auto flags = std::regex::ECMAScript;
+          if (ic != r.obj.end() && ic->second.num) flags |= std::regex::icase;
+          try {
+            lex.timedate_rules.push_back(
+                {std::regex(pat->second.str, flags), tpl->second.str});
+          } catch (const std::regex_error&) {
+            // a dialect mismatch must not take the whole archive down
+          }
+        }
+      }
     }
     langs_[kv.first] = std::move(lex);
   }
+  auto maps = root.obj.find("maps");
+  if (maps != root.obj.end() && maps->second.kind == JsonValue::kObject) {
+    for (const auto& m : maps->second.obj) {
+      for (const auto& e : m.second.obj) maps_[m.first][e.first] = e.second.str;
+    }
+  }
   return !langs_.empty();
+}
+
+namespace {
+
+// render_template's grammar (multilingual_classes.py): {N} raw, {N:i} int,
+// {N:02} zero-pad-2, {N:m1mod24} (n-1)%24, {N:map:NAME} lookup, [...] emitted
+// only if every group inside matched non-empty.
+std::string RenderTdTemplate(
+    const std::string& tmpl, const std::smatch& m,
+    const std::map<std::string, std::map<std::string, std::string>>& maps) {
+  std::string out;
+  size_t i = 0;
+  auto group = [&](int n) -> std::string {
+    return n < static_cast<int>(m.size()) && m[n].matched ? m[n].str() : "";
+  };
+  while (i < tmpl.size()) {
+    const char c = tmpl[i];
+    if (c == '[') {
+      const size_t end = tmpl.find(']', i);
+      if (end == std::string::npos) break;
+      const std::string seg = tmpl.substr(i + 1, end - i - 1);
+      bool all = true;
+      for (size_t j = 0; j + 1 < seg.size(); ++j) {
+        if (seg[j] == '{' && std::isdigit(seg[j + 1])) {
+          if (group(std::atoi(seg.c_str() + j + 1)).empty()) all = false;
+        }
+      }
+      if (all) out += RenderTdTemplate(seg, m, maps);
+      i = end + 1;
+    } else if (c == '{') {
+      const size_t end = tmpl.find('}', i);
+      if (end == std::string::npos) break;
+      const std::string spec = tmpl.substr(i + 1, end - i - 1);
+      const size_t colon = spec.find(':');
+      const int n = std::atoi(spec.c_str());
+      const std::string g = group(n);
+      if (colon == std::string::npos) {
+        out += g;
+      } else {
+        const std::string op = spec.substr(colon + 1);
+        if (op == "i") {
+          out += g.empty() ? "" : std::to_string(std::atoll(g.c_str()));
+        } else if (op == "02") {
+          if (!g.empty()) {
+            const long long v = std::atoll(g.c_str());
+            if (v < 10) out += "0";
+            out += std::to_string(v);
+          }
+        } else if (op == "m1mod24") {
+          if (!g.empty()) {
+            out += std::to_string(((std::atoll(g.c_str()) - 1) % 24 + 24) % 24);
+          }
+        } else if (op.compare(0, 4, "map:") == 0) {
+          std::string key = g;
+          for (char& ch : key) ch = std::tolower(static_cast<unsigned char>(ch));
+          auto mit = maps.find(op.substr(4));
+          if (mit != maps.end()) {
+            auto e = mit->second.find(key);
+            out += e != mit->second.end() ? e->second : g;
+          } else {
+            out += g;
+          }
+        } else {
+          out += g;
+        }
+      }
+      i = end + 1;
+    } else {
+      out += c;
+      ++i;
+    }
+  }
+  return out;
+}
+
+}  // namespace
+
+std::string ItnGrammar::ApplyTimedateRules(const ItnLexicon& lex,
+                                           const std::string& text) const {
+  std::string out = text;
+  for (const auto& rule : lex.timedate_rules) {
+    std::string next;
+    auto begin = std::sregex_iterator(out.begin(), out.end(), rule.pattern);
+    auto end = std::sregex_iterator();
+    size_t last = 0;
+    for (auto it = begin; it != end; ++it) {
+      const std::smatch& m = *it;
+      next += out.substr(last, m.position(0) - last);
+      next += RenderTdTemplate(rule.tmpl, m, maps_);
+      last = m.position(0) + m.length(0);
+    }
+    next += out.substr(last);
+    out = std::move(next);
+  }
+  return out;
 }
 
 std::string ItnGrammar::Apply(const std::string& lang,
@@ -639,6 +762,7 @@ std::string ItnGrammar::Apply(const std::string& lang,
   const ItnLexicon& lex = it->second;
   std::string out = lex.cjk ? CjkItn(lex, text) : WordItn(lex, text);
   out = lex.cjk ? ApplyCjkClasses(lex, out) : ApplyWordClasses(lex, out);
+  out = ApplyTimedateRules(lex, out);
   return out;
 }
 

@@ -9,11 +9,20 @@
 #define FUNASR_TPU_ITN_GRAMMAR_H_
 
 #include <map>
+#include <regex>
 #include <set>
 #include <string>
 #include <vector>
 
 namespace funasr_tpu {
+
+// Declarative time/date rule (multilingual_classes.py TIMEDATE_RULES):
+// applied after the cardinal + class passes; pattern is in the Python-re ∩
+// ECMAScript dialect, template per render_template's grammar.
+struct TimedateRule {
+  std::regex pattern;
+  std::string tmpl;
+};
 
 struct ItnLexicon {
   bool cjk = false;
@@ -25,10 +34,12 @@ struct ItnLexicon {
   std::map<std::string, long long> digits, units, big;
   std::set<std::string> cjk_chars;
   // post-cardinal class rules (multilingual_classes.py LangClasses, exported
-  // as data; times keep language-specific code and stay host-side)
+  // as data)
   std::vector<std::string> decimal_words, minor_units, percent_words;
   std::string decimal_mark = ",";
   std::map<std::string, std::string> currencies, ordinals;
+  // v4 archives: time/date regex rules shared verbatim with Python
+  std::vector<TimedateRule> timedate_rules;
 };
 
 class ItnGrammar {
@@ -46,6 +57,11 @@ class ItnGrammar {
 
  private:
   std::map<std::string, ItnLexicon> langs_;
+  // template lookup tables (archive "maps": de_months, ko_hours, ...)
+  std::map<std::string, std::map<std::string, std::string>> maps_;
+
+  std::string ApplyTimedateRules(const ItnLexicon& lex,
+                                 const std::string& text) const;
 };
 
 }  // namespace funasr_tpu

@@ -122,3 +122,24 @@ def test_langchain_tool_transcribes(tmp_path, tmp_path_factory):
     assert isinstance(out, str)
     spec = tool.as_openai_function()
     assert spec["function"]["name"] == "transcribe_audio"
+
+
+@pytest.mark.parametrize("tool,args,reason", [
+    ("go", ["build", "-o", "/dev/null", "."], "golang"),
+    ("javac", ["-d", None, "FunasrTpuWsClient.java"], "java"),
+    ("kotlinc", ["-help"], "android"),
+])
+def test_client_compiles_when_toolchain_present(tool, args, reason, tmp_path):
+    """Build (not just grep) each non-Python client whenever its toolchain is
+    installed; absent toolchains skip with the exact binary named, so the gap
+    is visible in the test report rather than silent."""
+    import shutil
+    import subprocess
+
+    if shutil.which(tool) is None:
+        pytest.skip(f"toolchain '{tool}' not installed in this image")
+    srcdir = CLIENTS / reason
+    argv = [tool] + [str(tmp_path) if a is None else a for a in args]
+    r = subprocess.run(argv, cwd=srcdir, capture_output=True, text=True,
+                       timeout=300)
+    assert r.returncode == 0, r.stdout + r.stderr
