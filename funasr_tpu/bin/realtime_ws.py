@@ -1,10 +1,28 @@
 """Realtime streaming ASR WebSocket server (the modern service).
 
-TPU-native rebuild of FunASR ``funasr/bin/realtime_ws.py`` (1261 LoC): endpoints via
-DynamicStreamingVAD (server mode) or client STOP/COMMIT control messages; interim
-partial decodes every ``decode_interval`` over a sliding ``partial_window_sec``
-window; final decode + punctuation on endpoint; ``HOTWORDS:`` /
-``POSTPROCESS_HOTWORDS:`` control messages; HybridSpeakerTracker online diarization.
+TPU-native rebuild of FunASR ``funasr/bin/realtime_ws.py`` (1261 LoC):
+
+* **endpoint modes** (ref ``:450-460, :980-999``): ``server`` — utterances end
+  on DynamicStreamingVAD endpoints; ``client`` — no server VAD, the client's
+  ``COMMIT`` message finalizes the pending utterance while the session stays
+  open (``commit()``, ref ``:676-695``). Selected by ``--endpoint-mode`` or a
+  per-session config frame ``{"endpoint_mode": ...}``.
+* **audio-driven decode cadence** (ref ``should_decode :604-607``): the first
+  partial fires after ``first_chunk_ms`` (480 ms) of audio, then one per
+  ``chunk_ms`` (960 ms) of NEW audio — wall-clock timers would decode silence.
+* **throttling under load** (the partial path must never build a backlog): a
+  partial decode already in flight causes later cadence points to be skipped,
+  not queued; the next partial naturally covers the newer audio. Finals are
+  never skipped.
+* **bounded partial windows** (ref ``:463-477``): interim decodes re-encode at
+  most the last ``partial_window_sec`` so a long un-endpointed segment costs
+  O(L), not O(L²); finals always decode the full utterance.
+* **partial stability** (ref ``_record_partial_text :548-601``): consecutive
+  partials with the same normalized text bump a ``stable`` counter clients can
+  use to lock display text early.
+* ``HOTWORDS:`` / ``POSTPROCESS_HOTWORDS:`` control messages, ``STOP``,
+  HybridSpeakerTracker online diarization, forced finalize at
+  ``max_utterance_sec`` (memory bound for endpoint-less streams).
 
 Runs on the stdlib websocket implementation.
 """
@@ -15,8 +33,8 @@ import argparse
 import asyncio
 import json
 import logging
-import time
-from typing import Dict, List, Optional
+import re
+from typing import List, Optional
 
 import numpy as np
 
@@ -25,15 +43,23 @@ from funasr_tpu.serving.ws_protocol import ConnectionClosed, serve
 logger = logging.getLogger("realtime_ws")
 
 
+def _normalize_transcript(text: str) -> str:
+    """Whitespace/punctuation-insensitive form for stability comparison
+    (ref _normalize_transcript role)."""
+    return re.sub(r"[\s,，。.!?！？、;；:：]+", "", text).lower()
+
+
 class HybridSpeakerTracker:
     """Online diarization: per-utterance speaker embedding matched to running
     centroids by cosine; new speakers spawn when below threshold
     (role of reference ``realtime_ws.py:203-250``)."""
 
-    def __init__(self, spk_model=None, spk_params=None, threshold: float = 0.6):
+    def __init__(self, spk_model=None, spk_params=None, threshold: float = 0.6,
+                 max_speakers: int = 16):
         self.model = spk_model
         self.params = spk_params
         self.threshold = threshold
+        self.max_speakers = max_speakers
         self.centroids: List[np.ndarray] = []
         self.counts: List[int] = []
 
@@ -48,7 +74,8 @@ class HybridSpeakerTracker:
             sim = float(emb @ c)
             if sim > best_sim:
                 best, best_sim = i, sim
-        if best >= 0 and best_sim >= self.threshold:
+        if best >= 0 and (best_sim >= self.threshold
+                          or len(self.centroids) >= self.max_speakers):
             n = self.counts[best]
             self.centroids[best] = (self.centroids[best] * n + emb) / (n + 1)
             self.centroids[best] /= np.linalg.norm(self.centroids[best]) + 1e-9
@@ -58,32 +85,57 @@ class HybridSpeakerTracker:
         self.counts.append(1)
         return len(self.centroids) - 1
 
+    def stats(self) -> dict:
+        return {"speaker_centers": len(self.centroids),
+                "speaker_center_limit": self.max_speakers}
+
 
 class RealtimeSession:
     def __init__(self, server, endpoint_mode: str = "server"):
+        if endpoint_mode not in ("server", "client"):
+            raise ValueError(f"unsupported endpoint mode: {endpoint_mode}")
         self.server = server
         self.endpoint_mode = endpoint_mode
         self.audio = np.zeros((0,), np.float32)   # current utterance
         self.total_samples = 0
         self.last_decode_samples = 0
+        self.first_decode_done = False
         self.hotword: Optional[str] = None
         self.postprocess_hotwords: Optional[str] = None
-        self.vad = server.make_vad() if endpoint_mode == "server" else None
+        self.vad = (server.make_vad() if endpoint_mode == "server" else None)
         self.utt_index = 0
         self.start_ms = 0
+        # partial stability tracking
+        self.last_partial_norm = ""
+        self.partial_stable_count = 0
+        # in-flight partial decode guard (throttle, never a backlog)
+        self.partial_busy = False
 
 
 class RealtimeWSServer:
     def __init__(self, asr_model, vad_model=None, spk_model=None,
-                 decode_interval: float = 0.6, partial_window_sec: float = 15.0,
-                 sample_rate: int = 16000):
+                 chunk_ms: int = 960, first_chunk_ms: int = 480,
+                 partial_window_sec: float = 15.0,
+                 max_utterance_sec: float = 300.0,
+                 endpoint_mode: str = "server",
+                 sample_rate: int = 16000,
+                 decode_interval: Optional[float] = None):
         self.asr = asr_model  # AutoModel (offline, may include punc)
         self.vad_model = vad_model
         self.spk_tracker_factory = (
             (lambda: HybridSpeakerTracker(spk_model.model, spk_model.model_params))
             if spk_model is not None else (lambda: None))
-        self.decode_interval = decode_interval
+        # back-compat: a wall-clock decode_interval maps onto the audio cadence
+        if decode_interval is not None:
+            chunk_ms = int(decode_interval * 1000)
+        self.chunk_samples = max(int(sample_rate * chunk_ms / 1000), 1)
+        self.first_chunk_samples = max(
+            int(sample_rate * first_chunk_ms / 1000), 1)
         self.partial_window = int(partial_window_sec * sample_rate)
+        self.max_utterance_samples = int(max_utterance_sec * sample_rate)
+        self.default_endpoint_mode = (endpoint_mode
+                                      if self.vad_model is not None
+                                      else "client")
         self.sample_rate = sample_rate
 
     def make_vad(self):
@@ -95,50 +147,34 @@ class RealtimeWSServer:
 
     # ------------------------------------------------------------------
 
-    def _decode(self, audio: np.ndarray, hotword=None, final=False) -> str:
+    def _decode(self, audio: np.ndarray, hotword=None, **cfg) -> str:
         if len(audio) < 800:
             return ""
-        kwargs = {}
+        kwargs = dict(cfg)
         if hotword:
             kwargs["hotword"] = hotword
         res = self.asr.generate(input=audio, **kwargs)
         return res[0]["text"] if res else ""
 
+    def _should_decode(self, sess: RealtimeSession) -> bool:
+        """Audio-driven cadence (ref should_decode): 480 ms to the first
+        partial, then every 960 ms of fresh audio."""
+        threshold = (self.chunk_samples if sess.first_decode_done
+                     else self.first_chunk_samples)
+        return sess.total_samples - sess.last_decode_samples >= threshold
+
     async def handle(self, ws):
-        sess = RealtimeSession(self, endpoint_mode="server"
-                               if self.vad_model is not None else "client")
+        sess = RealtimeSession(self, self.default_endpoint_mode)
         tracker = self.spk_tracker_factory()
         loop = asyncio.get_event_loop()
-        last_partial = time.monotonic()
         while True:
             try:
                 msg = await ws.recv()
             except ConnectionClosed:
                 break
             if isinstance(msg, str):
-                stripped = msg.strip()
-                if stripped.upper().startswith("STOP"):
-                    await self._finalize(ws, sess, tracker, loop)
+                if not await self._handle_control(ws, sess, tracker, loop, msg):
                     break
-                if stripped.upper().startswith("COMMIT"):
-                    if sess.endpoint_mode != "client":
-                        await ws.send(json.dumps({"error":
-                                                  "COMMIT requires client mode"}))
-                        continue
-                    await self._finalize(ws, sess, tracker, loop)
-                    continue
-                if stripped.startswith("HOTWORDS:"):
-                    sess.hotword = stripped[len("HOTWORDS:"):].strip() or None
-                    continue
-                if stripped.startswith("POSTPROCESS_HOTWORDS:"):
-                    sess.postprocess_hotwords = \
-                        stripped[len("POSTPROCESS_HOTWORDS:"):].strip() or None
-                    continue
-                try:
-                    cfg = json.loads(stripped)
-                    sess.hotword = cfg.get("hotwords", sess.hotword)
-                except json.JSONDecodeError:
-                    pass
                 continue
 
             pcm = np.frombuffer(msg, np.int16).astype(np.float32) / 32768.0
@@ -150,37 +186,97 @@ class RealtimeWSServer:
                 for ev in sess.vad.feed(pcm):
                     if ev[1] != -1:  # endpoint
                         await self._finalize(ws, sess, tracker, loop)
+            # memory/latency bound for endpoint-less streams
+            if len(sess.audio) >= self.max_utterance_samples:
+                logger.warning("utterance exceeded %ds; forcing finalize",
+                               self.max_utterance_samples // self.sample_rate)
+                await self._finalize(ws, sess, tracker, loop)
 
-            # interim partial decode
-            now = time.monotonic()
-            if now - last_partial >= self.decode_interval and len(sess.audio):
-                last_partial = now
-                window = sess.audio[-self.partial_window:] \
-                    if self.partial_window else sess.audio
-                text = await loop.run_in_executor(
-                    None, self._decode, window, sess.hotword, False)
+            # interim partial decode: audio-driven cadence, skipped (not
+            # queued) while a previous partial is still decoding
+            if (self._should_decode(sess) and len(sess.audio)
+                    and not sess.partial_busy):
+                sess.last_decode_samples = sess.total_samples
+                sess.partial_busy = True
+                try:
+                    window = (sess.audio[-self.partial_window:]
+                              if self.partial_window else sess.audio)
+                    text = await loop.run_in_executor(
+                        None, lambda w=window: self._decode(w, sess.hotword))
+                finally:
+                    sess.partial_busy = False
                 if text:
+                    sess.first_decode_done = True
+                    norm = _normalize_transcript(text)
+                    if norm and norm == sess.last_partial_norm:
+                        sess.partial_stable_count += 1
+                    else:
+                        sess.partial_stable_count = 1
+                    sess.last_partial_norm = norm
                     await ws.send(json.dumps(
                         {"type": "partial", "text": text,
-                         "utt": sess.utt_index, "is_final": False},
-                        ensure_ascii=False))
+                         "utt": sess.utt_index,
+                         "stable": sess.partial_stable_count,
+                         "is_final": False}, ensure_ascii=False))
+
+    async def _handle_control(self, ws, sess, tracker, loop, msg) -> bool:
+        """Returns False when the session should close."""
+        stripped = msg.strip()
+        if stripped.upper().startswith("STOP"):
+            await self._finalize(ws, sess, tracker, loop)
+            return False
+        if stripped.upper().startswith("COMMIT"):
+            # client-delimited endpoint: finalize the pending utterance,
+            # keep the session open (ref commit():676-695)
+            if sess.endpoint_mode != "client":
+                await ws.send(json.dumps(
+                    {"error": "COMMIT requires endpoint_mode=client"}))
+                return True
+            await self._finalize(ws, sess, tracker, loop)
+            return True
+        if stripped.startswith("HOTWORDS:"):
+            sess.hotword = stripped[len("HOTWORDS:"):].strip() or None
+            return True
+        if stripped.startswith("POSTPROCESS_HOTWORDS:"):
+            sess.postprocess_hotwords = \
+                stripped[len("POSTPROCESS_HOTWORDS:"):].strip() or None
+            return True
+        try:
+            cfg = json.loads(stripped)
+        except json.JSONDecodeError:
+            return True
+        sess.hotword = cfg.get("hotwords", sess.hotword)
+        mode = cfg.get("endpoint_mode")
+        if mode:
+            try:
+                sess.endpoint_mode = mode
+                if mode == "client":
+                    sess.vad = None
+                elif sess.vad is None:
+                    sess.vad = self.make_vad()
+            except ValueError as exc:
+                await ws.send(json.dumps({"error": str(exc)}))
+        return True
 
     async def _finalize(self, ws, sess, tracker, loop):
         audio = sess.audio
         sess.audio = np.zeros((0,), np.float32)
+        sess.last_decode_samples = sess.total_samples
+        sess.first_decode_done = False
+        sess.last_partial_norm = ""
+        sess.partial_stable_count = 0
         if len(audio) < 800:
             return
         cfg = {}
         if sess.postprocess_hotwords:
             cfg["postprocess_hotwords"] = sess.postprocess_hotwords
         text = await loop.run_in_executor(
-            None, lambda: (self.asr.generate(
-                input=audio, hotword=sess.hotword, **cfg) or [{}])[0].get(
-                    "text", ""))
+            None, lambda: self._decode(audio, sess.hotword, **cfg))
         spk = tracker.assign(audio) if tracker is not None else None
         end_ms = sess.total_samples * 1000 // self.sample_rate
         payload = {"type": "final", "text": text, "utt": sess.utt_index,
-                   "start_ms": sess.start_ms, "end_ms": end_ms, "is_final": True}
+                   "start_ms": sess.start_ms, "end_ms": end_ms,
+                   "is_final": True}
         if spk is not None:
             payload["spk"] = int(spk)
         sess.start_ms = end_ms
@@ -196,8 +292,16 @@ def main_cli():
     parser.add_argument("--vad-model", default=None)
     parser.add_argument("--punc-model", default=None)
     parser.add_argument("--spk-model", default=None)
-    parser.add_argument("--decode-interval", type=float, default=0.6)
+    parser.add_argument("--endpoint-mode", default="server",
+                        choices=["server", "client"],
+                        help="server: VAD endpoints; client: COMMIT messages "
+                             "delimit utterances (no server VAD)")
+    parser.add_argument("--chunk-ms", type=int, default=960,
+                        help="fresh audio per interim partial decode")
+    parser.add_argument("--first-chunk-ms", type=int, default=480,
+                        help="audio before the first partial decode")
     parser.add_argument("--partial-window-sec", type=float, default=15.0)
+    parser.add_argument("--max-utterance-sec", type=float, default=300.0)
     args = parser.parse_args()
     logging.basicConfig(level=logging.INFO)
 
@@ -209,12 +313,16 @@ def main_cli():
     spk = AutoModel(model=args.spk_model,
                     disable_pbar=True) if args.spk_model else None
     server = RealtimeWSServer(asr, vad_model=vad, spk_model=spk,
-                              decode_interval=args.decode_interval,
-                              partial_window_sec=args.partial_window_sec)
+                              chunk_ms=args.chunk_ms,
+                              first_chunk_ms=args.first_chunk_ms,
+                              partial_window_sec=args.partial_window_sec,
+                              max_utterance_sec=args.max_utterance_sec,
+                              endpoint_mode=args.endpoint_mode)
 
     async def run():
         srv = await serve(server.handle, args.host, args.port)
-        logger.info("realtime ws server on %s:%d", args.host, args.port)
+        logger.info("realtime ws server on %s:%d (endpoint_mode=%s)",
+                    args.host, args.port, server.default_endpoint_mode)
         async with srv:
             await srv.serve_forever()
 

@@ -35,6 +35,14 @@ def _load_lib(lib_path: Optional[str] = None):
     lib.FunOfflineInfer.restype = ctypes.c_void_p
     lib.FunOfflineInfer.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
                                     ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    lib.FunOfflineInferHotword.restype = ctypes.c_void_p
+    lib.FunOfflineInferHotword.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                           ctypes.c_int, ctypes.c_int,
+                                           ctypes.c_int, ctypes.c_void_p]
+    lib.FunASRHotwordCompile.restype = ctypes.c_void_p
+    lib.FunASRHotwordCompile.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
+                                         ctypes.c_float]
+    lib.FunASRHotwordFree.argtypes = [ctypes.c_void_p]
     lib.FunASRGetResult.restype = ctypes.c_char_p
     lib.FunASRGetResult.argtypes = [ctypes.c_void_p, ctypes.c_int]
     lib.FunASRGetStamp.restype = ctypes.c_char_p
@@ -95,15 +103,33 @@ class _Handle:
 
 class Paraformer(_Handle):
     """Offline ASR (funasr_onnx ``Paraformer`` role): also serves SenseVoice
-    exports — FunASRInit picks the engine from the weights.ftr meta."""
+    exports — FunASRInit picks the engine from the weights.ftr meta. A
+    ``hotword="word1 word2"`` kwarg biases the greedy decode through the
+    compiled trie (reference CompileHotwordEmbedding/wfst-decoder role)."""
+
+    def __init__(self, model_dir: str, **kwargs):
+        super().__init__(model_dir, **kwargs)
+        self._tokens_file = os.path.join(str(model_dir), "tokens.txt")
+        self._hw_cache = {}
+
+    def _trie(self, hotword: str, boost: float):
+        key = (hotword, boost)
+        if key not in self._hw_cache:
+            self._hw_cache[key] = self.lib.FunASRHotwordCompile(
+                hotword.encode(), self._tokens_file.encode(),
+                ctypes.c_float(boost))
+        return self._hw_cache[key]
 
     def __call__(self, wav_content: Union[str, bytes, List], fs: int = 16000,
+                 hotword: Optional[str] = None, hotword_boost: float = 3.0,
                  **kwargs) -> List[dict]:
         items = wav_content if isinstance(wav_content, list) else [wav_content]
+        trie = self._trie(hotword, hotword_boost) if hotword else None
         results = []
         for item in items:
             data = _read_audio(item)
-            res = self.lib.FunOfflineInfer(self.handle, data, len(data), 0, fs)
+            res = self.lib.FunOfflineInferHotword(self.handle, data, len(data),
+                                                  0, fs, trie)
             out = {"preds": ""}
             if res:
                 text = self.lib.FunASRGetResult(res, 0)

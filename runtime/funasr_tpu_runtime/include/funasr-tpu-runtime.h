@@ -173,6 +173,12 @@ void FunASRITNFree(char* s);
  * prefix trie with incremental boosts instead of openfst bias LM). Compile
  * from a space-separated hotword string + tokens file; Step advances the
  * decode-time state, accumulating the score delta. */
+/* Offline inference with contextual hotword biasing: the greedy decode adds
+ * the trie's incremental boosts to the logits (wfst-decoder/bias-lm role);
+ * trie from FunASRHotwordCompile, shareable across calls/threads. */
+FUNASR_RESULT FunOfflineInferHotword(FUNASR_HANDLE handle, const char* data,
+                                     int data_len, FUNASR_MODE mode,
+                                     int sampling_rate, void* hotword_trie);
 void* FunASRHotwordCompile(const char* hotwords, const char* tokens_file,
                            float boost);
 int FunASRHotwordStep(void* trie, int state, int token, float* delta);

@@ -118,6 +118,31 @@ int HotwordTrie::Step(int state, int token, float* delta) const {
   return 0;
 }
 
+void HotwordTrie::Candidates(int state,
+                             std::vector<std::pair<int, float>>* out) const {
+  if (!built_) const_cast<HotwordTrie*>(this)->Build();
+  if (state < 0 || state >= static_cast<int>(nodes_.size())) state = 0;
+  out->clear();
+  // walk the failure chain: transitions available from `state` (deepest
+  // match wins; shallower duplicates are skipped)
+  std::map<int, float> best;
+  int node = state;
+  float fall_refund = 0.0f;
+  while (true) {
+    for (const auto& kv : nodes_[node].next) {
+      if (best.count(kv.first)) continue;
+      const float delta =
+          fall_refund + nodes_[kv.second].accum - nodes_[node].accum;
+      if (delta > 0.0f) best[kv.first] = delta;
+    }
+    if (node == 0) break;
+    const int f = nodes_[node].fail;
+    fall_refund += nodes_[f].accum - nodes_[node].accum;
+    node = f;
+  }
+  out->assign(best.begin(), best.end());
+}
+
 // ---- C API -------------------------------------------------------------------
 
 extern "C" {

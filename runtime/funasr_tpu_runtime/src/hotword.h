@@ -45,7 +45,16 @@ class HotwordTrie {
   // accumulated partial bonus on falling back (suffix overlap is kept).
   int Step(int state, int token, float* delta) const;
 
+  // Tokens whose Step() from `state` earns a positive delta, with that delta
+  // (children of the state plus fresh hotword starts from the root). This is
+  // what a greedy decoder adds to the logits before the argmax — the
+  // lattice-free counterpart of the reference wfst-decoder's per-frame
+  // bias-LM weights (bias-lm.cpp fst_inc_wts_).
+  void Candidates(int state,
+                  std::vector<std::pair<int, float>>* out) const;
+
   int NumStates() const { return static_cast<int>(nodes_.size()); }
+  bool empty() const { return nodes_.size() <= 1; }
 
  private:
   struct Node {

@@ -19,6 +19,7 @@
 #include "../include/funasr-tpu-runtime.h"
 #include "audio.h"
 #include "fbank.h"
+#include "hotword.h"
 #include "itn-grammar.h"
 #include "paraformer-engine.h"
 #include "vadx.h"
@@ -161,9 +162,9 @@ FUNASR_RESULT FunFrontendExtract(FUNASR_HANDLE handle, const char* data,
   return r;
 }
 
-FUNASR_RESULT FunOfflineInfer(FUNASR_HANDLE handle, const char* data,
-                              int data_len, FUNASR_MODE /*mode*/,
-                              int sampling_rate) {
+FUNASR_RESULT FunOfflineInferHotword(FUNASR_HANDLE handle, const char* data,
+                                     int data_len, FUNASR_MODE /*mode*/,
+                                     int sampling_rate, void* hotword_trie) {
   auto* h = static_cast<Handle*>(handle);
   auto* r = static_cast<Result*>(
       FunFrontendExtract(handle, data, data_len, sampling_rate));
@@ -171,7 +172,9 @@ FUNASR_RESULT FunOfflineInfer(FUNASR_HANDLE handle, const char* data,
   if (h != nullptr && (h->engine != nullptr || h->sv != nullptr)) {
     std::string text =
         h->engine != nullptr
-            ? h->engine->Infer(r->features, r->frames, &r->stamp)
+            ? h->engine->Infer(
+                  r->features, r->frames, &r->stamp,
+                  static_cast<funasr_tpu::HotwordTrie*>(hotword_trie))
             : h->sv->Infer(r->features, r->frames);
     // restore punctuation when a punc.ftr sits in the model dir (the
     // reference offline-stream pipeline: ASR -> CT-Transformer punc)
@@ -181,6 +184,13 @@ FUNASR_RESULT FunOfflineInfer(FUNASR_HANDLE handle, const char* data,
     r->texts.push_back("");  // DSP-only handle: no weights.ftr in model dir
   }
   return r;
+}
+
+FUNASR_RESULT FunOfflineInfer(FUNASR_HANDLE handle, const char* data,
+                              int data_len, FUNASR_MODE mode,
+                              int sampling_rate) {
+  return FunOfflineInferHotword(handle, data, data_len, mode, sampling_rate,
+                                nullptr);
 }
 
 FUNASR_RESULT FunPuncInfer(FUNASR_HANDLE handle, const char* text) {

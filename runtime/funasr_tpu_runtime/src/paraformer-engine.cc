@@ -5,6 +5,7 @@
 #include <cstring>
 #include <utility>
 
+#include "hotword.h"
 #include "nn.h"
 
 namespace funasr_tpu {
@@ -457,7 +458,8 @@ static std::vector<std::pair<long long, long long>> TsPrediction(
 }
 
 std::string ParaformerEngine::Infer(const std::vector<float>& feats, int t,
-                                    std::string* stamp) {
+                                    std::string* stamp,
+                                    const HotwordTrie* hotwords) {
   if (!loaded_ || t <= 0) return "";
   std::vector<float> enc = encoder_.Encode(feats, t);
   std::vector<float> embeds;
@@ -469,6 +471,8 @@ std::string ParaformerEngine::Infer(const std::vector<float>& feats, int t,
   bool prev_ascii = false;
   int n_chars = 0;  // tokens past blank/sos/eos (the ts_prediction char list)
   std::vector<bool> char_kept;  // false for <unk> (suppressed in the text)
+  int hw_state = 0;
+  std::vector<std::pair<int, float>> hw_cands;
   for (int i = 0; i < n_tok; ++i) {
     const float* row = logits.data() + static_cast<int64_t>(i) * vocab_size_;
     int best = 0;
@@ -478,6 +482,19 @@ std::string ParaformerEngine::Infer(const std::vector<float>& feats, int t,
         best_v = row[j];
         best = j;
       }
+    }
+    if (hotwords != nullptr && !hotwords->empty()) {
+      // bias-aware argmax: a token continuing (or starting) a hotword beats
+      // the plain argmax when its boosted logit wins
+      hotwords->Candidates(hw_state, &hw_cands);
+      for (const auto& [tok, boost] : hw_cands) {
+        if (tok < vocab_size_ && row[tok] + boost > best_v) {
+          best_v = row[tok] + boost;
+          best = tok;
+        }
+      }
+      float unused = 0.0f;
+      hw_state = hotwords->Step(hw_state, best, &unused);
     }
     if (best == blank_ || best == sos_ || best == eos_) continue;
     ++n_chars;

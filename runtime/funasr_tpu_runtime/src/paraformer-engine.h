@@ -35,8 +35,13 @@ class ParaformerEngine {
   // (CifPredictorV3) export and stamp != nullptr, also writes per-token
   // [start_ms, end_ms] pairs as a JSON array string (reference
   // FunASRGetStamp role; timestamp_tools.ts_prediction_lfr6_standard logic).
+  // With a hotword trie, the greedy argmax runs bias-aware: logits of tokens
+  // extending a hotword prefix earn the trie's incremental boost before the
+  // max (the lattice-free counterpart of the reference wfst-decoder +
+  // bias-lm.cpp contextual biasing).
   std::string Infer(const std::vector<float>& feats, int t,
-                    std::string* stamp = nullptr);
+                    std::string* stamp = nullptr,
+                    const class HotwordTrie* hotwords = nullptr);
 
   bool has_timestamps() const { return upsample_times_ > 0; }
 

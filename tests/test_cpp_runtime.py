@@ -1414,3 +1414,45 @@ def test_itn_timedate_parity_cpp(built, tmp_path):
         assert cpp_out == py_out, (lang, text, cpp_out, py_out)
         lib.FunASRFreeResult(ctypes.c_void_p(res))
     lib.FunItnGrammarFree(ctypes.c_void_p(g))
+
+
+def test_hotword_biased_greedy_decode(built, tiny_model_dir, tmp_path):
+    """The bias-aware greedy decode (wfst-decoder/bias-lm role): a compiled
+    hotword with a strong boost steers the argmax toward the hotword tokens,
+    while hotword=None reproduces the unbiased transcript exactly."""
+    import wave
+
+    from funasr_tpu.auto.auto_model import AutoModel
+    from funasr_tpu.export_runtime import export_native_dir
+
+    am = AutoModel(model=tiny_model_dir, disable_pbar=True)
+    out_dir = str(tmp_path / "hw_native")
+    export_native_dir(am.model, am.model_params, tiny_model_dir, out_dir)
+
+    rng = np.random.default_rng(21)
+    sig = (rng.standard_normal(24000) * 0.1 * 32767).astype(np.int16)
+    wav_path = str(tmp_path / "hw.wav")
+    with wave.open(wav_path, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(sig.tobytes())
+
+    from funasr_tpu import runtime_bins
+    asr = runtime_bins.Paraformer(out_dir)
+    base = asr(wav_path)[0]["preds"]
+    assert base, "no baseline transcript"
+    again = asr(wav_path)[0]["preds"]
+    assert again == base  # no-hotword path is unchanged and deterministic
+
+    # pick a two-char hotword NOT present in the baseline transcript
+    vocab = open(os.path.join(out_dir, "tokens.txt"),
+                 encoding="utf-8").read().splitlines()
+    chars = [t for t in vocab if len(t) == 1 and t not in base
+             and t not in ("<blank>", "<s>", "</s>", "<unk>")]
+    hotword = chars[0] + chars[1]
+    boosted = asr(wav_path, hotword=hotword, hotword_boost=50.0)[0]["preds"]
+    assert hotword in boosted, (hotword, base, boosted)
+    # a negligible boost must not change the transcript
+    tiny = asr(wav_path, hotword=hotword, hotword_boost=1e-6)[0]["preds"]
+    assert tiny == base, (tiny, base)

@@ -75,3 +75,133 @@ def test_realtime_ws_stop_flow(tmp_path_factory):
     finals = [m for m in msgs if m.get("is_final")]
     assert finals and finals[-1]["type"] == "final"
     assert "text" in finals[-1]
+
+
+def _tiny_asr(tmp_path_factory):
+    import pathlib
+    sys.path.insert(0, str(pathlib.Path(__file__).parent))
+    from test_auto_model import asr_dir as asr_fixture
+
+    class FakeTPF:
+        def mktemp(self, name):
+            return tmp_path_factory.mktemp(name)
+
+    d = asr_fixture.__wrapped__(FakeTPF())
+    from funasr_tpu.auto.auto_model import AutoModel
+    return AutoModel(model=d, disable_pbar=True)
+
+
+def test_realtime_ws_commit_client_mode(tmp_path_factory):
+    """Client endpoint mode: COMMIT finalizes the pending utterance and keeps
+    the session open for the next one (ref realtime_ws.py commit():676-695);
+    utt indices advance; COMMIT in server mode is rejected."""
+    from funasr_tpu.bin.realtime_ws import RealtimeWSServer
+    from funasr_tpu.serving.ws_protocol import connect, serve
+
+    asr = _tiny_asr(tmp_path_factory)
+    server = RealtimeWSServer(asr, chunk_ms=100, first_chunk_ms=100,
+                              endpoint_mode="client")
+    port = _free_port()
+    rng = np.random.default_rng(1)
+
+    async def scenario():
+        srv = await serve(server.handle, "127.0.0.1", port)
+        try:
+            ws = await connect("127.0.0.1", port)
+            finals = []
+            for _ in range(2):  # two COMMIT-delimited utterances
+                pcm = (rng.standard_normal(16000) * 0.1 * 32767
+                       ).astype(np.int16)
+                await ws.send(pcm.tobytes())
+                await ws.send("COMMIT")
+                while True:
+                    m = json.loads(await asyncio.wait_for(ws.recv(), 90))
+                    if m.get("is_final"):
+                        finals.append(m)
+                        break
+            await ws.send("STOP")
+            await ws.close()
+            return finals
+        finally:
+            srv.close()
+            await srv.wait_closed()
+
+    finals = asyncio.run(scenario())
+    assert len(finals) == 2
+    assert finals[0]["utt"] == 0 and finals[1]["utt"] == 1
+    assert finals[1]["start_ms"] >= finals[0]["end_ms"]
+    assert all(f["text"] for f in finals)
+
+
+def test_realtime_ws_commit_rejected_in_server_mode(tmp_path_factory):
+    from funasr_tpu.bin.realtime_ws import RealtimeWSServer
+    from funasr_tpu.serving.ws_protocol import connect, serve
+
+    asr = _tiny_asr(tmp_path_factory)
+    # no vad model -> default would be client; pin server via config switch
+    server = RealtimeWSServer(asr, chunk_ms=100)
+    port = _free_port()
+
+    async def scenario():
+        srv = await serve(server.handle, "127.0.0.1", port)
+        try:
+            ws = await connect("127.0.0.1", port)
+            # switch this session to server endpoints via the config frame
+            await ws.send(json.dumps({"endpoint_mode": "server"}))
+            await ws.send("COMMIT")
+            m = json.loads(await asyncio.wait_for(ws.recv(), 30))
+            await ws.close()
+            return m
+        finally:
+            srv.close()
+            await srv.wait_closed()
+
+    m = asyncio.run(scenario())
+    assert "error" in m and "COMMIT" in m["error"]
+
+
+def test_realtime_ws_partial_stability_counter(tmp_path_factory):
+    """Consecutive partials with the same normalized text bump the `stable`
+    counter (ref _record_partial_text role); a changed text resets it to 1.
+    Decode is stubbed so the sequence is deterministic."""
+    from funasr_tpu.bin.realtime_ws import RealtimeWSServer
+    from funasr_tpu.serving.ws_protocol import connect, serve
+
+    asr = _tiny_asr(tmp_path_factory)
+    server = RealtimeWSServer(asr, chunk_ms=50, first_chunk_ms=50,
+                              endpoint_mode="client")
+    texts = iter(["你好", "你好。", "你好，", "你好 世界", "你好世界"])
+    server._decode = lambda audio, hotword=None, **cfg: next(texts, "你好世界")
+    port = _free_port()
+    rng = np.random.default_rng(2)
+
+    async def scenario():
+        srv = await serve(server.handle, "127.0.0.1", port)
+        try:
+            ws = await connect("127.0.0.1", port)
+            pcm = (rng.standard_normal(1600) * 0.1 * 32767).astype(np.int16)
+            partials = []
+            for _ in range(6):
+                await ws.send(pcm.tobytes())
+                try:
+                    while len(partials) < 6:
+                        m = json.loads(await asyncio.wait_for(ws.recv(), 2))
+                        if m.get("type") == "partial":
+                            partials.append(m)
+                            break
+                except asyncio.TimeoutError:
+                    pass
+            await ws.send("STOP")
+            await ws.close()
+            return partials
+        finally:
+            srv.close()
+            await srv.wait_closed()
+
+    partials = asyncio.run(scenario())
+    assert len(partials) >= 4, partials
+    stables = [p["stable"] for p in partials]
+    # 你好 / 你好。/ 你好， normalize identically -> 1, 2, 3; the text change
+    # to 你好世界 resets to 1, then climbs again
+    assert stables[:3] == [1, 2, 3], stables
+    assert 1 in stables[3:], stables
