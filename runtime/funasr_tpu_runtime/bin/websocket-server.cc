@@ -29,7 +29,9 @@
 #include <sys/socket.h>
 #include <unistd.h>
 
+#include <algorithm>
 #include <atomic>
+#include <cstdint>
 #include <condition_variable>
 #include <cstdio>
 #include <cstring>
@@ -162,7 +164,6 @@ class DecoderPool {
 
 constexpr int kBytesPerMs = 32;        // 16 kHz * 2 bytes
 constexpr int kPartialStrideMs = 600;  // min fresh audio between partials
-constexpr int kVadTailGuardMs = 40;    // a segment ending here may still grow
 
 void ServeConnection(std::shared_ptr<funasr_tpu::WsConnection> conn,
                      DecoderPool* pool, FUNASR_HANDLE handle) {
@@ -175,6 +176,12 @@ void ServeConnection(std::shared_ptr<funasr_tpu::WsConnection> conn,
   // supports it; falls back to throttled prefix re-decode otherwise
   FUNASR_STREAM stream = handle ? FunASRStreamCreate(handle) : nullptr;
   std::string stream_text;  // accumulated online tokens this utterance
+  // incremental VADX endpointing (fsmn-vad-online role): O(chunk) per feed
+  // with the full endpoint machine's cut points, replacing the previous
+  // whole-buffer re-scoring pass
+  FUNASR_VAD_STREAM vstream = handle ? FunVadStreamCreate(handle) : nullptr;
+  int64_t cut_base_ms = 0;  // absolute ms already erased from pcm_buf
+  int open_beg_ms = -1;     // open VAD segment start (absolute ms)
   funasr_tpu::WsOp op;
   std::string payload;
 
@@ -198,6 +205,12 @@ void ServeConnection(std::shared_ptr<funasr_tpu::WsConnection> conn,
           FUNASR_RESULT sr = FunASRStreamInfer(stream, nullptr, 0, 1, 16000);
           if (sr != nullptr) FunASRFreeResult(sr);
           stream_text.clear();
+        }
+        if (vstream != nullptr) {  // flush + reset the VAD machine
+          FUNASR_RESULT vr = FunVadStreamInfer(vstream, nullptr, 0, 1, 16000);
+          if (vr != nullptr) FunASRFreeResult(vr);
+          cut_base_ms = 0;
+          open_beg_ms = -1;
         }
         std::string rest;
         rest.swap(pcm_buf);
@@ -228,35 +241,43 @@ void ServeConnection(std::shared_ptr<funasr_tpu::WsConnection> conn,
           FunASRFreeResult(sr);
         }
       }
+      // incremental VADX endpointing: each chunk advances the streaming VAD
+      // machine; a closed [beg,end] segment is decoded offline and its audio
+      // dropped from the buffer, so per-connection work stays O(segment)
+      if (vstream != nullptr && mode != "offline") {
+        FUNASR_RESULT vr = FunVadStreamInfer(vstream, payload.data(),
+                                             static_cast<int>(payload.size()),
+                                             0, 16000);
+        if (vr != nullptr) {
+          for (int i = 0; i < FunASRGetSegmentCount(vr); ++i) {
+            const int b = FunASRGetSegmentStart(vr, i);
+            const int e = FunASRGetSegmentEnd(vr, i);
+            if (b >= 0) open_beg_ms = b;
+            if (e < 0 || open_beg_ms < 0) continue;
+            // closed segment [open_beg_ms, e] in absolute stream ms
+            const int64_t total_ms =
+                cut_base_ms + static_cast<int64_t>(pcm_buf.size()) / kBytesPerMs;
+            const int64_t lb = std::max<int64_t>(open_beg_ms - cut_base_ms, 0);
+            const int64_t le =
+                std::min<int64_t>(e, total_ms) - cut_base_ms;
+            if (le > lb) {
+              submit(pcm_buf.substr(static_cast<size_t>(lb) * kBytesPerMs,
+                                    static_cast<size_t>(le - lb) * kBytesPerMs),
+                     mode == "2pass" ? "2pass-offline" : "offline", false);
+              pcm_buf.erase(0, static_cast<size_t>(le) * kBytesPerMs);
+              cut_base_ms += le;
+              partial_anchor = pcm_buf.size();
+            }
+            open_beg_ms = -1;
+          }
+          FunASRFreeResult(vr);
+        }
+      }
       if (mode == "offline" ||
           pcm_buf.size() < partial_anchor + kPartialStrideMs * kBytesPerMs) {
         continue;
       }
       partial_anchor = pcm_buf.size();
-      // VAD endpointing: decode + drop every segment the VAD has closed
-      // strictly before the buffer tail (a tail-adjacent one may still grow).
-      if (handle != nullptr) {
-        FUNASR_RESULT vr = FunVadInfer(handle, pcm_buf.data(),
-                                       static_cast<int>(pcm_buf.size()), 16000);
-        if (vr != nullptr) {
-          const int total_ms = static_cast<int>(pcm_buf.size()) / kBytesPerMs;
-          size_t cut = 0;
-          for (int i = 0; i < FunASRGetSegmentCount(vr); ++i) {
-            const int s = FunASRGetSegmentStart(vr, i);
-            const int e = FunASRGetSegmentEnd(vr, i);
-            if (e + kVadTailGuardMs >= total_ms) break;
-            submit(pcm_buf.substr(static_cast<size_t>(s) * kBytesPerMs,
-                                  static_cast<size_t>(e - s) * kBytesPerMs),
-                   mode == "2pass" ? "2pass-offline" : "offline", false);
-            cut = static_cast<size_t>(e) * kBytesPerMs;
-          }
-          FunASRFreeResult(vr);
-          if (cut > 0) {
-            pcm_buf.erase(0, cut);
-            partial_anchor = pcm_buf.size();
-          }
-        }
-      }
       if (stream == nullptr && (mode == "online" || mode == "2pass")) {
         submit(pcm_buf,  // re-decode the active segment as the partial
                mode == "2pass" ? "2pass-online" : "online", false);
@@ -264,6 +285,7 @@ void ServeConnection(std::shared_ptr<funasr_tpu::WsConnection> conn,
     }
   }
   if (stream != nullptr) FunASRStreamFree(stream);
+  if (vstream != nullptr) FunVadStreamFree(vstream);
 }
 
 }  // namespace
