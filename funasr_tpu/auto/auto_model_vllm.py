@@ -77,3 +77,43 @@ class AutoModelVLLM:
             **{k: v for k, v in merged.items()
                if k not in ("tokenizer", "frontend", "model", "model_conf")})
         return results
+
+    def streaming_generate(self, audio_input, chunk_ms: int = 720,
+                           rollback_chars: int = 8, **cfg):
+        """Streaming LLM-ASR: yield incrementally improving transcripts per
+        audio chunk (reference ``fun_asr_nano/inference_vllm_streaming.py:190``
+        ``streaming_generate``). Every chunk decodes the PREFIX window
+        ``audio[:end_i]``; all windows run through the continuous-batching
+        engine in one pass (the reference batches them through one vLLM
+        ``generate`` the same way). ``fixed_text`` trims the trailing
+        ``rollback_chars`` of non-final partials — the unstable tail a display
+        client should not lock yet.
+
+        Yields: {"text", "fixed_text", "is_final", "chunk_idx",
+                 "audio_duration_ms"}.
+        """
+        import numpy as np
+
+        from funasr_tpu.utils.load_utils import load_audio_text_image_video
+
+        merged = dict(self.kwargs)
+        merged.update(cfg)
+        frontend = merged.get("frontend")
+        fs = getattr(frontend, "fs", 16000)
+        audio = np.asarray(
+            load_audio_text_image_video(audio_input, fs=fs)
+            if isinstance(audio_input, (str, bytes)) else audio_input,
+            np.float32).reshape(-1)
+        chunk_samples = max(int(fs * chunk_ms / 1000), 1)
+        num_chunks = max(-(-len(audio) // chunk_samples), 1)
+        windows = [audio[: min((i + 1) * chunk_samples, len(audio))]
+                   for i in range(num_chunks)]
+        results = self.generate(windows, **cfg)
+        for i, res in enumerate(results):
+            text = res.get("text", "")
+            is_final = i == num_chunks - 1
+            fixed = text if is_final else text[: max(len(text) - rollback_chars,
+                                                     0)]
+            yield {"text": text, "fixed_text": fixed, "is_final": is_final,
+                   "chunk_idx": i + 1,
+                   "audio_duration_ms": len(windows[i]) * 1000.0 / fs}

@@ -196,3 +196,51 @@ def test_glm_asr_distinct_pipeline(rng):
     res, _ = glm.inference(params, wav, tokenizer=Tok(), frontend=frontend,
                            max_new_tokens=4, num_slots=2, max_model_len=256)
     assert "text" in res[0]
+
+
+def test_vllm_streaming_generate(rng):
+    """AutoModelVLLM.streaming_generate (reference
+    inference_vllm_streaming:190-328): prefix-window chunks yield
+    incrementally, partials trim rollback_chars into fixed_text, the last
+    chunk is final with the full-window transcript."""
+    import jax
+    import funasr_tpu  # noqa: F401
+    from funasr_tpu.auto.auto_model_vllm import AutoModelVLLM
+    from funasr_tpu.frontends.wav_frontend import WavFrontend
+    from funasr_tpu.models.fun_asr_nano.model import FunASRNano
+
+    model = FunASRNano(
+        input_size=80,
+        audio_encoder_conf=dict(output_size=32, attention_heads=4,
+                                linear_units=64, num_blocks=2),
+        audio_adaptor_conf=dict(downsample_rate=2, encoder_dim=32, llm_dim=48,
+                                ffn_dim=64),
+        llm_conf=dict(LLM_CONF))
+    params = model.init_params(jax.random.PRNGKey(0))
+
+    class Tok:
+        def encode(self, s):
+            return [hash(c) % 150 + 3 for c in s][:12]
+
+        def decode(self, ids):
+            return "".join(chr(ord("a") + (int(i) % 26)) for i in ids)
+
+    am = AutoModelVLLM.__new__(AutoModelVLLM)
+    am.model, am.params = model, params
+    am.num_slots, am.max_model_len, am.tensor_parallel_size = 2, 256, 1
+    am.kwargs = {"tokenizer": Tok(),
+                 "frontend": WavFrontend(fs=16000, lfr_m=1, lfr_n=1,
+                                         n_mels=80, dither=0.0)}
+
+    wav = (rng.standard_normal(16000) * 0.1).astype(np.float32)  # 1 s
+    chunks = list(am.streaming_generate(wav, chunk_ms=400, rollback_chars=2,
+                                        max_new_tokens=6, num_slots=2,
+                                        max_model_len=256))
+    assert len(chunks) == 3  # 1 s / 400 ms prefix windows
+    assert [c["chunk_idx"] for c in chunks] == [1, 2, 3]
+    assert [c["is_final"] for c in chunks] == [False, False, True]
+    assert chunks[0]["audio_duration_ms"] == 400.0
+    assert chunks[-1]["audio_duration_ms"] == 1000.0
+    for c in chunks[:-1]:
+        assert c["fixed_text"] == c["text"][: max(len(c["text"]) - 2, 0)]
+    assert chunks[-1]["fixed_text"] == chunks[-1]["text"]
