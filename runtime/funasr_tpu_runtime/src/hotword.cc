@@ -1,6 +1,8 @@
 #include "hotword.h"
 
+#include <cctype>
 #include <cstring>
+#include <fstream>
 #include <sstream>
 
 #include "vocab.h"
@@ -26,8 +28,24 @@ void HotwordTrie::Add(const std::vector<int>& token_ids, float boost) {
   nodes_[node].is_end = true;
 }
 
+std::map<std::string, std::string> HotwordTrie::LoadSegDict(
+    const std::string& path) {
+  std::map<std::string, std::string> out;
+  std::ifstream f(path);
+  std::string line;
+  while (std::getline(f, line)) {
+    const size_t sp = line.find_first_of(" \t");
+    if (sp == std::string::npos) continue;
+    const size_t val = line.find_first_not_of(" \t", sp);
+    if (val == std::string::npos) continue;
+    out[line.substr(0, sp)] = line.substr(val);
+  }
+  return out;
+}
+
 int HotwordTrie::Compile(const std::string& hotwords, const Vocab& vocab,
-                         float boost) {
+                         float boost,
+                         const std::map<std::string, std::string>* seg_dict) {
   // token lookup table (vocab is small; linear build once)
   std::map<std::string, int> tok2id;
   for (int i = 0; i < vocab.Size(); ++i) tok2id[vocab.Id2Token(i)] = i;
@@ -43,6 +61,29 @@ int HotwordTrie::Compile(const std::string& hotwords, const Vocab& vocab,
         word.find_first_not_of("0123456789.", at + 2) == std::string::npos) {
       w_boost = std::stof(word.substr(at + 2));
       word = word.substr(0, at);
+    }
+    // English words tokenize through seg_dict when available (reference
+    // seg_dict.cpp: exact word -> BPE-piece mapping, lowercased)
+    if (seg_dict != nullptr) {
+      std::string lower = word;
+      for (char& c : lower) c = std::tolower(static_cast<unsigned char>(c));
+      auto sd = seg_dict->find(lower);
+      if (sd != seg_dict->end()) {
+        std::istringstream ps(sd->second);
+        std::string piece;
+        std::vector<int> ids;
+        bool ok = true;
+        while (ps >> piece) {
+          auto it = tok2id.find(piece);
+          if (it == tok2id.end()) { ok = false; break; }
+          ids.push_back(it->second);
+        }
+        if (ok && !ids.empty()) {
+          Add(ids, w_boost);
+          ++compiled;
+          continue;
+        }
+      }
     }
     // greedy longest-match tokenization over UTF-8
     std::vector<int> ids;
@@ -155,8 +196,15 @@ void* FunASRHotwordCompile(const char* hotwords, const char* tokens_file,
     delete vocab;
     return nullptr;
   }
+  // a seg_dict sibling of tokens.txt enables exact English-word BPE mapping
+  std::string seg_path(tokens_file);
+  const size_t slash = seg_path.find_last_of('/');
+  seg_path = (slash == std::string::npos ? std::string()
+                                         : seg_path.substr(0, slash + 1)) +
+             "seg_dict";
+  auto seg = HotwordTrie::LoadSegDict(seg_path);
   auto* trie = new HotwordTrie();
-  trie->Compile(hotwords, *vocab, boost);
+  trie->Compile(hotwords, *vocab, boost, seg.empty() ? nullptr : &seg);
   trie->Build();  // eager: Step() is then safe from concurrent decoders
   delete vocab;
   return trie;

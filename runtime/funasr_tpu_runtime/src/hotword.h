@@ -29,9 +29,17 @@ class HotwordTrie {
   void Add(const std::vector<int>& token_ids, float boost = 3.0f);
 
   // Parse "词语 另一个词 word@@piece" against a vocab (greedy longest-match
-  // per UTF-8 char / BPE piece). Returns number of words compiled.
+  // per UTF-8 char / BPE piece). English words are first looked up in
+  // seg_dict (word -> space-joined BPE pieces; the reference seg_dict.cpp
+  // role) so they tokenize exactly as the acoustic model emits them.
+  // Returns number of words compiled.
   int Compile(const std::string& hotwords, const Vocab& vocab,
-              float boost = 3.0f);
+              float boost = 3.0f,
+              const std::map<std::string, std::string>* seg_dict = nullptr);
+
+  // Load "word piece piece ..." lines (the reference seg_dict file format).
+  static std::map<std::string, std::string> LoadSegDict(
+      const std::string& path);
 
   // Build Aho-Corasick failure links (call once after the last Add/Compile;
   // Step() builds lazily if needed). Falling off a prefix follows the longest

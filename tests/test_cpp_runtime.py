@@ -1456,3 +1456,42 @@ def test_hotword_biased_greedy_decode(built, tiny_model_dir, tmp_path):
     # a negligible boost must not change the transcript
     tiny = asr(wav_path, hotword=hotword, hotword_boost=1e-6)[0]["preds"]
     assert tiny == base, (tiny, base)
+
+
+def test_hotword_seg_dict_en(built, tmp_path):
+    """English hotwords compile through seg_dict (the reference seg_dict.cpp
+    role) so the trie follows the exact BPE pieces the model emits, not a
+    greedy re-tokenization."""
+    tokens = tmp_path / "tokens.txt"
+    tokens.write_text("\n".join(["<blank>", "he@@", "llo", "h", "e", "l",
+                                 "o", "world"]))
+    # without seg_dict, greedy longest-match would pick "he@@"? no — greedy
+    # over the raw word "hello" finds "he@@"? "hello"[0:] has no direct
+    # match; seg_dict pins the exact pieces
+    (tmp_path / "seg_dict").write_text("hello he@@ llo\n")
+
+    lib = ctypes.CDLL(str(built / "libfunasr_tpu_runtime.so"))
+    lib.FunASRHotwordCompile.restype = ctypes.c_void_p
+    lib.FunASRHotwordCompile.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
+                                         ctypes.c_float]
+    lib.FunASRHotwordStep.restype = ctypes.c_int
+    lib.FunASRHotwordStep.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                      ctypes.c_int,
+                                      ctypes.POINTER(ctypes.c_float)]
+    lib.FunASRHotwordFree.argtypes = [ctypes.c_void_p]
+
+    trie = lib.FunASRHotwordCompile(b"hello", str(tokens).encode(),
+                                    ctypes.c_float(2.0))
+    assert trie
+    # walking the seg_dict pieces he@@(1) llo(2) earns the boost both steps
+    d = ctypes.c_float(0.0)
+    s = lib.FunASRHotwordStep(trie, 0, 1, ctypes.byref(d))
+    assert d.value > 0, d.value
+    d2 = ctypes.c_float(0.0)
+    lib.FunASRHotwordStep(trie, s, 2, ctypes.byref(d2))
+    assert d2.value > 0, d2.value
+    # per-char walk (h-e-l-l-o) earns nothing: the trie holds the BPE path
+    d3 = ctypes.c_float(0.0)
+    lib.FunASRHotwordStep(trie, 0, 3, ctypes.byref(d3))
+    assert d3.value == 0.0, d3.value
+    lib.FunASRHotwordFree(ctypes.c_void_p(trie))
