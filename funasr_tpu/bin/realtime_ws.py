@@ -192,32 +192,44 @@ class RealtimeWSServer:
                                self.max_utterance_samples // self.sample_rate)
                 await self._finalize(ws, sess, tracker, loop)
 
-            # interim partial decode: audio-driven cadence, skipped (not
-            # queued) while a previous partial is still decoding
+            # interim partial decode: audio-driven cadence, run as a
+            # BACKGROUND task so socket reads keep draining; cadence points
+            # hit while a previous partial is still decoding are skipped,
+            # never queued (the next partial covers the newer audio anyway)
             if (self._should_decode(sess) and len(sess.audio)
                     and not sess.partial_busy):
                 sess.last_decode_samples = sess.total_samples
                 sess.partial_busy = True
-                try:
-                    window = (sess.audio[-self.partial_window:]
-                              if self.partial_window else sess.audio)
-                    text = await loop.run_in_executor(
-                        None, lambda w=window: self._decode(w, sess.hotword))
-                finally:
-                    sess.partial_busy = False
-                if text:
-                    sess.first_decode_done = True
-                    norm = _normalize_transcript(text)
-                    if norm and norm == sess.last_partial_norm:
-                        sess.partial_stable_count += 1
-                    else:
-                        sess.partial_stable_count = 1
-                    sess.last_partial_norm = norm
-                    await ws.send(json.dumps(
-                        {"type": "partial", "text": text,
-                         "utt": sess.utt_index,
-                         "stable": sess.partial_stable_count,
-                         "is_final": False}, ensure_ascii=False))
+                window = (sess.audio[-self.partial_window:]
+                          if self.partial_window else sess.audio)
+                asyncio.ensure_future(
+                    self._partial_task(ws, sess, loop, window,
+                                       sess.utt_index))
+
+    async def _partial_task(self, ws, sess, loop, window, utt_index):
+        try:
+            text = await loop.run_in_executor(
+                None, lambda: self._decode(window, sess.hotword))
+        finally:
+            sess.partial_busy = False
+        # the utterance may have been finalized while we decoded — a stale
+        # partial would arrive after its final, confusing clients
+        if not text or sess.utt_index != utt_index:
+            return
+        sess.first_decode_done = True
+        norm = _normalize_transcript(text)
+        if norm and norm == sess.last_partial_norm:
+            sess.partial_stable_count += 1
+        else:
+            sess.partial_stable_count = 1
+        sess.last_partial_norm = norm
+        try:
+            await ws.send(json.dumps(
+                {"type": "partial", "text": text, "utt": utt_index,
+                 "stable": sess.partial_stable_count,
+                 "is_final": False}, ensure_ascii=False))
+        except ConnectionClosed:
+            pass
 
     async def _handle_control(self, ws, sess, tracker, loop, msg) -> bool:
         """Returns False when the session should close."""
@@ -248,14 +260,15 @@ class RealtimeWSServer:
         sess.hotword = cfg.get("hotwords", sess.hotword)
         mode = cfg.get("endpoint_mode")
         if mode:
-            try:
-                sess.endpoint_mode = mode
-                if mode == "client":
-                    sess.vad = None
-                elif sess.vad is None:
-                    sess.vad = self.make_vad()
-            except ValueError as exc:
-                await ws.send(json.dumps({"error": str(exc)}))
+            if mode not in ("server", "client"):
+                await ws.send(json.dumps(
+                    {"error": f"unsupported endpoint mode: {mode}"}))
+                return True
+            sess.endpoint_mode = mode
+            if mode == "client":
+                sess.vad = None
+            elif sess.vad is None:
+                sess.vad = self.make_vad()
         return True
 
     async def _finalize(self, ws, sess, tracker, loop):

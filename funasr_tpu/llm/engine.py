@@ -166,6 +166,10 @@ class LLMEngine:
         total = req.input_embeds.shape[0]
         valid = min(self.prefill_chunk, total - start)
         tb = bucket_length(valid, minimum=32, multiple=32)
+        # never let the padded slice spill past max_len: the kv scatter wraps
+        # modulo cache length and would overwrite the prompt's own rows 0..31
+        # (prompts are truncated to max_len-1, so valid always fits)
+        tb = min(tb, self.max_len - start)
         self._ensure_capacity(start + tb + 1)
         embeds = np.zeros((1, tb, req.input_embeds.shape[1]), np.float32)
         embeds[0, :valid] = req.input_embeds[start: start + valid]

@@ -11,6 +11,7 @@ Static-shape policy: the fired-token axis is a caller-chosen bucket ``max_tokens
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple, Optional
 
 import jax
@@ -110,8 +111,16 @@ class CifPredictorV2:
         frame) carry; mathematically identical to the reference's normalized
         pseudo-frame trick. ``chunk_size`` [pad_left, stride, lookahead] zeroes alphas
         outside the current stride (the lookahead frames re-arrive next chunk).
-        ``is_final`` appends the tail-threshold fire.
+        ``is_final`` appends the tail-threshold fire. Runs as one jitted program
+        per (shape, flags) — the streaming hot path.
         """
+        return _cif_chunk_jit(self, params, hidden, state, max_tokens,
+                              bool(is_final),
+                              tuple(chunk_size) if chunk_size is not None
+                              else None)
+
+    def _forward_chunk_impl(self, params, hidden, state, max_tokens: int,
+                            is_final=False, chunk_size=None):
         c = self.cfg
         b, t, d = hidden.shape
         a = self.alphas(params, hidden, None)  # (B, T)
@@ -153,6 +162,14 @@ class CifPredictorV2:
             "integrate": jnp.zeros((batch,), jnp.float32),
             "frame": jnp.zeros((batch, dim), jnp.float32),
         }
+
+
+@partial(jax.jit,
+         static_argnames=("self", "max_tokens", "is_final", "chunk_size"))
+def _cif_chunk_jit(self, params, hidden, state, max_tokens, is_final,
+                   chunk_size):
+    return self._forward_chunk_impl(params, hidden, state, max_tokens,
+                                    is_final, chunk_size)
 
 
 def mae_token_loss(token_num, pre_token_length, normalize_length: bool = False):

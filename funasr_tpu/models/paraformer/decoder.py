@@ -11,10 +11,18 @@ Homogeneous layers run under ``jax.lax.scan`` over stacked params.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+
+
+@partial(jax.jit, static_argnames=("self", "chunk_size", "look_back"))
+def _decoder_chunk_jit(self, params, memory, tgt, n, fsmn_cache, opt_cache,
+                       chunk_size, look_back):
+    return self._forward_chunk_impl(params, memory, tgt, n, fsmn_cache,
+                                    opt_cache, chunk_size, look_back)
 
 from funasr_tpu.core.layers import (
     embedding_apply,
@@ -169,56 +177,92 @@ class ParaformerSANMDecoder:
                                         memory_mask, ret_attn=True)
         return attn
 
-    def forward_chunk(self, params, memory, tgt, cache):
+    def forward_chunk(self, params, memory, tgt, cache, n=None):
         """Streaming chunk decode (reference ``decoder.py:515-583``): per-layer FSMN
         rolling caches + cross-attn kv caches with look-back over chunk memories.
 
-        ``cache``: {"decode_fsmn": [.]|None, "opt": [.]|None, "chunk_size",
-        "decoder_chunk_look_back"}. Returns logits for the chunk's fired tokens."""
+        ``cache``: {"decode_fsmn": stacked|None, "opt": stacked kv|None,
+        "chunk_size", "decoder_chunk_look_back"}. ``tgt`` may be PADDED along
+        the token dim with ``n`` (traced scalar) valid rows — rows >= n yield
+        garbage logits the caller discards, and the FSMN caches roll in only
+        the n valid rows (dynamic slice), so results equal the unpadded
+        decode. Padding keeps the jitted program's shape fixed per chunk size
+        instead of recompiling per fired-token count. Runs as one XLA call."""
+        cfg = self.cfg
+        b, tmax, d = tgt.shape
+        k = cfg.kernel_size
+        if cache.get("decode_fsmn") is None:
+            cache["decode_fsmn"] = jnp.zeros(
+                (cfg.num_blocks, b, k - 1, d), tgt.dtype)
+        look_back = cache.get("decoder_chunk_look_back", 0)
+        if cache.get("opt") is None and look_back != 0:
+            dk = cfg.cross_cfg.d_k
+            cache["opt"] = {
+                "k": jnp.zeros((cfg.att_layer_num, b, cfg.cross_cfg.n_head,
+                                0, dk), tgt.dtype),
+                "v": jnp.zeros((cfg.att_layer_num, b, cfg.cross_cfg.n_head,
+                                0, dk), tgt.dtype)}
+        chunk_size = cache.get("chunk_size")
+        if n is None:
+            n = tmax
+        logits, new_fsmn, new_opt = _decoder_chunk_jit(
+            self, params, memory, tgt, jnp.asarray(n, jnp.int32),
+            cache["decode_fsmn"], cache.get("opt"),
+            tuple(chunk_size) if chunk_size is not None else None, look_back)
+        cache["decode_fsmn"] = new_fsmn
+        if look_back > 0 or look_back == -1:
+            cache["opt"] = new_opt
+        return logits
+
+    def _forward_chunk_impl(self, params, memory, tgt, n, fsmn_cache,
+                            opt_cache, chunk_size, look_back):
         from funasr_tpu.models.sanm.attention import (
-            cross_attention_apply_chunk, fsmn_decoder_apply_step)
-        from funasr_tpu.core.module import unstack_params
+            cross_attention_apply_chunk, fsmn_decoder_apply_masked)
 
         cfg = self.cfg
-        n_self = cfg.num_blocks
-        fsmn_cache = cache.get("decode_fsmn")
-        if fsmn_cache is None:
-            k = cfg.kernel_size
-            b, _, d = tgt.shape
-            fsmn_cache = [jnp.zeros((b, k - 1, d), tgt.dtype) for _ in range(n_self)]
-        opt_cache = cache.get("opt") or [None] * cfg.att_layer_num
-        chunk_size = cache.get("chunk_size")
-        look_back = cache.get("decoder_chunk_look_back", 0)
+        n_att = cfg.att_layer_num
 
-        x = tgt
-        layers = unstack_params(params["decoders"], cfg.att_layer_num)
-        for i, lp in enumerate(layers):
+        def body_att(x, inp):
+            lp, fc, oc = inp
             residual = x
             h = layer_norm_apply(lp["norm1"], x)
             h = ffn_dec_sanm_apply(lp["feed_forward"], h)
             x2 = layer_norm_apply(lp["norm2"], h)
-            x2, fsmn_cache[i] = fsmn_decoder_apply_step(
-                lp["self_attn"], cfg.fsmn_cfg, x2, fsmn_cache[i])
+            x2, new_fc = fsmn_decoder_apply_masked(
+                lp["self_attn"], cfg.fsmn_cfg, x2, fc, n)
             x = residual + x2
             residual = x
             h3 = layer_norm_apply(lp["norm3"], x)
-            h3, opt_cache[i] = cross_attention_apply_chunk(
-                lp["src_attn"], cfg.cross_cfg, h3, memory, opt_cache[i],
+            h3, new_oc = cross_attention_apply_chunk(
+                lp["src_attn"], cfg.cross_cfg, h3, memory, oc,
                 chunk_size, look_back)
-            x = residual + h3
+            return residual + h3, (new_fc, new_oc)
 
+        fsmn1 = fsmn_cache[:n_att]
+        fsmn2 = fsmn_cache[n_att:]
+        if opt_cache is None:
+            dk = cfg.cross_cfg.d_k
+            opt_cache = {"k": jnp.zeros((n_att, tgt.shape[0],
+                                         cfg.cross_cfg.n_head, 0, dk),
+                                        tgt.dtype),
+                         "v": jnp.zeros((n_att, tgt.shape[0],
+                                         cfg.cross_cfg.n_head, 0, dk),
+                                        tgt.dtype)}
+        x, (new_fsmn1, new_opt) = jax.lax.scan(
+            body_att, tgt, (params["decoders"], fsmn1, opt_cache))
+
+        new_fsmn2 = fsmn2
         if "decoders2" in params:
-            layers2 = unstack_params(params["decoders2"],
-                                     cfg.num_blocks - cfg.att_layer_num)
-            for j, lp in enumerate(layers2):
-                i = cfg.att_layer_num + j
+            def body2(x, inp):
+                lp, fc = inp
                 residual = x
                 h = layer_norm_apply(lp["norm1"], x)
                 h = ffn_dec_sanm_apply(lp["feed_forward"], h)
                 x2 = layer_norm_apply(lp["norm2"], h)
-                x2, fsmn_cache[i] = fsmn_decoder_apply_step(
-                    lp["self_attn"], cfg.fsmn_cfg, x2, fsmn_cache[i])
-                x = residual + x2
+                x2, new_fc = fsmn_decoder_apply_masked(
+                    lp["self_attn"], cfg.fsmn_cfg, x2, fc, n)
+                return residual + x2, new_fc
+            x, new_fsmn2 = jax.lax.scan(body2, x, (params["decoders2"], fsmn2))
 
         lp3 = params["decoders3"]
         x = ffn_dec_sanm_apply(lp3["feed_forward"],
@@ -226,10 +270,8 @@ class ParaformerSANMDecoder:
         x = layer_norm_apply(params["after_norm"], x)
         if cfg.use_output_layer:
             x = linear_apply(params["output_layer"], x)
-        cache["decode_fsmn"] = fsmn_cache
-        if look_back > 0 or look_back == -1:
-            cache["opt"] = opt_cache
-        return x
+        new_fsmn = jnp.concatenate([new_fsmn1, new_fsmn2], axis=0)
+        return x, new_fsmn, new_opt
 
     def __call__(self, params, hs_pad, hlens, ys_in_pad, ys_in_lens,
                  return_hidden: bool = False):

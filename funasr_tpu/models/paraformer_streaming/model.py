@@ -225,10 +225,12 @@ class ParaformerStreaming(Paraformer):
         n = int(n_fired[0])
         if n < 1:
             return []
-        embeds = embeds[:, :n]
+        # decode the PADDED (t+1-token) bucket with n valid rows: one fixed
+        # jitted program per chunk shape instead of a recompile per fired
+        # count; rows >= n are discarded below
         logits = self.decoder.forward_chunk(self.params_ref["decoder"], encoder_out,
-                                            embeds, cache["decoder"])
-        yseq = np.asarray(jnp.argmax(logits, -1))[0]
+                                            embeds, cache["decoder"], n=n)
+        yseq = np.asarray(jnp.argmax(logits, -1))[0][:n]
         token_int = [int(x) for x in yseq
                      if x not in (self.blank_id, self.sos, self.eos)]
         return tokenizer.ids2tokens(token_int) if tokenizer is not None else token_int

@@ -239,6 +239,27 @@ def fsmn_decoder_apply_step(params, cfg: FSMNDecoderConfig, x, cache):
     return out, new_cache
 
 
+def fsmn_decoder_apply_masked(params, cfg: FSMNDecoderConfig, x, cache, n):
+    """Streaming step over a PADDED token chunk: x (B, tmax, C) with ``n``
+    (traced scalar) valid leading rows. The causal conv makes rows < n
+    independent of the padding, and the rolling cache takes the last k-1
+    VALID rows via a dynamic slice — bit-identical to feeding the unpadded
+    n rows through :func:`fsmn_decoder_apply_step`, at a fixed shape (the
+    streaming decoder's jit would otherwise recompile per fired-token count)."""
+    buf = jnp.concatenate([cache, x], axis=1)  # (B, k-1+tmax, C)
+    out = depthwise_conv1d_apply(params["fsmn_block"], buf, left_pad=0,
+                                 right_pad=0)
+    out = out + x[:, -out.shape[1]:]
+    if cfg.kernel_size > 1:
+        # valid rows of buf are [0, k-1+n); the cache is its last k-1 rows,
+        # i.e. buf[n : n+k-1]
+        new_cache = jax.lax.dynamic_slice_in_dim(
+            buf, n, cfg.kernel_size - 1, axis=1)
+    else:
+        new_cache = cache
+    return out, new_cache
+
+
 # ---------------------------------------------------------------------------
 # cross attention (decoder -> encoder memory)
 # ---------------------------------------------------------------------------

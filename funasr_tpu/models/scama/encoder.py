@@ -44,6 +44,51 @@ def _layer_apply_masked(params, cfg: SANMEncoderConfig, x, frame_mask, att_mask,
     return residual + h
 
 
+def _empty_kv(b, n_head, d_k, dtype):
+    """Zero-length kv cache: keeps the cache pytree structure constant from
+    the first chunk (concat/trim on a (B,H,0,Dk) array is shape-correct)."""
+    return {"k": jnp.zeros((b, n_head, 0, d_k), dtype),
+            "v": jnp.zeros((b, n_head, 0, d_k), dtype)}
+
+
+from functools import partial as _partial  # noqa: E402
+
+
+@_partial(jax.jit, static_argnames=("cfg", "chunk_size", "look_back", "tail"))
+def _encoder_chunk_jit(params, x, start, carry, opt0, opt, cfg, chunk_size,
+                       look_back, tail):
+    """One whole streaming encoder chunk as a single XLA program: PE from the
+    absolute start index, overlap-carry splice, first layer, lax.scan over the
+    stacked remaining layers with stacked kv caches, after_norm."""
+    if tail:
+        # the final sub-stride chunk re-runs the carried (already PE'd) rows
+        x = carry
+        new_carry = carry
+    else:
+        x = x * (cfg.output_size ** 0.5)
+        t = x.shape[1]
+        pos = (start + 1 + jnp.arange(t)).astype(jnp.float32)
+        x = x + sinusoidal_pe(pos, x.shape[2], x.dtype)[None]
+        overlap = jnp.concatenate([carry, x], axis=1)
+        keep = chunk_size[0] + chunk_size[2]
+        new_carry = overlap[:, overlap.shape[1] - keep:] if keep > 0 \
+            else overlap[:, :0]
+        x = overlap
+
+    x, opt0 = _layer_apply_chunk(params["encoders0"], cfg, x, opt0,
+                                 chunk_size, look_back, first=True)
+    if cfg.num_blocks > 1:
+        def body(h, inp):
+            lp, kv = inp
+            h, new_kv = _layer_apply_chunk(lp, cfg, h, kv, chunk_size,
+                                           look_back, first=False)
+            return h, new_kv
+        x, opt = jax.lax.scan(body, x, (params["encoders"], opt))
+    if cfg.normalize_before:
+        x = layer_norm_apply(params["after_norm"], x)
+    return x, new_carry, opt0, opt
+
+
 def _layer_apply_chunk(params, cfg: SANMEncoderConfig, x, cache, chunk_size,
                        look_back, first: bool):
     attn_cfg = cfg.attn_cfg(first)
@@ -116,39 +161,37 @@ class SANMEncoderChunkOpt(SANMEncoder):
     def forward_chunk(self, params, xs_pad, ilens, cache: Dict, is_final=False):
         """One streaming chunk. ``cache`` keys (mirrors reference init_cache):
         start_idx, feats (carried pad_left+lookahead feature frames), chunk_size
-        [pad_left, stride, lookahead], encoder_chunk_look_back, opt (per-layer kv),
-        tail_chunk."""
+        [pad_left, stride, lookahead], encoder_chunk_look_back, opt0/opt (kv
+        caches: first layer + stacked rest), tail_chunk.
+
+        The whole 50-layer chunk step runs as ONE jitted program
+        (``_encoder_chunk_jit``): eager per-layer dispatch costs hundreds of
+        tunnel round-trips per 600 ms chunk. Cache shapes grow until the
+        look-back window fills (a handful of compiles), then every chunk hits
+        the same compiled program.
+        """
         cfg = self.cfg
-        x = xs_pad * (cfg.output_size ** 0.5)
-        # streaming PE: absolute positions from start_idx
-        t = x.shape[1]
+        x = jnp.asarray(xs_pad)
+        b, t = x.shape[0], x.shape[1]
+        look_back = cache.get("encoder_chunk_look_back", 0)
+        chunk_size = tuple(cache["chunk_size"])
+        if "opt0" not in cache:
+            empty = _empty_kv(b, cfg.attention_heads,
+                              cfg.output_size // cfg.attention_heads, x.dtype)
+            cache["opt0"] = empty
+            cache["opt"] = jax.tree_util.tree_map(
+                lambda a: jnp.broadcast_to(
+                    a[None], (cfg.num_blocks - 1,) + a.shape), empty) \
+                if cfg.num_blocks > 1 else None
         start = cache["start_idx"]
         cache["start_idx"] = start + t
-        pos = jnp.arange(start + 1, start + t + 1, dtype=jnp.float32)
-        x = x + sinusoidal_pe(pos, x.shape[2], x.dtype)[None]
 
-        if cache.get("tail_chunk"):
-            x = cache["feats"]
-        else:
-            overlap = jnp.concatenate([cache["feats"], x], axis=1)
-            keep = cache["chunk_size"][0] + cache["chunk_size"][2]
-            cache["feats"] = overlap[:, -keep:] if keep > 0 else overlap[:, :0]
-            x = overlap
-
-        n_layers = cfg.num_blocks
-        opt = cache.get("opt") or [None] * n_layers
-        look_back = cache.get("encoder_chunk_look_back", 0)
-        chunk_size = cache["chunk_size"]
-
-        x, opt[0] = _layer_apply_chunk(params["encoders0"], cfg, x, opt[0],
-                                       chunk_size, look_back, first=True)
-        if cfg.num_blocks > 1:
-            layers = unstack_params(params["encoders"], cfg.num_blocks - 1)
-            for i, lp in enumerate(layers):
-                x, opt[i + 1] = _layer_apply_chunk(lp, cfg, x, opt[i + 1],
-                                                   chunk_size, look_back, first=False)
-        if cfg.normalize_before:
-            x = layer_norm_apply(params["after_norm"], x)
+        y, new_carry, opt0, opt = _encoder_chunk_jit(
+            params, x, jnp.asarray(start, jnp.int32), cache["feats"],
+            cache["opt0"], cache["opt"], cfg, chunk_size, look_back,
+            bool(cache.get("tail_chunk")))
+        cache["feats"] = new_carry
         if look_back > 0 or look_back == -1:
+            cache["opt0"] = opt0
             cache["opt"] = opt
-        return x, jnp.asarray([x.shape[1]])
+        return y, jnp.asarray([y.shape[1]])

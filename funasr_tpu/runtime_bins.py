@@ -112,13 +112,29 @@ class Paraformer(_Handle):
         self._tokens_file = os.path.join(str(model_dir), "tokens.txt")
         self._hw_cache = {}
 
+    _HW_CACHE_MAX = 16  # bounded: per-request hotword strings must not leak
+
     def _trie(self, hotword: str, boost: float):
         key = (hotword, boost)
         if key not in self._hw_cache:
+            while len(self._hw_cache) >= self._HW_CACHE_MAX:
+                _, old = self._hw_cache.popitem()
+                if old:
+                    self.lib.FunASRHotwordFree(ctypes.c_void_p(old))
             self._hw_cache[key] = self.lib.FunASRHotwordCompile(
                 hotword.encode(), self._tokens_file.encode(),
                 ctypes.c_float(boost))
         return self._hw_cache[key]
+
+    def __del__(self):
+        for trie in getattr(self, "_hw_cache", {}).values():
+            try:
+                if trie:
+                    self.lib.FunASRHotwordFree(ctypes.c_void_p(trie))
+            except Exception:  # noqa: BLE001 — interpreter shutdown
+                pass
+        self._hw_cache = {}
+        super().__del__()
 
     def __call__(self, wav_content: Union[str, bytes, List], fs: int = 16000,
                  hotword: Optional[str] = None, hotword_boost: float = 3.0,

@@ -234,8 +234,9 @@ TIMEDATE_RULES: Dict[str, list] = {
         (r"\b(\d{1,2}) y media\b", False, "{1:i}:30"),
         (r"\b(\d{1,2}) y cuarto\b", False, "{1:i}:15"),
         (r"\b(\d{1,2}) menos cuarto\b", False, "{1:m1mod24}:45"),
-        # las 3 40 -> las 3:40 (es time tagger "las tres cuarenta")
-        (r"\b(?:las|la) (\d{1,2}) (\d{2})\b", False, "las {1:i}:{2:02}"),
+        # las 3 40 -> las 3:40 (es time tagger "las tres cuarenta"; the
+        # article is re-emitted, "la una cuarenta" keeps its singular "la")
+        (r"\b(las|la) (\d{1,2}) (\d{2})\b", False, "{1} {2:i}:{3:02}"),
         # "ciento" is a number word; cardinal pass may pre-digitize it
         (r"\b(\d+) por (?:ciento|100)\b", False, "{1} %"),
         # 24 de julio de(l) 2013 stays words+digits (es date verbalizer);

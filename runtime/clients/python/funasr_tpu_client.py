@@ -92,10 +92,15 @@ class FunASRClient:
                 if on_partial:
                     on_partial(data)
                 if data.get("mode", "").endswith("online"):
-                    # the C++/python servers send incremental online partials
-                    # ("clients concatenate"); the final for pure-online
-                    # sessions also arrives in mode "online" with is_final
-                    online_text += data.get("text", "") or ""
+                    # incremental online partials ("clients concatenate");
+                    # an online-mode final is a fresh full decode of the
+                    # remaining buffer, NOT another increment — appending it
+                    # would duplicate the transcript, so it only serves as a
+                    # fallback when no partials accumulated
+                    if not data.get("is_final"):
+                        online_text += data.get("text", "") or ""
+                    elif not online_text:
+                        online_text = data.get("text", "") or ""
                 else:
                     final_text.append(data.get("text", ""))
                 if data.get("is_final"):

@@ -99,7 +99,7 @@ FUNASR_HANDLE FunASRInit(const char* model_dir, int /*thread_num*/) {
       if (stream->Load(ftr, h->model_dir)) h->stream_engine = std::move(stream);
     } else if (has_ftr) {
       auto sv = std::make_unique<SenseVoiceEngine>();
-      if (sv->Load(h->model_dir)) {
+      if (sv->Load(ftr, h->model_dir)) {
         h->lfr_m = sv->lfr_m();
         h->lfr_n = sv->lfr_n();
         h->n_mels = sv->n_mels();

@@ -493,8 +493,13 @@ std::string ParaformerEngine::Infer(const std::vector<float>& feats, int t,
           best = tok;
         }
       }
-      float unused = 0.0f;
-      hw_state = hotwords->Step(hw_state, best, &unused);
+      // advance only over EMITTED symbols: a blank between hotword chars
+      // must not reset the in-progress prefix (the reference bias-LM walks
+      // output symbols, not frames)
+      if (best != blank_ && best != sos_ && best != eos_) {
+        float unused = 0.0f;
+        hw_state = hotwords->Step(hw_state, best, &unused);
+      }
     }
     if (best == blank_ || best == sos_ || best == eos_) continue;
     ++n_chars;

@@ -1,5 +1,7 @@
 #include "sensevoice-engine.h"
 
+#include <memory>
+
 #include <cstring>
 
 #include "nn.h"
@@ -23,37 +25,42 @@ int LidQueryId(const std::string& language) {
 }  // namespace
 
 const WTensor& SenseVoiceEngine::W(const std::string& name) const {
-  const WTensor* t = ftr_.Find(name);
+  const WTensor* t = ftr_->Find(name);
   static WTensor empty;
   return t ? *t : empty;
 }
 
 bool SenseVoiceEngine::Load(const std::string& model_dir) {
-  if (!ftr_.Load(model_dir + "/weights.ftr") ||
-      ftr_.MetaStr("model", "") != "SenseVoiceSmall") {
-    return false;
-  }
+  auto ftr = std::make_shared<FtrFile>();
+  if (!ftr->Load(model_dir + "/weights.ftr")) return false;
+  return Load(std::move(ftr), model_dir);
+}
+
+bool SenseVoiceEngine::Load(std::shared_ptr<const FtrFile> ftr,
+                            const std::string& model_dir) {
+  ftr_ = std::move(ftr);
+  if (ftr_->MetaStr("model", "") != "SenseVoiceSmall") return false;
   if (!vocab_.Load(model_dir + "/tokens.txt")) return false;
-  input_size_ = ftr_.MetaInt("input_size", 560);
-  d_ = ftr_.MetaInt("encoder.output_size", 512);
-  vocab_size_ = ftr_.MetaInt("vocab_size", vocab_.Size());
-  blank_ = ftr_.MetaInt("blank_id", 0);
-  lfr_m_ = ftr_.MetaInt("lfr_m", 7);
-  lfr_n_ = ftr_.MetaInt("lfr_n", 6);
-  n_mels_ = ftr_.MetaInt("n_mels", 80);
+  input_size_ = ftr_->MetaInt("input_size", 560);
+  d_ = ftr_->MetaInt("encoder.output_size", 512);
+  vocab_size_ = ftr_->MetaInt("vocab_size", vocab_.Size());
+  blank_ = ftr_->MetaInt("blank_id", 0);
+  lfr_m_ = ftr_->MetaInt("lfr_m", 7);
+  lfr_n_ = ftr_->MetaInt("lfr_n", 6);
+  n_mels_ = ftr_->MetaInt("n_mels", 80);
   SanmEncoderCfg cfg;
   cfg.input_size = input_size_;
   cfg.d = d_;
-  cfg.heads = ftr_.MetaInt("encoder.attention_heads", 4);
-  cfg.ffn = ftr_.MetaInt("encoder.linear_units", 2048);
-  cfg.blocks = ftr_.MetaInt("encoder.num_blocks", 50);
-  cfg.kernel = ftr_.MetaInt("encoder.kernel_size", 11);
-  cfg.shift = ftr_.MetaInt("encoder.sanm_shift", 0);
-  cfg.tp_blocks = ftr_.MetaInt("encoder.tp_blocks", 0);
-  encoder_.Init(&ftr_, "encoder", cfg);
-  loaded_ = ftr_.Find("encoder/after_norm/scale") != nullptr &&
-            ftr_.Find("ctc/ctc_lo/w") != nullptr &&
-            ftr_.Find("embed/w") != nullptr;
+  cfg.heads = ftr_->MetaInt("encoder.attention_heads", 4);
+  cfg.ffn = ftr_->MetaInt("encoder.linear_units", 2048);
+  cfg.blocks = ftr_->MetaInt("encoder.num_blocks", 50);
+  cfg.kernel = ftr_->MetaInt("encoder.kernel_size", 11);
+  cfg.shift = ftr_->MetaInt("encoder.sanm_shift", 0);
+  cfg.tp_blocks = ftr_->MetaInt("encoder.tp_blocks", 0);
+  encoder_.Init(ftr_.get(), "encoder", cfg);
+  loaded_ = ftr_->Find("encoder/after_norm/scale") != nullptr &&
+            ftr_->Find("ctc/ctc_lo/w") != nullptr &&
+            ftr_->Find("embed/w") != nullptr;
   return loaded_;
 }
 
@@ -80,7 +87,7 @@ std::string SenseVoiceEngine::Infer(const std::vector<float>& feats, int t,
   std::vector<float> enc = encoder_.Encode(x, t_ext);
   std::vector<float> logits(static_cast<int64_t>(t_ext) * vocab_size_);
   const WTensor& wo = W("ctc/ctc_lo/w");
-  const WTensor* bo = ftr_.Find("ctc/ctc_lo/b");
+  const WTensor* bo = ftr_->Find("ctc/ctc_lo/b");
   MatMul(enc.data(), t_ext, d_, wo, bo ? bo->f32.data() : nullptr,
          logits.data());
 

@@ -7,6 +7,7 @@
 #ifndef FUNASR_TPU_SENSEVOICE_ENGINE_H_
 #define FUNASR_TPU_SENSEVOICE_ENGINE_H_
 
+#include <memory>
 #include <string>
 #include <vector>
 
@@ -21,6 +22,9 @@ class SenseVoiceEngine {
   // model_dir must hold a weights.ftr with meta model=SenseVoiceSmall
   // + tokens.txt. Returns false otherwise.
   bool Load(const std::string& model_dir);
+  // share an already-loaded weights.ftr arena (FunASRInit loads once)
+  bool Load(std::shared_ptr<const FtrFile> ftr,
+            const std::string& model_dir);
   bool loaded() const { return loaded_; }
   int lfr_m() const { return lfr_m_; }
   int lfr_n() const { return lfr_n_; }
@@ -37,7 +41,7 @@ class SenseVoiceEngine {
  private:
   const WTensor& W(const std::string& name) const;
 
-  FtrFile ftr_;
+  std::shared_ptr<const FtrFile> ftr_;
   Vocab vocab_;
   SanmEncoder encoder_;
   bool loaded_ = false;

@@ -351,17 +351,20 @@ FsmnVadStream::FsmnVadStream(const FsmnVadEngine* engine)
 
 std::vector<std::pair<int, int>> FsmnVadStream::Accept(const float* samples,
                                                        int n, bool is_final) {
-  const VadxOptions& o = engine_->MakeOptions();
+  // dynamic endpoint schedule: the STREAMING table + event-driven
+  // bookkeeping, mirroring DynamicStreamingVAD (dynamic_vad.py:15-82) —
+  // accumulate speech time per chunk only while an utterance is open, reset
+  // only on CLOSE events (an open [beg,-1] partial must not loosen the
+  // schedule back)
+  static constexpr std::pair<int64_t, int> kStreamingSilenceSchedule[] = {
+      {5000, 2000}, {10000, 1500}, {15000, 1000},
+      {30000, 800}, {45000, 400},  {INT64_MAX, 100},
+  };
   if (engine_->dynamic_silence() && n > 0) {
-    const int64_t chunk_ms = n / 16;
-    if (machine_.in_speech() || dyn_in_speech_) {
-      accumulated_ms_ += chunk_ms;
-      dyn_in_speech_ = true;
-    }
-    for (const auto& [limit, sil_ms] : kDefaultSilenceSchedule) {
+    if (dyn_in_speech_) accumulated_ms_ += n / 16;
+    for (const auto& [limit, sil_ms] : kStreamingSilenceSchedule) {
       if (accumulated_ms_ <= limit) {
-        machine_.set_max_end_sil_thresh_ms(
-            std::max(sil_ms - o.speech_to_sil_time_thres, 0));
+        machine_.set_max_end_sil_thresh_ms(sil_ms);
         machine_.set_speech_noise_thres(0.5);
         break;
       }
@@ -373,9 +376,12 @@ std::vector<std::pair<int, int>> FsmnVadStream::Accept(const float* samples,
   auto events = machine_.Feed(scores.data(), db.data(),
                               static_cast<int>(scores.size()), is_final,
                               /*streaming_input=*/true);
-  if (!events.empty() && engine_->dynamic_silence()) {
-    accumulated_ms_ = 0;
-    dyn_in_speech_ = false;
+  for (const auto& ev : events) {
+    if (ev.first != -1 && ev.second == -1) dyn_in_speech_ = true;
+    if (ev.second != -1) {  // endpoint closed
+      dyn_in_speech_ = false;
+      accumulated_ms_ = 0;
+    }
   }
   if (is_final) {
     scorer_.Reset();
