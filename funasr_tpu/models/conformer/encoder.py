@@ -9,6 +9,8 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -191,6 +193,12 @@ def _chunk_layer_apply(params, cfg: ConformerConfig, x, pos_emb, attn_mask,
     return layer_norm_apply(params["norm_final"], x)
 
 
+@partial(jax.jit, static_argnames=("self",))
+def _conformer_chunk_jit(self, params, chunk, k_all, v_all, conv_all, filled):
+    return self._forward_chunk_impl(params, chunk, k_all, v_all, conv_all,
+                                    filled)
+
+
 @tables.register("encoder_classes", "ChunkConformerEncoder")
 class ChunkConformerEncoder(ConformerEncoder):
     """Chunk-causal conformer for streaming (cache-based stateful inference,
@@ -241,14 +249,13 @@ class ChunkConformerEncoder(ConformerEncoder):
         cfg = self.cfg
         l = self.left_chunks * self.chunk_size
         h, dk = cfg.attention_heads, cfg.output_size // cfg.attention_heads
+        # stacked (num_blocks, ...) so the jitted chunk step scans layers
         return {
-            "k": [jnp.zeros((batch, h, l, dk), dtype)
-                  for _ in range(cfg.num_blocks)],
-            "v": [jnp.zeros((batch, h, l, dk), dtype)
-                  for _ in range(cfg.num_blocks)],
-            "conv": [jnp.zeros((batch, cfg.cnn_module_kernel - 1,
-                                cfg.output_size), dtype)
-                     for _ in range(cfg.num_blocks)],
+            "k": jnp.zeros((cfg.num_blocks, batch, h, l, dk), dtype),
+            "v": jnp.zeros((cfg.num_blocks, batch, h, l, dk), dtype),
+            "conv": jnp.zeros((cfg.num_blocks, batch,
+                               cfg.cnn_module_kernel - 1, cfg.output_size),
+                              dtype),
             "filled": jnp.zeros((batch,), jnp.int32),
         }
 
@@ -299,31 +306,40 @@ class ChunkConformerEncoder(ConformerEncoder):
             v[:, :, -keep:] if keep else v[:, :, :0]
 
     def forward_chunk(self, params, chunk, cache):
-        """chunk: (B, chunk_size, D) post-subsampling -> (B, chunk_size, D)."""
-        from funasr_tpu.core.module import unstack_params
+        """chunk: (B, chunk_size, D) post-subsampling -> (B, chunk_size, D).
+
+        One jitted program per chunk (cache shapes are fixed from init, so
+        the whole stream reuses a single compile): lax.scan over the stacked
+        layers with the stacked k/v/conv caches — the eager per-layer loop
+        cost hundreds of dispatches per chunk.
+        """
+        y, new_k, new_v, new_conv = _conformer_chunk_jit(
+            self, params, chunk, cache["k"], cache["v"], cache["conv"],
+            cache["filled"])
+        return y, {"k": new_k, "v": new_v, "conv": new_conv,
+                   "filled": cache["filled"] + chunk.shape[1]}
+
+    def _forward_chunk_impl(self, params, chunk, k_all, v_all, conv_all,
+                            filled):
         cfg = self.cfg
-        b, cs, _ = chunk.shape
         x = chunk
-        layers = unstack_params(params["encoders"], cfg.num_blocks)
-        valid_left = jnp.minimum(cache["filled"],
-                                 self.left_chunks * self.chunk_size)
-        new_k, new_v, new_conv = [], [], []
-        for li, lp in enumerate(layers):
+        valid_left = jnp.minimum(filled, self.left_chunks * self.chunk_size)
+
+        def body(x, inp):
+            lp, k_c, v_c, conv_c = inp
             if cfg.macaron_style:
                 h = layer_norm_apply(lp["norm_ff_macaron"], x)
                 x = x + 0.5 * _ffn_swish(lp["feed_forward_macaron"], h)
             h = layer_norm_apply(lp["norm_mha"], x)
-            attn_out, k_c, v_c = self._attn_step(
-                lp["self_attn"], h, cache["k"][li], cache["v"][li], valid_left)
-            new_k.append(k_c)
-            new_v.append(v_c)
+            attn_out, new_k, new_v = self._attn_step(
+                lp["self_attn"], h, k_c, v_c, valid_left)
             x = x + attn_out
             h = layer_norm_apply(lp["norm_conv"], x)
             hc = conv1d_apply(lp["conv_module"]["pointwise_conv1"], h)
             a2, b2 = jnp.split(hc, 2, axis=-1)
             hc = a2 * jax.nn.sigmoid(b2)
-            win = jnp.concatenate([cache["conv"][li], hc], axis=1)
-            new_conv.append(win[:, -(cfg.cnn_module_kernel - 1):])
+            win = jnp.concatenate([conv_c, hc], axis=1)
+            new_conv = win[:, -(cfg.cnn_module_kernel - 1):]
             hd = depthwise_conv1d_apply(lp["conv_module"]["depthwise_conv"],
                                         win, left_pad=0, right_pad=0)
             hd = swish(batchnorm_apply(lp["conv_module"]["norm"], hd))
@@ -331,6 +347,9 @@ class ChunkConformerEncoder(ConformerEncoder):
             h = layer_norm_apply(lp["norm_ff"], x)
             x = x + 0.5 * _ffn_swish(lp["feed_forward"], h)
             x = layer_norm_apply(lp["norm_final"], x)
+            return x, (new_k, new_v, new_conv)
+
+        x, (new_k, new_v, new_conv) = jax.lax.scan(
+            body, x, (params["encoders"], k_all, v_all, conv_all))
         x = layer_norm_apply(params["after_norm"], x)
-        return x, {"k": new_k, "v": new_v, "conv": new_conv,
-                   "filled": cache["filled"] + cs}
+        return x, new_k, new_v, new_conv
