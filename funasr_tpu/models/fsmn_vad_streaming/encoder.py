@@ -13,6 +13,8 @@ from __future__ import annotations
 
 from typing import Dict, NamedTuple, Optional
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -38,6 +40,11 @@ class FSMNConfig(NamedTuple):
     output_affine_dim: int = 140
     output_dim: int = 248
     use_softmax: bool = True
+
+
+@partial(jax.jit, static_argnames=("self",))
+def _fsmn_forward_jit(self, params, x, caches):
+    return self._forward_impl(params, x, caches)
 
 
 @tables.register("encoder_classes", "FSMN")
@@ -104,23 +111,40 @@ class FSMN:
         """x: (B, T, input_dim) -> (B, T, output_dim) softmax scores.
 
         ``cache``: dict carrying per-layer left contexts across streaming chunks
-        (mutated in place, mirrors the reference cache_layer_i contract).
+        (mutated in place, mirrors the reference cache_layer_i contract). The
+        whole scoring stack runs as ONE jitted program — the eager per-op
+        dispatch dominated streaming VAD latency over the device tunnel.
         """
+        c = self.cfg
+        n = len(params["fsmn"])
+        if cache is not None:
+            for i in range(n):
+                key = f"cache_layer_{i}"
+                if key not in cache:
+                    cache[key] = jnp.zeros(
+                        (x.shape[0], (c.lorder - 1) * c.lstride, c.proj_dim),
+                        x.dtype)
+            caches = tuple(cache[f"cache_layer_{i}"] for i in range(n))
+        else:
+            caches = None
+        h, new_caches = _fsmn_forward_jit(self, params, jnp.asarray(x), caches)
+        if cache is not None:
+            for i in range(n):
+                cache[f"cache_layer_{i}"] = new_caches[i]
+        return h
+
+    def _forward_impl(self, params, x, caches):
         c = self.cfg
         h = linear_apply(params["in_linear1"], x)
         h = linear_apply(params["in_linear2"], h)
         h = jax.nn.relu(h)
+        new_caches = []
         for i, bp in enumerate(params["fsmn"]):
-            key = f"cache_layer_{i}"
-            if cache is not None:
-                if key not in cache:
-                    cache[key] = jnp.zeros((x.shape[0], (c.lorder - 1) * c.lstride,
-                                            c.proj_dim), x.dtype)
-                h, cache[key] = self._block(bp, h, cache[key])
-            else:
-                h, _ = self._block(bp, h, None)
+            h, new_c = self._block(bp, h, caches[i] if caches is not None
+                                   else None)
+            new_caches.append(new_c)
         h = linear_apply(params["out_linear1"], h)
         h = linear_apply(params["out_linear2"], h)
         if c.use_softmax:
             h = jax.nn.softmax(h.astype(jnp.float32), axis=-1)
-        return h
+        return h, tuple(new_caches)
