@@ -68,6 +68,48 @@ def run_benchmark(model, audio_files, labels=None, warmup: int = 1, **cfg):
     return report, results
 
 
+def run_streaming_latency(model, audio=None, chunk_ms: int = 600,
+                          seconds: float = 20.0, warmup_chunks: int = 6,
+                          **cfg):
+    """Streaming chunk-latency harness (the reference's realtime service
+    metric definitions, ``docs/benchmark/realtime_ws_benchmark.md:60-70``):
+    feeds ``chunk_ms`` strides through the streaming model and reports
+    first_update_ms (wall to the first non-empty partial), per-chunk p50/p95,
+    and RTF. ``model``: an AutoModel over a streaming-capable class."""
+    import numpy as np
+
+    from funasr_tpu.utils.load_utils import load_audio
+
+    fs = 16000
+    if audio is None:
+        rng = np.random.default_rng(0)
+        wav = (rng.standard_normal(int(seconds * fs)) * 0.1).astype(np.float32)
+    else:
+        wav = np.asarray(load_audio(audio), np.float32)
+    stride = int(fs * chunk_ms / 1000)
+    cache = {}
+    lat, first_update_ms = [], None
+    t_start = time.perf_counter()
+    total = max(len(wav) // stride, 1)
+    for i in range(total):
+        chunk = wav[i * stride: (i + 1) * stride]
+        t0 = time.perf_counter()
+        res = model.generate(input=chunk, cache=cache,
+                             is_final=i == total - 1, **cfg)
+        lat.append(time.perf_counter() - t0)
+        if first_update_ms is None and res and res[0].get("text"):
+            first_update_ms = (time.perf_counter() - t_start) * 1000
+    steady = sorted(lat[warmup_chunks:]) or sorted(lat)
+    p50 = steady[len(steady) // 2] * 1000
+    p95 = steady[min(int(len(steady) * 0.95), len(steady) - 1)] * 1000
+    return {"mode": "latency", "chunk_ms": chunk_ms, "n_chunks": total,
+            "first_update_ms": round(first_update_ms, 1)
+            if first_update_ms else None,
+            "chunk_p50_ms": round(p50, 1), "chunk_p95_ms": round(p95, 1),
+            "rtf": round(round(p50, 1) / chunk_ms, 4),
+            "compile_chunks": warmup_chunks}
+
+
 def _read_kaldi_pairs(path):
     out = {}
     with open(path, encoding="utf-8") as f:
@@ -150,6 +192,16 @@ def main_cli():
                               batch_size=int(cfg.get("batch_size", 16)),
                               **{k: v for k, v in run_cfg.items()
                                  if k != "batch_size"})
+        print(json.dumps(report, ensure_ascii=False))
+        return
+
+    if mode == "latency":
+        report = run_streaming_latency(
+            model, audio=cfg.get("audio"),
+            chunk_ms=int(cfg.get("chunk_ms", 600)),
+            seconds=float(cfg.get("seconds", 20.0)),
+            **{k: v for k, v in run_cfg.items()
+               if k not in ("audio", "chunk_ms", "seconds", "batch_size")})
         print(json.dumps(report, ensure_ascii=False))
         return
 

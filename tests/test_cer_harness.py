@@ -112,3 +112,32 @@ def test_real_checkpoint_cer():
                               os.path.join(aishell, "text"), batch_size=16)
         print(json.dumps(report, ensure_ascii=False))
         assert report["cer"] <= 2.5, report
+
+
+def test_streaming_latency_harness():
+    """++mode=latency mechanics (realtime_ws_benchmark.md metric definitions):
+    per-chunk percentiles over the steady state, first_update_ms at the first
+    non-empty partial, RTF vs the chunk duration."""
+    import time as _time
+
+    from funasr_tpu.bin.benchmark import run_streaming_latency
+
+    class StubStreaming:
+        def __init__(self):
+            self.calls = 0
+
+        def generate(self, input, cache=None, is_final=False, **kwargs):
+            self.calls += 1
+            _time.sleep(0.01)
+            # first two chunks produce no text (compile/window warmup role)
+            return [{"text": "" if self.calls <= 2 else "好"}]
+
+    stub = StubStreaming()
+    report = run_streaming_latency(stub, chunk_ms=600, seconds=6.0,
+                                   warmup_chunks=2)
+    assert report["n_chunks"] == 10 and stub.calls == 10
+    assert report["first_update_ms"] is not None
+    assert report["first_update_ms"] >= 30  # after the 3rd chunk
+    assert report["chunk_p50_ms"] >= 10
+    assert report["chunk_p95_ms"] >= report["chunk_p50_ms"]
+    assert report["rtf"] == round(report["chunk_p50_ms"] / 600, 4)
