@@ -11,11 +11,23 @@ from __future__ import annotations
 
 import math
 import time
+from functools import partial
 from typing import Dict, List, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+@partial(jax.jit, static_argnames=("self",))
+def _whisper_next_token_jit(self, params, tokens, encoder_out, last_pos):
+    """One greedy step: full-prefix decode + argmax of each row's last valid
+    position, fetched as (B,) ids — one program, one host round-trip."""
+    logits = self.decode_logits(params, tokens, encoder_out)
+    row = jnp.take_along_axis(
+        logits, last_pos[:, None, None].repeat(logits.shape[-1], -1),
+        axis=1)[:, 0]
+    return jnp.argmax(row, axis=-1).astype(jnp.int32)
 
 from funasr_tpu.core.layers import (
     layer_norm_apply, layer_norm_init, linear_apply, linear_init, make_pad_mask)
@@ -189,7 +201,9 @@ class WhisperModel:
 
     def greedy_decode(self, params, encoder_out, prompt_ids, eot_id: int,
                       max_new: int = 128):
-        """Host AR loop (whole-prefix recompute per step, bucketed)."""
+        """Host AR loop over a JITTED prefix decode (bucketed lengths, one XLA
+        call + one device fetch per step; the eager per-layer loop cost
+        hundreds of dispatches per generated token)."""
         from funasr_tpu.utils.bucket import bucket_length
         b = encoder_out.shape[0]
         tokens = [list(prompt_ids) for _ in range(b)]
@@ -197,13 +211,17 @@ class WhisperModel:
         for _ in range(max_new):
             lmax = bucket_length(max(len(t) for t in tokens), minimum=8, multiple=8)
             ys = np.zeros((b, lmax), np.int32)
+            last = np.zeros((b,), np.int32)
             for i, t in enumerate(tokens):
                 ys[i, : len(t)] = t
-            logits = self.decode_logits(params, jnp.asarray(ys), encoder_out)
+                last[i] = len(t) - 1
+            nxt = np.asarray(_whisper_next_token_jit(
+                self, params, jnp.asarray(ys), encoder_out,
+                jnp.asarray(last)))
             for i in range(b):
                 if done[i]:
                     continue
-                tok = int(jnp.argmax(logits[i, len(tokens[i]) - 1]))
+                tok = int(nxt[i])
                 if tok == eot_id:
                     done[i] = True
                 else:
