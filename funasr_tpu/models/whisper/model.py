@@ -19,20 +19,103 @@ import jax.numpy as jnp
 import numpy as np
 
 
+from funasr_tpu.core.layers import (
+    layer_norm_apply, layer_norm_init, linear_apply, linear_init,
+    make_pad_mask, masked_softmax)
+from funasr_tpu.models.transformer.attention import MHAConfig, mha_apply, mha_init
+from funasr_tpu.register import tables
+
+
 @partial(jax.jit, static_argnames=("self",))
 def _whisper_next_token_jit(self, params, tokens, encoder_out, last_pos):
-    """One greedy step: full-prefix decode + argmax of each row's last valid
-    position, fetched as (B,) ids — one program, one host round-trip."""
+    """One greedy step via full-prefix recompute (fallback / parity oracle):
+    one program + one host round-trip per token, but a fresh compile per
+    prefix-length bucket."""
     logits = self.decode_logits(params, tokens, encoder_out)
     row = jnp.take_along_axis(
         logits, last_pos[:, None, None].repeat(logits.shape[-1], -1),
         axis=1)[:, 0]
     return jnp.argmax(row, axis=-1).astype(jnp.int32)
 
-from funasr_tpu.core.layers import (
-    layer_norm_apply, layer_norm_init, linear_apply, linear_init, make_pad_mask)
-from funasr_tpu.models.transformer.attention import MHAConfig, mha_apply, mha_init
-from funasr_tpu.register import tables
+
+@partial(jax.jit, static_argnames=("self",))
+def _whisper_cross_kv_jit(self, params, encoder_out):
+    """Per-layer cross-attention k/v, computed once per utterance."""
+    cfg = self.cfg
+    mha = MHAConfig(cfg.decoder_attention_heads, cfg.d_model)
+
+    def heads(y):
+        b, t, _ = y.shape
+        return y.reshape(b, t, mha.n_head, mha.d_k).transpose(0, 2, 1, 3)
+
+    out = []
+    for lp in params["decoder"]["layers"]:
+        out.append({
+            "k": heads(linear_apply(lp["encoder_attn"]["linear_k"],
+                                    encoder_out)),
+            "v": heads(linear_apply(lp["encoder_attn"]["linear_v"],
+                                    encoder_out))})
+    return out
+
+
+@partial(jax.jit, static_argnames=("self",), donate_argnums=(3,))
+def _whisper_cached_step_jit(self, params, toks, self_kv, cross_kv, pos):
+    """One kv-cached decoder step: toks (B,) at position ``pos`` (traced
+    scalar) -> ((B,) next-token ids, updated self-attn caches). Exactly the
+    math of decode_logits restricted to one query row, so the whole greedy
+    decode compiles ONCE regardless of length (the prefix-recompute path
+    compiles per length bucket — ruinous for the 32-layer sizes)."""
+    cfg = self.cfg
+    dec = params["decoder"]
+    mha = MHAConfig(cfg.decoder_attention_heads, cfg.d_model)
+    scale = 1.0 / math.sqrt(mha.d_k)
+
+    def heads(y):
+        b = y.shape[0]
+        return y.reshape(b, 1, mha.n_head, mha.d_k).transpose(0, 2, 1, 3)
+
+    x = jnp.take(dec["embed_tokens"], toks, axis=0)[:, None] \
+        + jax.lax.dynamic_slice_in_dim(dec["embed_positions"], pos, 1, 0)[None]
+    new_kv = []
+    for li, lp in enumerate(dec["layers"]):
+        res = x
+        y = layer_norm_apply(lp["self_attn_layer_norm"], x)
+        q = heads(linear_apply(lp["self_attn"]["linear_q"], y))
+        k_new = heads(linear_apply(lp["self_attn"]["linear_k"], y))
+        v_new = heads(linear_apply(lp["self_attn"]["linear_v"], y))
+        k_c = jax.lax.dynamic_update_slice_in_dim(self_kv[li]["k"], k_new,
+                                                  pos, axis=2)
+        v_c = jax.lax.dynamic_update_slice_in_dim(self_kv[li]["v"], v_new,
+                                                  pos, axis=2)
+        new_kv.append({"k": k_c, "v": v_c})
+        valid = (jnp.arange(k_c.shape[2]) <= pos)[None, None, None, :]
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k_c,
+                            preferred_element_type=jnp.float32) * scale
+        attn = masked_softmax(scores.astype(x.dtype), valid)
+        ctx = jnp.einsum("bhqk,bhkd->bhqd", attn, v_c,
+                         preferred_element_type=jnp.float32)
+        b = ctx.shape[0]
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(b, 1, mha.n_feat).astype(x.dtype)
+        x = res + linear_apply(lp["self_attn"]["linear_out"], ctx)
+
+        res = x
+        y = layer_norm_apply(lp["encoder_attn_layer_norm"], x)
+        q2 = heads(linear_apply(lp["encoder_attn"]["linear_q"], y))
+        scores2 = jnp.einsum("bhqd,bhkd->bhqk", q2, cross_kv[li]["k"],
+                             preferred_element_type=jnp.float32) * scale
+        attn2 = masked_softmax(scores2.astype(x.dtype), None)
+        ctx2 = jnp.einsum("bhqk,bhkd->bhqd", attn2, cross_kv[li]["v"],
+                          preferred_element_type=jnp.float32)
+        ctx2 = ctx2.transpose(0, 2, 1, 3).reshape(b, 1, mha.n_feat).astype(x.dtype)
+        x = res + linear_apply(lp["encoder_attn"]["linear_out"], ctx2)
+
+        res = x
+        y = layer_norm_apply(lp["final_layer_norm"], x)
+        x = res + _ffn(lp, y)
+    x = layer_norm_apply(dec["layer_norm"], x)
+    logits = jnp.matmul(x, dec["embed_tokens"].T.astype(x.dtype),
+                        preferred_element_type=jnp.float32)
+    return jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32), new_kv
 
 
 class WhisperConfig(NamedTuple):
@@ -201,9 +284,53 @@ class WhisperModel:
 
     def greedy_decode(self, params, encoder_out, prompt_ids, eot_id: int,
                       max_new: int = 128):
-        """Host AR loop over a JITTED prefix decode (bucketed lengths, one XLA
-        call + one device fetch per step; the eager per-layer loop cost
-        hundreds of dispatches per generated token)."""
+        """KV-cached greedy decode: ONE compiled single-token step for the
+        whole loop (self-attn caches donated+updated in place, cross-attn k/v
+        precomputed per utterance). Matches the prefix-recompute oracle
+        (`_greedy_decode_prefix`) token-for-token."""
+        from funasr_tpu.utils.bucket import bucket_length
+        cfg = self.cfg
+        b = encoder_out.shape[0]
+        mha = MHAConfig(cfg.decoder_attention_heads, cfg.d_model)
+        max_len = min(bucket_length(len(prompt_ids) + max_new, minimum=32,
+                                    multiple=32), cfg.max_target_positions)
+        self_kv = [{"k": jnp.zeros((b, mha.n_head, max_len, mha.d_k),
+                                   encoder_out.dtype),
+                    "v": jnp.zeros((b, mha.n_head, max_len, mha.d_k),
+                                   encoder_out.dtype)}
+                   for _ in range(cfg.decoder_layers)]
+        cross_kv = _whisper_cross_kv_jit(self, params, encoder_out)
+
+        tokens = [list(prompt_ids) for _ in range(b)]
+        done = [False] * b
+        cur = np.full((b,), prompt_ids[0], np.int32)
+        for pos in range(max_len - 1):
+            nxt, self_kv = _whisper_cached_step_jit(
+                self, params, jnp.asarray(cur), self_kv, cross_kv,
+                jnp.asarray(pos, jnp.int32))
+            if pos + 1 < len(prompt_ids):
+                cur = np.full((b,), prompt_ids[pos + 1], np.int32)
+                continue
+            nxt = np.asarray(nxt)
+            for i in range(b):
+                if done[i]:
+                    continue
+                tok = int(nxt[i])
+                if tok == eot_id:
+                    done[i] = True
+                else:
+                    tokens[i].append(tok)
+            n_generated = pos + 2 - len(prompt_ids)
+            if all(done) or n_generated >= max_new \
+                    or max(len(t) for t in tokens) >= max_len:
+                break
+            cur = np.asarray([t[pos + 1] if pos + 1 < len(t) else eot_id
+                              for t in tokens], np.int32)
+        return [t[len(prompt_ids):] for t in tokens]
+
+    def _greedy_decode_prefix(self, params, encoder_out, prompt_ids,
+                              eot_id: int, max_new: int = 128):
+        """Prefix-recompute greedy (the parity oracle for the cached path)."""
         from funasr_tpu.utils.bucket import bucket_length
         b = encoder_out.shape[0]
         tokens = [list(prompt_ids) for _ in range(b)]

@@ -59,3 +59,29 @@ def test_whisper_registered():
     from funasr_tpu.register import tables
     assert "Whisper-large-v3" in tables.model_classes
     assert "whisper-tiny" in tables.model_classes
+
+
+def test_cached_greedy_matches_prefix_oracle():
+    """The kv-cached single-compile greedy decode (whisper greedy_decode)
+    produces token-for-token the same output as the prefix-recompute oracle
+    (_greedy_decode_prefix) across batches and early-EOT rows."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from funasr_tpu.models.whisper.model import WhisperModel
+
+    m = WhisperModel(vocab_size=64, d_model=32, encoder_layers=2,
+                     decoder_layers=2, encoder_attention_heads=4,
+                     decoder_attention_heads=4, encoder_ffn_dim=64,
+                     decoder_ffn_dim=64, max_source_positions=100,
+                     max_target_positions=64, num_mel_bins=16)
+    params = m.init_params(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    for _ in range(3):
+        mel = jnp.asarray(rng.standard_normal((2, 40, 16)), jnp.float32)
+        enc, _ = m.encode(params, mel, jnp.asarray([40, 40]))
+        cached = m.greedy_decode(params, enc, [1, 2], eot_id=3, max_new=8)
+        oracle = m._greedy_decode_prefix(params, enc, [1, 2], eot_id=3,
+                                         max_new=8)
+        assert cached == oracle, (cached, oracle)
