@@ -10,6 +10,8 @@ from __future__ import annotations
 import time
 from typing import Dict, List, Optional
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -43,6 +45,14 @@ class JointNetwork:
         h = jnp.tanh(linear_apply(params["lin_enc"], enc)
                      + linear_apply(params["lin_dec"], dec))
         return linear_apply(params["lin_out"], h)
+
+
+@partial(jax.jit,
+         static_argnames=("self", "max_symbols_per_step", "max_tokens"))
+def _transducer_greedy_jit(self, params, enc, enc_lens, pred0, states0,
+                           max_symbols_per_step, max_tokens):
+    return self._greedy_decode_jit_impl(params, enc, enc_lens, pred0, states0,
+                                        max_symbols_per_step, max_tokens)
 
 
 @tables.register("model_classes", "Transducer")
@@ -120,7 +130,64 @@ class Transducer:
     # ------------------------------------------------------------------
 
     def greedy_decode(self, params, enc, enc_lens, max_symbols_per_step: int = 3):
-        """Host greedy transducer decode, one utterance at a time."""
+        """Batched greedy transducer decode as ONE jitted lax.scan over frames
+        (bounded inner symbol loop with emit masking) — the per-frame host
+        loop paid thousands of device dispatches per utterance. Matches the
+        host oracle (`_greedy_decode_host`) token-for-token."""
+        enc = jnp.asarray(enc)
+        b, tmax, _ = enc.shape
+        max_tokens = tmax * max_symbols_per_step
+        states0 = self._predict_init(b)
+        pred0, states0 = self._predict_step(
+            params, jnp.full((b,), self.blank_id, jnp.int32), states0)
+        out, n, _, _ = _transducer_greedy_jit(
+            self, params, enc, jnp.asarray(enc_lens, jnp.int32), pred0,
+            states0, max_symbols_per_step, max_tokens)
+        out, n = np.asarray(out), np.asarray(n)
+        return [[int(x) for x in out[i, : n[i]]] for i in range(b)]
+
+    def _greedy_decode_jit_impl(self, params, enc, enc_lens, pred0, states0,
+                                max_symbols_per_step, max_tokens):
+        b = enc.shape[0]
+        out0 = jnp.zeros((b, max_tokens), jnp.int32)
+        n0 = jnp.zeros((b,), jnp.int32)
+        rows = jnp.arange(b)
+
+        def frame_step(carry, inp):
+            pred, states, out, n = carry
+            enc_t, t_idx = inp
+            active0 = t_idx < enc_lens
+
+            def sym_step(c, _):
+                pred, states, out, n, active = c
+                logits = self.joint(params["joint"], enc_t, pred)
+                tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                emit = active & (tok != self.blank_id) & (n < max_tokens)
+                idx = jnp.minimum(n, max_tokens - 1)
+                out = out.at[rows, idx].set(
+                    jnp.where(emit, tok, out[rows, idx]))
+                n = n + emit.astype(jnp.int32)
+                new_pred, new_states = self._predict_step(params, tok, states)
+                pred = jnp.where(emit[:, None], new_pred, pred)
+                states = [(jnp.where(emit[:, None], h2, h1),
+                           jnp.where(emit[:, None], c2, c1))
+                          for (h1, c1), (h2, c2) in zip(states, new_states)]
+                return (pred, states, out, n, emit), None
+
+            (pred, states, out, n, _), _ = jax.lax.scan(
+                sym_step, (pred, states, out, n, active0), None,
+                length=max_symbols_per_step)
+            return (pred, states, out, n), None
+
+        (pred, states, out, n), _ = jax.lax.scan(
+            frame_step, (pred0, states0, out0, n0),
+            (enc.swapaxes(0, 1), jnp.arange(enc.shape[1])))
+        return out, n, pred, states
+
+    def _greedy_decode_host(self, params, enc, enc_lens,
+                            max_symbols_per_step: int = 3):
+        """Host greedy transducer decode, one utterance at a time (the parity
+        oracle for the jitted scan)."""
         enc = np.asarray(enc)
         results = []
         for i in range(enc.shape[0]):
@@ -152,48 +219,37 @@ class Transducer:
         if not hasattr(self.encoder, "forward_chunk"):
             raise ValueError(f"encoder {type(self.encoder).__name__} has no "
                              "forward_chunk; use ChunkConformerEncoder")
-        states = []
-        preds = []
-        for _ in range(batch):
-            st = self._predict_init(1)
-            pred, st = self._predict_step(
-                params, jnp.full((1,), self.blank_id, jnp.int32), st)
-            states.append(st)
-            preds.append(pred)
+        states = self._predict_init(batch)
+        pred, states = self._predict_step(
+            params, jnp.full((batch,), self.blank_id, jnp.int32), states)
         return {
             "encoder": self.encoder.init_cache(batch),
             "tokens": [[] for _ in range(batch)],
             "pred_states": states,
-            "preds": preds,
+            "preds": pred,
         }
 
     def decode_chunk(self, params, chunk, state, max_symbols_per_step: int = 3):
         """chunk: (B, chunk_size, D) features -> newly emitted tokens per
-        utterance. The prediction-network prefix continues across chunks, so
-        concatenating per-chunk emissions equals offline greedy over the same
-        chunk-causal encoder output."""
+        utterance. The prediction-network prefix continues across chunks (the
+        batched carried pred/states feed the same jitted scan as offline
+        greedy), so concatenating per-chunk emissions equals offline greedy
+        over the same chunk-causal encoder output — at one XLA call per chunk
+        instead of a per-frame dispatch loop."""
         enc, state["encoder"] = self.encoder.forward_chunk(
             params["encoder"], jnp.asarray(chunk), state["encoder"])
-        enc = np.asarray(enc)
+        b, t_chunk = enc.shape[0], enc.shape[1]
+        out, n, pred, states = _transducer_greedy_jit(
+            self, params, enc, jnp.full((b,), t_chunk, jnp.int32),
+            state["preds"], state["pred_states"], max_symbols_per_step,
+            t_chunk * max_symbols_per_step)
+        state["preds"] = pred
+        state["pred_states"] = states
+        out, n = np.asarray(out), np.asarray(n)
         new_tokens = []
-        for i in range(enc.shape[0]):
-            tokens = state["tokens"][i]
-            emitted = []
-            pred = state["preds"][i]
-            states = state["pred_states"][i]
-            for t in range(enc.shape[1]):
-                for _ in range(max_symbols_per_step):
-                    logits = self.joint(params["joint"],
-                                        jnp.asarray(enc[i, t])[None], pred)
-                    tok = int(jnp.argmax(logits[0]))
-                    if tok == self.blank_id:
-                        break
-                    tokens.append(tok)
-                    emitted.append(tok)
-                    pred, states = self._predict_step(
-                        params, jnp.full((1,), tok, jnp.int32), states)
-            state["preds"][i] = pred
-            state["pred_states"][i] = states
+        for i in range(b):
+            emitted = [int(x) for x in out[i, : n[i]]]
+            state["tokens"][i].extend(emitted)
             new_tokens.append(emitted)
         return new_tokens, state
 

@@ -91,3 +91,28 @@ def test_transformer_lm_scores(rng):
         assert scores.shape == (2, 30)
         np.testing.assert_allclose(np.asarray(jnp.exp(scores)).sum(-1),
                                    np.ones(2), rtol=1e-4)
+
+
+def test_transducer_jitted_greedy_matches_host_oracle():
+    """The single-program lax.scan greedy decode equals the per-frame host
+    loop token-for-token (incl. rows with different lengths/blank patterns)."""
+    import jax
+    import numpy as np
+
+    from funasr_tpu.models.transducer.model import Transducer
+
+    model = Transducer(encoder="ConformerEncoder",
+                       encoder_conf=dict(output_size=32, attention_heads=4,
+                                         linear_units=64, num_blocks=2,
+                                         input_layer="null"),
+                       decoder_conf=dict(embed_size=16, hidden_size=16),
+                       joint_network_conf=dict(joint_space_size=32),
+                       input_size=32, vocab_size=11)
+    params = model.init_params(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    enc, enc_lens = model.encoder(params["encoder"],
+                                  rng.standard_normal((3, 20, 32)).astype("f"),
+                                  np.asarray([20, 14, 9]))
+    fast = model.greedy_decode(params, enc, np.asarray([20, 14, 9]))
+    slow = model._greedy_decode_host(params, enc, np.asarray([20, 14, 9]))
+    assert fast == slow, (fast, slow)
