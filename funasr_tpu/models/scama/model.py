@@ -31,6 +31,26 @@ from funasr_tpu.models.transformer.model import add_sos_eos
 from funasr_tpu.register import tables
 
 
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("self",))
+def _scama_greedy_step_jit(self, params, enc, enc_lens, ys, scama_mask, step):
+    """One greedy step over the PADDED target buffer: decoder forward with a
+    (step+1)-length mask, argmax at position ``step``."""
+    b = enc.shape[0]
+    lens = jnp.full((b,), step + 1, jnp.int32)
+    # the scama mask covers max_tokens target rows; the write buffer has one
+    # extra slot for the final append, excluded from the decode input
+    logits, _ = self.decoder(params["decoder"], enc, enc_lens,
+                             ys[:, : scama_mask.shape[1]], lens,
+                             chunk_mask=scama_mask)
+    row = jnp.take_along_axis(
+        logits, step[None, None, None].repeat(b, 0).repeat(
+            logits.shape[-1], -1), axis=1)[:, 0]
+    return jnp.argmax(row, axis=-1).astype(jnp.int32)
+
+
 @tables.register("model_classes", "SCAMA")
 class SCAMA:
     def __init__(self, specaug: Optional[str] = None, specaug_conf=None,
@@ -215,14 +235,17 @@ class SCAMA:
             mask_shift_att_chunk_decoder=mask_shfit, is_training=False)
 
         b = enc.shape[0]
-        ys = jnp.full((b, 1), self.sos, jnp.int32)
-        # greedy AR decode with the full-prefix forward per step (teacher-free)
+        # greedy AR decode at FIXED shape: ys padded to max_tokens+1 with a
+        # per-step valid length — one compiled program for every step (pad
+        # rows are length-masked throughout the decoder, so logits[:, step]
+        # equals the prefix-only forward the eager loop computed)
+        ys = jnp.full((b, max_tokens + 1), self.eos, jnp.int32)
+        ys = ys.at[:, 0].set(self.sos)
         for step in range(max_tokens):
-            lens = jnp.full((b,), ys.shape[1], jnp.int32)
-            logits, _ = self.decoder(params["decoder"], enc, enc_lens, ys,
-                                     lens, chunk_mask=scama_mask)
-            nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
-            ys = jnp.concatenate([ys, nxt[:, None]], axis=1)
+            nxt = _scama_greedy_step_jit(self, params, enc, enc_lens, ys,
+                                         scama_mask,
+                                         jnp.asarray(step, jnp.int32))
+            ys = ys.at[:, step + 1].set(nxt)
         hyps = np.asarray(ys[:, 1:])
         token_num_np = np.asarray(token_num)
         results = []
