@@ -15,7 +15,7 @@ from __future__ import annotations
 import json
 from typing import Dict
 
-GRAMMAR_VERSION = 4
+GRAMMAR_VERSION = 5  # v5: fraction/measure/telephone class rules
 
 # spoken percent spans per language ("<number> <words>" -> "<number> %"; the
 # second spelling covers the cardinal pass already digitizing ciento/cent/trăm)

@@ -197,8 +197,63 @@ _DE_MONTHS = {"januar": "Jan.", "februar": "Feb.", "märz": "März",
 #   [ ... ]      segment emitted only if every group inside matched non-empty
 # ---------------------------------------------------------------------------
 
+_DE_UNITS = {"kilometern": "km", "kilometer": "km", "zentimetern": "cm",
+             "zentimeter": "cm", "millimetern": "mm", "millimeter": "mm",
+             "metern": "m", "meter": "m", "kilogramm": "kg", "gramm": "g",
+             "tonnen": "t", "tonne": "t", "litern": "l", "liter": "l"}
+_ES_UNITS = {"kilómetros": "km", "kilómetro": "km", "centímetros": "cm",
+             "centímetro": "cm", "metros": "m", "metro": "m",
+             "kilogramos": "kg", "kilogramo": "kg", "gramos": "g",
+             "gramo": "g", "litros": "l", "litro": "l"}
+_FR_UNITS = {"kilomètres": "km", "kilomètre": "km", "centimètres": "cm",
+             "centimètre": "cm", "mètres": "m", "mètre": "m",
+             "kilogrammes": "kg", "kilogramme": "kg", "grammes": "g",
+             "gramme": "g", "litres": "l", "litre": "l"}
+_PT_UNITS = {"quilômetros": "km", "quilômetro": "km", "quilómetros": "km",
+             "quilómetro": "km", "centímetros": "cm", "centímetro": "cm",
+             "metros": "m", "metro": "m", "quilogramas": "kg",
+             "quilograma": "kg", "gramas": "g", "grama": "g",
+             "litros": "l", "litro": "l"}
+_RU_UNITS = {"километров": "км", "километра": "км", "километр": "км",
+             "сантиметров": "см", "сантиметра": "см", "сантиметр": "см",
+             "метров": "м", "метра": "м", "метр": "м",
+             "килограммов": "кг", "килограмма": "кг", "килограмм": "кг",
+             "граммов": "г", "грамма": "г", "грамм": "г",
+             "литров": "л", "литра": "л", "литр": "л"}
+_ID_UNITS = {"kilometer": "km", "sentimeter": "cm", "meter": "m",
+             "kilogram": "kg", "gram": "g", "liter": "l"}
+_VI_UNITS = {"ki-lô-mét": "km", "kilômét": "km", "xăng-ti-mét": "cm",
+             "xentimét": "cm", "mét": "m", "ki-lô-gam": "kg",
+             "kilôgam": "kg", "gam": "g", "lít": "l"}
+_JA_UNITS = {"キロメートル": "km", "センチメートル": "cm", "ミリメートル": "mm",
+             "メートル": "m", "キログラム": "kg", "ミリグラム": "mg",
+             "グラム": "g", "ミリリットル": "ml", "リットル": "l",
+             "センチ": "cm"}
+_KO_UNITS = {"킬로미터": "km", "센티미터": "cm", "밀리미터": "mm",
+             "미터": "m", "킬로그램": "kg", "밀리그램": "mg", "그램": "g",
+             "밀리리터": "ml", "리터": "l"}
+
+# fraction denominator words -> denominator digits (reference fraction
+# taggers, e.g. ja/taggers/fraction.py "X分のY" -> numerator Y / denominator X)
+_DE_FRACS = {"halbe": "2", "halbes": "2", "drittel": "3", "viertel": "4",
+             "fünftel": "5", "sechstel": "6", "siebtel": "7", "achtel": "8",
+             "neuntel": "9", "zehntel": "10", "zwanzigstel": "20",
+             "hundertstel": "100"}
+_ES_FRACS = {"medios": "2", "medio": "2", "tercios": "3", "tercio": "3",
+             "cuartos": "4", "quintos": "5", "sextos": "6", "octavos": "8",
+             "décimos": "10"}
+_FR_FRACS = {"demis": "2", "demi": "2", "tiers": "3", "quarts": "4",
+             "quart": "4"}
+_PT_FRACS = {"meios": "2", "meio": "2", "terços": "3", "quartos": "4",
+             "quintos": "5", "oitavos": "8", "décimos": "10"}
+
 _TD_MAPS: Dict[str, Dict[str, str]] = {
     "de_months": _DE_MONTHS,
+    "de_units": _DE_UNITS, "es_units": _ES_UNITS, "fr_units": _FR_UNITS,
+    "pt_units": _PT_UNITS, "ru_units": _RU_UNITS, "id_units": _ID_UNITS,
+    "vi_units": _VI_UNITS, "ja_units": _JA_UNITS, "ko_units": _KO_UNITS,
+    "de_fracs": _DE_FRACS, "es_fracs": _ES_FRACS, "fr_fracs": _FR_FRACS,
+    "pt_fracs": _PT_FRACS,
     "ko_hours": {"한": "1", "두": "2", "세": "3", "네": "4", "다섯": "5",
                  "여섯": "6", "일곱": "7", "여덟": "8", "아홉": "9",
                  "열": "10", "열한": "11", "열두": "12"},
@@ -217,8 +272,19 @@ _PT_MONTH_ALT = ("janeiro|fevereiro|março|abril|maio|junho|julho|agosto|"
                  "setembro|outubro|novembro|dezembro")
 _RU_MONTH_ALT = "|".join(_TD_MAPS["ru_months"])
 
+def _alt(words) -> str:
+    """Ordered alternation, longest first (both regex dialects try
+    alternatives left to right, so prefixes must come after supersets)."""
+    return "|".join(re.escape(w)
+                    for w in sorted(words, key=lambda w: (-len(w), w)))
+
+
+_END = r"(?=\s|$|[,.!?;:])"  # byte-safe word end (no \b after non-ASCII)
+
 # lang -> [(pattern, icase, template), ...]; applied in order after the
-# ordinal/decimal/money passes
+# ordinal/decimal/money passes. Despite the name (archive key compat) this
+# carries every declarative class: time, date, percent, fraction, measure,
+# telephone (reference taggers fraction.py/measure.py/telephone.py per lang).
 TIMEDATE_RULES: Dict[str, list] = {
     "de": [
         # dreizehn uhr zehn -> 13:10 Uhr (de time verbalizer docstring)
@@ -229,6 +295,12 @@ TIMEDATE_RULES: Dict[str, list] = {
         (r"\b(\d{1,2}\.) (" + "|".join(_DE_MONTHS) +
          r")( \d{3,4})?(?=\s|$|[,.!?;:])", True, "{1} {2:map:de_months}{3}"),
         (r"\b(\d+) prozent\b", True, "{1} %"),
+        # fractions: "3 fünftel" -> 3/5 (de fraction tagger role)
+        (r"\b(\d+) (" + _alt(_DE_FRACS) + r")" + _END, True,
+         "{1}/{2:map:de_fracs}"),
+        # measures: "5 kilometer" -> 5 km (de measure tagger role)
+        (r"\b(\d+(?:,\d+)?) (" + _alt(_DE_UNITS) + r")" + _END, True,
+         "{1} {2:map:de_units}"),
     ],
     "es": [
         (r"\b(\d{1,2}) y media\b", False, "{1:i}:30"),
@@ -241,6 +313,10 @@ TIMEDATE_RULES: Dict[str, list] = {
         (r"\b(\d+) por (?:ciento|100)\b", False, "{1} %"),
         # 24 de julio de(l) 2013 stays words+digits (es date verbalizer);
         # normalize "primero de julio" handled by the ordinal pass
+        (r"\b(\d+) (" + _alt(_ES_FRACS) + r")" + _END, False,
+         "{1}/{2:map:es_fracs}"),
+        (r"\b(\d+(?:,\d+)?) (" + _alt(_ES_UNITS) + r")" + _END, False,
+         "{1} {2:map:es_units}"),
     ],
     "fr": [
         (r"\b(\d{1,2}) heures? (\d{1,2})\b", True, "{1:i}h{2:02}"),
@@ -248,11 +324,20 @@ TIMEDATE_RULES: Dict[str, list] = {
         (r"\b(\d{1,2})h et quart\b", True, "{1}h15"),
         (r"\b(\d{1,2})h et demie?\b", True, "{1}h30"),
         (r"\b(\d+) pour (?:cent|100)\b", True, "{1} %"),
+        (r"\b(\d+) (" + _alt(_FR_FRACS) + r")" + _END, True,
+         "{1}/{2:map:fr_fracs}"),
+        (r"\b(\d+(?:,\d+)?) (" + _alt(_FR_UNITS) + r")" + _END, True,
+         "{1} {2:map:fr_units}"),
     ],
     "pt": [
         (r"\b(\d{1,2}) horas? e (\d{1,2})\b", True, "{1:i}:{2:02}"),
+        # "5 e meia" is half past five — run before the "N meios" fraction
         (r"\b(\d{1,2}) e meia\b", True, "{1:i}:30"),
         (r"\b(\d+) por (?:cento|100)\b", True, "{1} %"),
+        (r"\b(\d+) (" + _alt(_PT_FRACS) + r")" + _END, True,
+         "{1}/{2:map:pt_fracs}"),
+        (r"\b(\d+(?:,\d+)?) (" + _alt(_PT_UNITS) + r")" + _END, True,
+         "{1} {2:map:pt_units}"),
     ],
     # NOTE: patterns are shared with the C++ std::regex interpreter, which
     # matches bytes — so no `?` on a multibyte char (spell the alternation
@@ -266,17 +351,28 @@ TIMEDATE_RULES: Dict[str, list] = {
         # the date rule pins the genitive month form (ru date tagger)
         (r"\b(\d{1,2}) (" + _RU_MONTH_ALT + r") (\d{4}) года(?=\s|$|[,.!?;:])",
          False, "{1} {2} {3} года"),
+        (r"\b(\d+(?:,\d+)?) (" + _alt(_RU_UNITS) + r")" + _END, False,
+         "{1} {2:map:ru_units}"),
     ],
     "id": [
         (r"\bjam (\d{1,2}) lewat (\d{1,2})\b", True, "{1:i}:{2:02}"),
         (r"\bjam (\d{1,2})\b", True, "{1:i}:00"),
         (r"\b(\d+) persen\b", True, "{1} %"),
+        # "3 per 4" -> 3/4 (id fraction tagger role)
+        (r"\b(\d+) per (\d+)\b", True, "{1}/{2}"),
+        (r"\b(\d+(?:,\d+)?) (" + _alt(_ID_UNITS) + r")" + _END, True,
+         "{1} {2:map:id_units}"),
     ],
     "vi": [
         (r"\b(\d{1,2}) giờ (\d{1,2}) phút\b", True, "{1:i}:{2:02}"),
         (r"\bngày (\d{1,2}) tháng (\d{1,2}) năm (\d{4})\b", True,
          "ngày {1} tháng {2} năm {3}"),
         (r"\b(\d+) phần (?:trăm|100)\b", True, "{1} %"),
+        # percent already consumed "phần trăm"; the rest are fractions
+        # ("3 phần 4" -> 3/4, vi fraction tagger role)
+        (r"\b(\d+) phần (\d+)\b", True, "{1}/{2}"),
+        (r"\b(\d+(?:,\d+)?) (" + _alt(_VI_UNITS) + r")" + _END, True,
+         "{1} {2:map:vi_units}"),
     ],
     "ja": [
         (r"(\d+)点(\d+)", False, "{1}.{2}"),
@@ -285,6 +381,16 @@ TIMEDATE_RULES: Dict[str, list] = {
          "{1:i}:{2:02}[:{3:02}]"),
         # 2013年7月24日 -> digits flow from the cardinal pass; keep markers
         (r"(\d+)パーセント", False, "{1}%"),
+        # fractions: "3分の1" -> 1/3 — denominator spoken first
+        # (ja fraction tagger: denominator + 分の + numerator)
+        (r"(\d+)分の(\d+)", False, "{2}/{1}"),
+        # measures: "5キロメートル" -> 5km (ja measure tagger role)
+        (r"(\d+(?:\.\d+)?)(" + _alt(_JA_UNITS) + r")", False,
+         "{1}{2:map:ja_units}"),
+        # telephone: spoken ゼロ stays a word through the cardinal pass
+        (r"ゼロ(\d)", False, "0{1}"),
+        # "03の1234の5678" -> 03-1234-5678 (ja telephone tagger grouping)
+        (r"(\d+)の(\d+)の(\d+)", False, "{1}-{2}-{3}"),
     ],
     "ko": [
         (r"(\d+)점(\d+)", False, "{1}.{2}"),
@@ -293,6 +399,11 @@ TIMEDATE_RULES: Dict[str, list] = {
          "{1:map:ko_hours}시"),
         (r"(\d{1,2})시 ?(\d{1,2})분", False, "{1:i}:{2:02}"),
         (r"(\d+)퍼센트", False, "{1}%"),
+        # fractions: "3분의 1" -> 1/3 (ko fraction tagger: denom 분의 numer)
+        (r"(\d+)분의 ?(\d+)", False, "{2}/{1}"),
+        # measures: "5 미터"/"5미터" -> 5m (ko measure tagger role)
+        (r"(\d+(?:\.\d+)?) ?(" + _alt(_KO_UNITS) + r")", False,
+         "{1}{2:map:ko_units}"),
     ],
 }
 

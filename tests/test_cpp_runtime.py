@@ -723,6 +723,17 @@ def test_itn_grammar_archive_cpp(built, tmp_path):
         ("ko", "삼점일사"), ("ko", "오십퍼센트"),
         ("de", "dreihundertfünfundzwanzig euro"),
         ("ja", "三千二百十一"), ("ko", "삼만 오천"),
+        # v5 class rules: fractions / measures / telephone
+        ("de", "drei fünftel"), ("de", "fünf kilometer"),
+        ("de", "zwei komma fünf kilogramm"),
+        ("es", "cinco kilómetros"), ("fr", "deux tiers"),
+        ("fr", "cinq kilomètres"), ("pt", "dois terços"),
+        ("ru", "пять километров"), ("ru", "сто граммов"),
+        ("id", "tiga per empat"), ("id", "lima kilometer"),
+        ("vi", "ba phần tư"), ("vi", "năm ki-lô-mét"),
+        ("ja", "三分の一"), ("ja", "五キロメートル"),
+        ("ja", "ゼロ三の一二三四の五六七八"),
+        ("ko", "삼분의 일"), ("ko", "오 킬로미터"), ("ko", "오미터"),
     ]
     for lang, text in class_cases:
         res = lib.FunItnGrammarApply(g, lang.encode(), text.encode())

@@ -31,6 +31,40 @@ def test_itn(lang, text, want):
     assert want in out, out
 
 
+@pytest.mark.parametrize("lang,text,want", [
+    # fractions (reference per-language taggers/fraction.py)
+    ("de", "drei fünftel", "3/5"),
+    ("de", "ein viertel", "1/4"),
+    ("fr", "deux tiers", "2/3"),
+    ("fr", "trois quarts", "3/4"),
+    ("pt", "dois terços", "2/3"),
+    ("id", "tiga per empat", "3/4"),
+    ("vi", "ba phần tư", "3/4"),
+    ("ja", "三分の一", "1/3"),
+    ("ko", "삼분의 일", "1/3"),
+    # measures (taggers/measure.py)
+    ("de", "fünf kilometer", "5 km"),
+    ("de", "zwei komma fünf kilogramm", "2,5 kg"),
+    ("es", "cinco kilómetros", "5 km"),
+    ("fr", "cinq kilomètres", "5 km"),
+    ("pt", "cinco quilômetros", "5 km"),
+    ("ru", "пять километров", "5 км"),
+    ("ru", "сто граммов", "100 г"),
+    ("id", "lima kilometer", "5 km"),
+    ("vi", "năm ki-lô-mét", "5 km"),
+    ("ja", "五キロメートル", "5km"),
+    ("ko", "오 킬로미터", "5km"),
+    ("ko", "오미터", "5m"),
+    # telephone (taggers/telephone.py; digit-word runs merge in the
+    # cardinal pass, ja groups on の)
+    ("de", "null sieben drei drei eins acht neun vier", "07331894"),
+    ("ja", "ゼロ三の一二三四の五六七八", "03-1234-5678"),
+])
+def test_itn_class_rules(lang, text, want):
+    out = InverseNormalizer(lang=lang).inverse_normalize(text)
+    assert out == want, out
+
+
 def test_non_number_text_untouched():
     for lang in ("ja", "ko", "de", "es", "fr", "pt", "ru", "id", "vi", "tl"):
         inv = InverseNormalizer(lang=lang)
