@@ -21,6 +21,12 @@ TPU-idiomatic form:
   (B, S) cache layout keeps the attention fusable by XLA — a block-table
   gather per step would fight the compiler for no memory win beyond this
   length bucketing, since HBM is reclaimed at the bucket level anyway.
+* **Prefix caching** (vLLM's automatic-prefix-cache role): requests carry
+  ``prefix_len`` marking a shared leading span (the ChatML system+user
+  prefix every ASR request repeats). On the first sight of a prefix the
+  engine snapshots its KV rows (K/V are per-position projections, so the
+  rows are reusable bit-exactly); later requests with the same prefix skip
+  straight to prefilling their unique tail.
 
 Sampling is seeded: engine ``seed`` + ``request_id`` derive a per-request
 generator, so temperature sampling is reproducible run-to-run.
@@ -28,7 +34,9 @@ generator, so temperature sampling is reproducible run-to-run.
 
 from __future__ import annotations
 
+import collections
 import dataclasses
+import hashlib
 from typing import Callable, List, Optional
 
 import jax
@@ -45,11 +53,13 @@ class Request:
     max_new_tokens: int = 256
     eos_token_ids: tuple = ()
     temperature: float = 0.0          # 0 = greedy
+    prefix_len: int = 0               # leading rows shared across requests
     # filled by the engine:
     output_ids: List[int] = dataclasses.field(default_factory=list)
     done: bool = False
     stream_cb: Optional[Callable[[int], None]] = None
     _rng: Optional[np.random.Generator] = None
+    _prefix_key: Optional[tuple] = None
 
 
 class LLMEngine:
@@ -76,6 +86,11 @@ class LLMEngine:
                                           dtype)
         self.queue: List[Request] = []
         self.n_cache_grows = 0
+        # prefix cache: key -> (plen, [(k_rows, v_rows) per layer]) — LRU
+        self.prefix_cache: collections.OrderedDict = collections.OrderedDict()
+        self.prefix_cache_max = 16
+        self.min_prefix_len = 8
+        self.n_prefix_hits = 0
         self._prefill_jit = jax.jit(self._prefill, static_argnames=("t",),
                                     donate_argnums=(1,))
         self._decode_jit = jax.jit(self._decode, donate_argnums=(1,))
@@ -134,9 +149,21 @@ class LLMEngine:
     def submit(self, req: Request):
         self.queue.append(req)
 
+    def _prefix_key(self, req: Request) -> Optional[tuple]:
+        plen = int(req.prefix_len)
+        if plen < self.min_prefix_len or plen >= req.input_embeds.shape[0]:
+            return None
+        if req._prefix_key is None:
+            digest = hashlib.blake2b(
+                np.ascontiguousarray(req.input_embeds[:plen]).tobytes(),
+                digest_size=16).hexdigest()
+            req._prefix_key = (plen, digest)
+        return req._prefix_key
+
     def _admit(self):
         """Assign queued requests to free slots (bookkeeping only — the prompt
-        prefills chunk-by-chunk in subsequent steps)."""
+        prefills chunk-by-chunk in subsequent steps). A prefix-cache hit seeds
+        the slot's KV rows and skips the shared span entirely."""
         for slot in range(self.num_slots):
             if self.slot_req[slot] is None and self.queue:
                 req = self.queue.pop(0)
@@ -148,6 +175,32 @@ class LLMEngine:
                 self.slot_len[slot] = 0
                 self.slot_new[slot] = 0
                 self.slot_prefill_pos[slot] = 0
+                key = self._prefix_key(req)
+                if key is not None and key in self.prefix_cache:
+                    plen, rows = self.prefix_cache[key]
+                    self.prefix_cache.move_to_end(key)
+                    self._ensure_capacity(plen + 1)
+                    for c, (k_rows, v_rows) in zip(self.kv, rows):
+                        c["k"] = c["k"].at[slot, :plen].set(k_rows)
+                        c["v"] = c["v"].at[slot, :plen].set(v_rows)
+                    self.slot_prefill_pos[slot] = plen
+                    self.slot_len[slot] = plen
+                    self.n_prefix_hits += 1
+
+    def _maybe_store_prefix(self, slot: int, prev_pos: int):
+        """On the chunk that crossed ``prefix_len``, snapshot rows 0..plen of
+        the slot's KV (correct up to slot_prefill_pos after every chunk)."""
+        req = self.slot_req[slot]
+        key = self._prefix_key(req)
+        if key is None or key in self.prefix_cache:
+            return
+        plen = key[0]
+        if not (prev_pos < plen <= int(self.slot_prefill_pos[slot])):
+            return
+        rows = [(c["k"][slot, :plen], c["v"][slot, :plen]) for c in self.kv]
+        self.prefix_cache[key] = (plen, rows)
+        if len(self.prefix_cache) > self.prefix_cache_max:
+            self.prefix_cache.popitem(last=False)
 
     def _prefilling_slots(self) -> List[int]:
         return [i for i, r in enumerate(self.slot_req)
@@ -179,6 +232,7 @@ class LLMEngine:
             jnp.asarray(valid, jnp.int32), t=tb)
         self.slot_prefill_pos[slot] = start + valid
         self.slot_len[slot] = start + valid
+        self._maybe_store_prefix(slot, start)
         if start + valid >= total:  # final slice: sample the first token
             tok = self._sample(np.asarray(last_logits), req)
             req.output_ids.append(tok)

@@ -235,7 +235,10 @@ class FunASRNano:
                 request_id=i, input_embeds=emb,
                 max_new_tokens=kwargs.get("max_new_tokens", 256),
                 eos_token_ids=eos_ids,
-                temperature=kwargs.get("temperature", 0.0)))
+                temperature=kwargs.get("temperature", 0.0),
+                # every request repeats the same ChatML prefix — the engine's
+                # prefix cache prefills it once per engine lifetime
+                prefix_len=prefix_emb.shape[0]))
         engine.generate(requests)
 
         if key is None:

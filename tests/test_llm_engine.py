@@ -184,3 +184,47 @@ def test_seeded_sampling_reproducible(lm_and_params):
     a, b, c = run(0), run(0), run(1)
     assert a == b, (a, b)
     assert a != c or True  # different seeds usually differ; equality is legal
+
+
+def test_prefix_cache_hits_and_matches(lm_and_params):
+    """Requests sharing a ChatML-style prefix: the second one reuses the
+    cached KV rows (n_prefix_hits) and still decodes exactly the same tokens
+    as the reference full-recompute decode (K/V rows are per-position
+    projections, so reuse is bit-exact)."""
+    from funasr_tpu.llm.engine import LLMEngine, Request
+    lm, params = lm_and_params
+    rng = np.random.default_rng(7)
+    n_new = 5
+    prefix = rng.standard_normal((12, 32)).astype(np.float32)
+    tails = [rng.standard_normal((n, 32)).astype(np.float32) for n in (6, 9, 3)]
+    prompts = [np.concatenate([prefix, t], axis=0) for t in tails]
+    want = [_greedy_reference(lm, params, p, n_new) for p in prompts]
+
+    engine = LLMEngine(lm, params, num_slots=1, max_len=64, dtype=jnp.float32,
+                       prefill_chunk=32)
+    for i, p in enumerate(prompts):
+        req = Request(request_id=i, input_embeds=p, max_new_tokens=n_new,
+                      prefix_len=prefix.shape[0])
+        engine.generate([req])
+        assert req.output_ids == want[i], (i, req.output_ids, want[i])
+    assert engine.n_prefix_hits == len(prompts) - 1
+    assert len(engine.prefix_cache) == 1
+
+
+def test_prefix_cache_distinct_prefixes_no_false_hit(lm_and_params):
+    """Different prefixes must not collide; short prefixes are not cached."""
+    from funasr_tpu.llm.engine import LLMEngine, Request
+    lm, params = lm_and_params
+    rng = np.random.default_rng(8)
+    engine = LLMEngine(lm, params, num_slots=1, max_len=64, dtype=jnp.float32)
+    a = rng.standard_normal((20, 32)).astype(np.float32)
+    b = rng.standard_normal((20, 32)).astype(np.float32)
+    wa = _greedy_reference(lm, params, a, 4)
+    wb = _greedy_reference(lm, params, b, 4)
+    ra = Request(request_id=0, input_embeds=a, max_new_tokens=4, prefix_len=10)
+    rb = Request(request_id=1, input_embeds=b, max_new_tokens=4, prefix_len=10)
+    rc = Request(request_id=2, input_embeds=b, max_new_tokens=4, prefix_len=4)
+    engine.generate([ra]); engine.generate([rb]); engine.generate([rc])
+    assert ra.output_ids == wa and rb.output_ids == wb and rc.output_ids == wb
+    assert engine.n_prefix_hits == 0
+    assert len(engine.prefix_cache) == 2
