@@ -154,5 +154,28 @@ def batch_shardings(mesh: Mesh, tree_example) -> Any:
     )
 
 
+def batch_shardings_sp(mesh: Mesh, tree_example,
+                       seq_axis: str = "model") -> Any:
+    """Context/sequence-parallel batch specs: batch dim over "data" AND the
+    time dim of rank-3 feature arrays over ``seq_axis``.
+
+    The GSPMD form of sequence parallelism (Megatron-SP / ring-attention's
+    sharding layout): activations enter the jitted step sharded (B/data,
+    T/model, D), frame-local work (FFN projections, norms, the frontend) runs
+    time-sharded, and XLA inserts the all-gathers exactly where an op
+    genuinely needs the full sequence (attention score matmuls, FSMN convs
+    crossing shard edges). Long-audio training memory then scales 1/|model|
+    per chip with zero model-code changes — the reference's torchrun DDP has
+    no counterpart (its long-audio answer is VAD segmentation only).
+    """
+    def _spec(x):
+        if x.ndim >= 3:
+            return NamedSharding(
+                mesh, P("data", seq_axis, *([None] * (x.ndim - 2))))
+        return NamedSharding(mesh, P("data", *([None] * (x.ndim - 1))))
+
+    return jax.tree_util.tree_map(_spec, tree_example)
+
+
 def replicated(mesh: Mesh):
     return NamedSharding(mesh, P())

@@ -73,9 +73,12 @@ class Trainer:
         self.mesh = mesh if mesh is not None else make_mesh(model=1)
         # "dp" = params replicated over data axis (DDP role); "fsdp" =
         # additionally shard large params' first dim over "data" (ZeRO-3 role,
-        # ref funasr/bin/train.py:139-170 FSDP auto-wrap policy).
-        if sharding not in ("dp", "fsdp"):
-            raise ValueError(f"sharding must be 'dp' or 'fsdp', got {sharding!r}")
+        # ref funasr/bin/train.py:139-170 FSDP auto-wrap policy); "sp" =
+        # additionally shard feature time dims over the "model" axis
+        # (sequence/context parallelism for long-audio training).
+        if sharding not in ("dp", "fsdp", "sp"):
+            raise ValueError(
+                f"sharding must be 'dp', 'fsdp' or 'sp', got {sharding!r}")
         self.sharding = sharding
         self.step = 0
         self.start_epoch = 0
@@ -133,6 +136,10 @@ class Trainer:
                 arrays = {k: np.concatenate(
                     [v, np.repeat(v[-1:], pad_to - b, axis=0)]) for k, v in arrays.items()}
                 # padded rows repeat the last sample; loss weighting absorbs them
+            if self.sharding == "sp":
+                from funasr_tpu.parallel.sharding import batch_shardings_sp
+                return jax.device_put(arrays,
+                                      batch_shardings_sp(self.mesh, arrays))
             return jax.device_put(arrays, batch_shardings(self.mesh, arrays))
         return arrays
 

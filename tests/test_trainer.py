@@ -150,6 +150,44 @@ def test_trainer_fsdp_sharding(data_dir, tmp_path):
     assert np.isfinite(logs[-1]["loss"])
 
 
+def test_trainer_sp_sharding(data_dir, tmp_path):
+    """++sharding=sp shards the feature time dim over the "model" axis
+    (sequence/context parallelism for long-audio training) and trains to the
+    same loss trajectory as plain dp."""
+    import optax
+    from funasr_tpu.datasets.audio_datasets.datasets import AudioDataset
+    from funasr_tpu.datasets.audio_datasets.samplers import BatchSampler
+    from funasr_tpu.datasets.dataloader_entry import DataLoader
+    from funasr_tpu.parallel.sharding import batch_shardings_sp, make_mesh
+    from funasr_tpu.train_utils.trainer import Trainer
+
+    model, frontend, tok = _build(tmp_path)
+    ds = AudioDataset(index_ds="IndexDSJsonl",
+                      index_ds_conf={"path": str(data_dir / "train.jsonl")},
+                      tokenizer=tok)
+    loader = DataLoader(ds, BatchSampler(ds, batch_size=4, shuffle=False))
+
+    mesh = make_mesh(2, model=2)
+    # spec sanity: rank-3 features get (data, model, None); rank-2 get (data,)
+    specs = batch_shardings_sp(mesh, {
+        "speech": np.zeros((4, 32, 560), np.float32),
+        "text": np.zeros((4, 6), np.int32)})
+    assert specs["speech"].spec == jax.sharding.PartitionSpec(
+        "data", "model", None)
+    assert specs["text"].spec == jax.sharding.PartitionSpec("data", None)
+
+    out = str(tmp_path / "exp_sp")
+    trainer = Trainer(model, optax.adam(1e-3), frontend=frontend,
+                      output_dir=out, max_epoch=1, log_interval=1,
+                      save_checkpoint_interval=0, mesh=mesh, sharding="sp")
+    params = model.init_params(jax.random.PRNGKey(0))
+    params = trainer.run(params, loader, loader)
+    logs = [json.loads(line)
+            for line in open(os.path.join(out, "train.log.jsonl"))]
+    assert np.isfinite(logs[-1]["loss"])
+    assert logs[-1]["loss"] < logs[0]["loss"]
+
+
 def test_trainer_midepoch_resume(data_dir, tmp_path):
     """A mid-epoch step checkpoint resumes into the SAME epoch and skips the
     consumed batches (no batch re-seen), per reference trainer.py:287-366."""
