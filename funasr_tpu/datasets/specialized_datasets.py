@@ -199,6 +199,47 @@ class OpenAIDataset(AudioDataset):
             olens = 1 + (olens - 3 + 2) // 2
         return (olens - 1) // self.adaptor_ds + 1
 
+    def _frames(self, n_samples: int) -> int:
+        """Fbank frames an audio span yields (10 ms hop; LFR-aware when the
+        dataset was built with a frontend)."""
+        frames = max(n_samples // 160, 1)
+        lfr_n = getattr(self.frontend, "lfr_n", 1) if self.frontend else 1
+        return -(-frames // lfr_n)
+
+    def collator(self, samples):
+        """Pad multiturn batches: waveforms to a bucketed sample count, token
+        streams to a bucketed length (labels padded with -100 so padding never
+        contributes loss; fbank_mask padded with 0)."""
+        from funasr_tpu.utils.bucket import bucket_length
+        samples = [s for s in samples if s is not None]
+        b = len(samples)
+        n = bucket_length(max(int(s["speech_lengths"]) for s in samples),
+                          minimum=self.fs // 2, multiple=160)
+        l = bucket_length(max(len(s["input_ids"]) for s in samples),
+                          minimum=8, multiple=8)
+        out = {"speech": np.zeros((b, n), np.float32),
+               "speech_lengths": np.zeros((b,), np.int32),
+               "input_ids": np.zeros((b, l), np.int32),
+               "labels_ids": np.full((b, l), self.ignore_index, np.int32),
+               "fbank_mask": np.zeros((b, l), np.float32),
+               "attention_mask": np.zeros((b, l), np.int32),
+               "text": np.full((b, l), -1, np.int32),
+               "text_lengths": np.zeros((b,), np.int32),
+               "keys": []}
+        for i, s in enumerate(samples):
+            sl = int(s["speech_lengths"])
+            tl = len(s["input_ids"])
+            out["speech"][i, :sl] = s["speech"]
+            out["speech_lengths"][i] = sl
+            out["input_ids"][i, :tl] = s["input_ids"]
+            out["labels_ids"][i, :tl] = s["labels_ids"]
+            out["fbank_mask"][i, :tl] = s["fbank_mask"][:tl]
+            out["attention_mask"][i, :tl] = 1
+            out["text"][i, :tl] = s["input_ids"]
+            out["text_lengths"][i] = tl
+            out["keys"].append(s["key"])
+        return out
+
     def __getitem__(self, idx: int):
         from funasr_tpu.utils.load_utils import load_audio
         row = self.index_ds[idx]
@@ -223,8 +264,7 @@ class OpenAIDataset(AudioDataset):
                     if path.startswith("!"):
                         wav = load_audio(path[1:], fs=self.fs)
                         speech, speech_len = wav, len(wav)
-                        # fbank frames at 10ms hop
-                        n = self._audio_token_len(max(speech_len // 160, 1))
+                        n = self._audio_token_len(self._frames(speech_len))
                         fbank_beg.append(len(input_ids) + len(source_ids))
                         source_ids += [self.audio_token_id] * n
                         fbank_mask += [1.0] * n

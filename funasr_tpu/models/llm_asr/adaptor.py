@@ -27,6 +27,12 @@ class LinearAdaptor:
         return {"linear1": linear_init(k1, self.encoder_dim * self.k, self.ffn_dim),
                 "linear2": linear_init(k2, self.ffn_dim, self.llm_dim)}
 
+    def audio_token_len(self, fbank_len: int) -> int:
+        """LLM token slots one audio span occupies (placeholder count the
+        multiturn datasets/data_load_speech must reserve — reference
+        ``llm_asr/model.py:778-786`` sub_token_len math)."""
+        return max(int(fbank_len) // self.k, 1)
+
     def __call__(self, params, x, lengths=None):
         """x: (B, T, enc) -> (B, T//k, llm_dim); trailing frames dropped."""
         b, t, d = x.shape
@@ -113,6 +119,9 @@ class QFormerAdaptor:
             "layers": layers,
             "proj": linear_init(keys[-1], d, self.llm_dim),
         }
+
+    def audio_token_len(self, fbank_len: int) -> int:
+        return self.n_query
 
     def __call__(self, params, x, lengths=None):
         from funasr_tpu.core.layers import (layer_norm_apply, ffn_apply,

@@ -99,8 +99,17 @@ class Trainer:
         def loss_fn(params, batch, rng, train=True):
             dither_rng, rng = (jax.random.split(rng) if train else (None, rng))
             feats, flens = self._features(batch, dither_rng=dither_rng)
-            loss, stats, weight = self.model.forward_jit(
-                params, feats, flens, batch["text"], batch["text_lengths"], rng)
+            if "input_ids" in batch and hasattr(self.model,
+                                                "forward_jit_batch"):
+                # multiturn OpenAI-format batch (LLM-ASR family): audio
+                # embeddings splice into placeholder token slots
+                loss, stats, weight = self.model.forward_jit_batch(
+                    params, {**batch, "speech": feats,
+                             "speech_lengths": flens}, rng)
+            else:
+                loss, stats, weight = self.model.forward_jit(
+                    params, feats, flens, batch["text"],
+                    batch["text_lengths"], rng)
             return loss, stats
 
         def step_fn(params, opt_state, batch, rng):
