@@ -15,7 +15,19 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import os as _os
 import time
+
+if _os.environ.get("JAX_PLATFORMS") not in (None, "", "cpu"):
+    # A stale pinned platform name (e.g. a renamed TPU plugin) would make
+    # backend init fail outright; verify it resolves in a throwaway
+    # interpreter and fall back to auto-discovery if it doesn't.
+    import subprocess as _sp
+    import sys as _sys
+    _r = _sp.run([_sys.executable, "-c", "import jax; jax.devices()"],
+                 capture_output=True)
+    if _r.returncode != 0:
+        _os.environ["JAX_PLATFORMS"] = ""
 
 import jax
 import jax.numpy as jnp
