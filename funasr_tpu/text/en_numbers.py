@@ -152,4 +152,5 @@ def inverse_normalize_en(text: str) -> str:
                 continue
         out.append(words[i])
         i += 1
-    return " ".join(out)
+    from funasr_tpu.text.electronic import apply_electronic, apply_whitelist
+    return apply_whitelist("en", apply_electronic("en", " ".join(out)))

@@ -15,7 +15,7 @@ from __future__ import annotations
 import json
 from typing import Dict
 
-GRAMMAR_VERSION = 5  # v5: fraction/measure/telephone class rules
+GRAMMAR_VERSION = 6  # v6: electronic (email/url) + whitelist classes
 
 # spoken percent spans per language ("<number> <words>" -> "<number> %"; the
 # second spelling covers the cardinal pass already digitizing ciento/cent/trăm)
@@ -150,6 +150,20 @@ def export_grammar(path: str | None = None) -> Dict:
             for p, ic, t in TIMEDATE_RULES.get(code, [])]
         langs.setdefault(code, {"type": "classes_only"})["classes"] = spec
     archive_maps = {name: dict(table) for name, table in _TD_MAPS.items()}
+
+    # v6: electronic (email/url) at/dot word tables + whitelist
+    # (spoken -> written abbreviation) per language, at the language top
+    # level (zh's "classes" key is a legacy list). Reference:
+    # fun_text_processing/inverse_text_normalization/<lang>/taggers/
+    # electronic.py + whitelist.py.
+    from funasr_tpu.text.electronic import ELECTRONIC_WORDS, WHITELIST
+    for code, words in ELECTRONIC_WORDS.items():
+        if code in langs:
+            langs[code]["electronic"] = {"at": list(words["at"]),
+                                         "dot": list(words["dot"])}
+    for code, table in WHITELIST.items():
+        if code in langs:
+            langs[code]["whitelist"] = dict(table)
 
     archive = {"format": "funasr_tpu_itn_grammar",
                "version": GRAMMAR_VERSION, "languages": langs,

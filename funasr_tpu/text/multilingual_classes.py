@@ -516,6 +516,11 @@ _CLASSES: Dict[str, LangClasses] = {
 
 
 def apply_classes(lang: str, text: str) -> str:
-    """Run the post-cardinal class rules for ``lang`` (no-op when absent)."""
+    """Run the post-cardinal class rules for ``lang`` (no-op when absent),
+    then the electronic (email/url) and whitelist classes (reference
+    ``taggers/electronic.py`` / ``taggers/whitelist.py`` per language)."""
+    from funasr_tpu.text.electronic import apply_electronic, apply_whitelist
     cls = _CLASSES.get(lang)
-    return cls.apply(text) if cls else text
+    out = cls.apply(text) if cls else text
+    out = apply_electronic(lang, out)
+    return apply_whitelist(lang, out)

@@ -162,7 +162,8 @@ def inverse_normalize_zh(text: str) -> str:
         return v if v is not None else s
 
     text = _NUM_RE.sub(num, text)
-    return text
+    from funasr_tpu.text.electronic import apply_electronic
+    return apply_electronic("zh", text)
 
 
 _CN_DIGITS_OUT = "零一二三四五六七八九"

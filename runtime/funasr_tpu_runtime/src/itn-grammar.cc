@@ -538,7 +538,335 @@ std::string ApplyCjkClasses(const ItnLexicon& lex, const std::string& text) {
   return out;
 }
 
+// ---- electronic (email/url) + whitelist passes ----------------------------
+// Word-for-word port of funasr_tpu/text/electronic.py so the same archive
+// tables produce byte-identical output in both runtimes.
+
+// split on single ' ' preserving empties (python str.split(" "))
+std::vector<std::string> SplitSpace(const std::string& text) {
+  std::vector<std::string> out;
+  std::string cur;
+  for (char c : text) {
+    if (c == ' ') {
+      out.push_back(cur);
+      cur.clear();
+    } else {
+      cur += c;
+    }
+  }
+  out.push_back(cur);
+  return out;
+}
+
+std::string JoinSpace(const std::vector<std::string>& toks) {
+  std::string out;
+  for (size_t i = 0; i < toks.size(); ++i) {
+    if (i) out += " ";
+    out += toks[i];
+  }
+  return out;
+}
+
+std::string AsciiLower(const std::string& s) {
+  std::string out = s;
+  for (char& c : out) {
+    if (c >= 'A' && c <= 'Z') c += 'a' - 'A';
+  }
+  return out;
+}
+
+bool AsciiAlnumTok(const std::string& tok) {
+  if (tok.empty()) return false;
+  for (char c : tok) {
+    const unsigned char u = static_cast<unsigned char>(c);
+    if (u >= 0x80 || !std::isalnum(u)) return false;
+  }
+  return true;
+}
+
+// electronic.py _wordy: nonempty ASCII-alnum token not itself an at/dot word
+bool WordyTok(const std::string& tok, const std::set<std::string>& reserved) {
+  return AsciiAlnumTok(tok) && !reserved.count(AsciiLower(tok));
+}
+
+// electronic.py _seg_end: a FINAL segment is EITHER a run of single-char
+// spelled tokens OR exactly one multi-char word (middle segments, which
+// terminate at an explicit dot word, are greedy — see ParseChain)
+size_t SegEnd(const std::vector<std::string>& tokens, size_t k,
+              const std::set<std::string>& reserved) {
+  const size_t n = tokens.size();
+  if (k >= n || !WordyTok(tokens[k], reserved)) return k;
+  if (tokens[k].size() == 1) {
+    size_t j = k;
+    while (j < n && tokens[j].size() == 1 && WordyTok(tokens[j], reserved)) {
+      ++j;
+    }
+    return j;
+  }
+  return k + 1;
+}
+
+std::string JoinLower(const std::vector<std::string>& tokens, size_t b,
+                      size_t e) {
+  std::string out;
+  for (size_t i = b; i < e; ++i) out += AsciiLower(tokens[i]);
+  return out;
+}
+
+// electronic.py _parse_chain: seg (DOT seg)+ with greedy middle segments and
+// a conservative final segment; returns false when no "seg dot seg" core
+// exists, else fills the last VALID (segments, end_index) state.
+bool ParseChain(const std::vector<std::string>& tokens, size_t k,
+                const std::set<std::string>& reserved,
+                const std::set<std::string>& dot, bool allow_empty_first,
+                std::vector<std::string>* best_segs, size_t* best_end) {
+  const size_t n = tokens.size();
+  std::vector<std::string> segs;
+  bool have_best = false;
+  int ndots = 0;
+  bool first = true;
+  while (true) {
+    size_t j = k;
+    while (j < n && WordyTok(tokens[j], reserved)) ++j;
+    if (j == k && !(first && allow_empty_first && j < n &&
+                    dot.count(AsciiLower(tokens[j])))) {
+      break;
+    }
+    first = false;
+    if (j < n && dot.count(AsciiLower(tokens[j]))) {
+      if (j > k) {
+        segs.push_back(JoinLower(tokens, k, j));
+        if (ndots >= 1) {
+          *best_segs = segs;
+          *best_end = j;
+          have_best = true;
+        }
+      }
+      k = j + 1;
+      ++ndots;
+    } else {
+      const size_t k2 = SegEnd(tokens, k, reserved);
+      if (k2 > k) {
+        segs.push_back(JoinLower(tokens, k, k2));
+        if (ndots >= 1) {
+          *best_segs = segs;
+          *best_end = k2;
+          have_best = true;
+        }
+      }
+      break;
+    }
+  }
+  return have_best;
+}
+
+std::string ElectronicSpaced(const std::string& text,
+                             const std::vector<std::string>& at_words,
+                             const std::vector<std::string>& dot_words) {
+  std::set<std::string> at, dot;
+  for (const auto& w : at_words) at.insert(AsciiLower(w));
+  for (const auto& w : dot_words) dot.insert(AsciiLower(w));
+  std::set<std::string> reserved = at;
+  reserved.insert(dot.begin(), dot.end());
+
+  const std::vector<std::string> tokens = SplitSpace(text);
+  const size_t n = tokens.size();
+  std::vector<std::string> out;
+  size_t i = 0;
+  while (i < n) {
+    const std::string low = AsciiLower(tokens[i]);
+    // email: ... user AT seg (DOT seg)+
+    if (at.count(low)) {
+      // username: run of single-char spelled tokens, else one word
+      size_t j = out.size();
+      while (j > 0 && out[j - 1].size() == 1 &&
+             WordyTok(out[j - 1], reserved)) {
+        --j;
+      }
+      if (j == out.size() && !out.empty() && WordyTok(out.back(), reserved)) {
+        j = out.size() - 1;
+      }
+      const std::string user = JoinLower(out, j, out.size());
+      std::vector<std::string> domain;
+      size_t k = 0;
+      if (!user.empty() &&
+          ParseChain(tokens, i + 1, reserved, dot, false, &domain, &k)) {
+        out.resize(j);
+        std::string dom;
+        for (size_t z = 0; z < domain.size(); ++z) {
+          if (z) dom += ".";
+          dom += domain[z];
+        }
+        out.push_back(user + "@" + dom);
+        i = k;
+        continue;
+      }
+    }
+    // url: www [seg] (DOT seg)+
+    if (low == "www") {
+      std::vector<std::string> segs;
+      size_t k = 0;
+      if (ParseChain(tokens, i + 1, reserved, dot, true, &segs, &k)) {
+        std::string url = "www";
+        for (const auto& s : segs) url += "." + s;
+        out.push_back(url);
+        i = k;
+        continue;
+      }
+    }
+    out.push_back(tokens[i]);
+    ++i;
+  }
+  return JoinSpace(out);
+}
+
+bool HasNonAscii(const std::string& s) {
+  for (char c : s) {
+    if (static_cast<unsigned char>(c) >= 0x80) return true;
+  }
+  return false;
+}
+
+std::string ReplaceAll(std::string s, const std::string& from,
+                       const std::string& to) {
+  if (from.empty()) return s;
+  size_t pos = 0;
+  while ((pos = s.find(from, pos)) != std::string::npos) {
+    s.replace(pos, from.size(), to);
+    pos += to.size();
+  }
+  return s;
+}
+
+// electronic.py _electronic_unspaced: CJK byte-literal shapes
+// user AT domain (DOT seg)+ with latin segments
+std::string ElectronicUnspaced(const std::string& text,
+                               const std::vector<std::string>& at_words,
+                               const std::vector<std::string>& dot_words) {
+  std::string at_alt, dot_alt;
+  for (const auto& w : at_words) {
+    if (HasNonAscii(w)) at_alt += (at_alt.empty() ? "" : "|") + w;
+  }
+  for (const auto& w : dot_words) {
+    if (HasNonAscii(w)) dot_alt += (dot_alt.empty() ? "" : "|") + w;
+  }
+  if (at_alt.empty() || dot_alt.empty()) return text;
+  std::regex pat("([a-zA-Z0-9]+)(?:" + at_alt + ")([a-zA-Z0-9]+)"
+                 "((?:(?:" + dot_alt + ")[a-zA-Z0-9]+)+)");
+  std::string out;
+  size_t last = 0;
+  for (auto it = std::sregex_iterator(text.begin(), text.end(), pat);
+       it != std::sregex_iterator(); ++it) {
+    const std::smatch& m = *it;
+    out += text.substr(last, m.position(0) - last);
+    std::string tail = m[3].str();
+    for (const auto& w : dot_words) tail = ReplaceAll(tail, w, ".");
+    out += AsciiLower(m[1].str()) + "@" + AsciiLower(m[2].str()) +
+           AsciiLower(tail);
+    last = m.position(0) + m.length(0);
+  }
+  out += text.substr(last);
+  return out;
+}
+
+size_t Utf8Len(const std::string& s) {
+  size_t n = 0;
+  for (char c : s) {
+    if ((static_cast<unsigned char>(c) & 0xC0) != 0x80) ++n;
+  }
+  return n;
+}
+
+bool AsciiAlnumByte(char c) {
+  const unsigned char u = static_cast<unsigned char>(c);
+  return u < 0x80 && std::isalnum(u);
+}
+
+// ascii-case-insensitive byte prefix match of `pat` at s[pos]
+bool MatchAtCi(const std::string& s, size_t pos, const std::string& pat) {
+  if (pos + pat.size() > s.size()) return false;
+  for (size_t i = 0; i < pat.size(); ++i) {
+    char a = s[pos + i], b = pat[i];
+    if (a >= 'A' && a <= 'Z') a += 'a' - 'A';
+    if (b >= 'A' && b <= 'Z') b += 'a' - 'A';
+    if (a != b) return false;
+  }
+  return true;
+}
+
 }  // namespace
+
+std::string ApplyElectronicPass(const std::vector<std::string>& at_words,
+                                const std::vector<std::string>& dot_words,
+                                bool unspaced, const std::string& text) {
+  if (at_words.empty() || dot_words.empty()) return text;
+  // multi-word at/dot phrases ("a còng") become single tokens for the
+  // token-level pass (same pre-join as apply_electronic)
+  static const std::string kJoin = "\xE2\x96\x81";  // ▁ U+2581
+  std::vector<std::string> at = at_words, dot = dot_words;
+  std::string body = text;
+  for (auto* bucket : {&at, &dot}) {
+    for (auto& w : *bucket) {
+      if (w.find(' ') != std::string::npos) {
+        const std::string joined = ReplaceAll(w, " ", kJoin);
+        body = ReplaceAll(body, w, joined);
+        w = joined;
+      }
+    }
+  }
+  std::string out = ElectronicSpaced(body, at, dot);
+  if (unspaced) out = ElectronicUnspaced(out, at, dot);
+  return ReplaceAll(out, kJoin, " ");
+}
+
+std::string ApplyWhitelistPass(
+    const std::map<std::string, std::string>& table, bool cjk,
+    const std::string& text) {
+  if (table.empty()) return text;
+  std::vector<std::string> keys;
+  for (const auto& kv : table) keys.push_back(kv.first);
+  std::string out = text;
+  if (cjk) {
+    // python: sorted(table, key=lambda s: (-len(s), s))
+    std::sort(keys.begin(), keys.end(),
+              [](const std::string& a, const std::string& b) {
+                const size_t la = Utf8Len(a), lb = Utf8Len(b);
+                return la != lb ? la > lb : a < b;
+              });
+    for (const auto& k : keys) out = ReplaceAll(out, k, table.at(k));
+    return out;
+  }
+  // python: sorted(table, key=lambda s: (-len(s.split()), -len(s), s))
+  auto words = [](const std::string& s) {
+    return std::count(s.begin(), s.end(), ' ') + 1;
+  };
+  std::sort(keys.begin(), keys.end(),
+            [&](const std::string& a, const std::string& b) {
+              const auto wa = words(a), wb = words(b);
+              if (wa != wb) return wa > wb;
+              const size_t la = Utf8Len(a), lb = Utf8Len(b);
+              return la != lb ? la > lb : a < b;
+            });
+  for (const auto& k : keys) {
+    // token-boundary replace, ascii-case-insensitive (the python pass is
+    // re.IGNORECASE with (?<![A-Za-z0-9])...(?![A-Za-z0-9]) boundaries)
+    std::string next;
+    size_t i = 0;
+    while (i < out.size()) {
+      const bool lb_ok = i == 0 || !AsciiAlnumByte(out[i - 1]);
+      if (lb_ok && MatchAtCi(out, i, k) &&
+          (i + k.size() >= out.size() || !AsciiAlnumByte(out[i + k.size()]))) {
+        next += table.at(k);
+        i += k.size();
+      } else {
+        next += out[i];
+        ++i;
+      }
+    }
+    out = std::move(next);
+  }
+  return out;
+}
 
 bool ItnGrammar::Load(const std::string& path) {
   std::ifstream f(path);
@@ -647,6 +975,24 @@ bool ItnGrammar::LoadString(const std::string& json) {
             // a dialect mismatch must not take the whole archive down
           }
         }
+      }
+    }
+    // v6: electronic + whitelist tables (language top level)
+    auto elec = g.obj.find("electronic");
+    if (elec != g.obj.end() && elec->second.kind == JsonValue::kObject) {
+      auto a = elec->second.obj.find("at");
+      auto d = elec->second.obj.find("dot");
+      if (a != elec->second.obj.end()) {
+        for (const auto& e : a->second.arr) lex.at_words.push_back(e.str);
+      }
+      if (d != elec->second.obj.end()) {
+        for (const auto& e : d->second.arr) lex.dot_words.push_back(e.str);
+      }
+    }
+    auto wl = g.obj.find("whitelist");
+    if (wl != g.obj.end() && wl->second.kind == JsonValue::kObject) {
+      for (const auto& e : wl->second.obj) {
+        lex.whitelist[e.first] = e.second.str;
       }
     }
     langs_[kv.first] = std::move(lex);
@@ -763,6 +1109,9 @@ std::string ItnGrammar::Apply(const std::string& lang,
   std::string out = lex.cjk ? CjkItn(lex, text) : WordItn(lex, text);
   out = lex.cjk ? ApplyCjkClasses(lex, out) : ApplyWordClasses(lex, out);
   out = ApplyTimedateRules(lex, out);
+  // v6: electronic (email/url) then whitelist, same order as apply_classes
+  out = ApplyElectronicPass(lex.at_words, lex.dot_words, lex.cjk, out);
+  out = ApplyWhitelistPass(lex.whitelist, lex.cjk, out);
   return out;
 }
 

@@ -40,7 +40,26 @@ struct ItnLexicon {
   std::map<std::string, std::string> currencies, ordinals;
   // v4 archives: time/date regex rules shared verbatim with Python
   std::vector<TimedateRule> timedate_rules;
+  // v6 archives: electronic (email/url) at/dot word tables + whitelist
+  // (spoken phrase -> written abbreviation)
+  std::vector<std::string> at_words, dot_words;
+  std::map<std::string, std::string> whitelist;
 };
+
+// Electronic (email/url) ITN pass — word-for-word identical to
+// funasr_tpu.text.electronic.apply_electronic so python and C++ emit
+// byte-identical output from the same at/dot word tables. ``unspaced``
+// additionally runs the CJK byte-literal shapes (ja/ko/zh).
+std::string ApplyElectronicPass(const std::vector<std::string>& at_words,
+                                const std::vector<std::string>& dot_words,
+                                bool unspaced, const std::string& text);
+
+// Whitelist pass (spoken -> written abbreviation), identical to
+// funasr_tpu.text.electronic.apply_whitelist. ``cjk`` switches to plain
+// substring replacement (no token boundaries).
+std::string ApplyWhitelistPass(
+    const std::map<std::string, std::string>& table, bool cjk,
+    const std::string& text);
 
 class ItnGrammar {
  public:

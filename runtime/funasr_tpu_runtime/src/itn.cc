@@ -1,4 +1,5 @@
 #include "itn.h"
+#include "itn-grammar.h"
 #include <cstdlib>
 #include <cstring>
 
@@ -625,8 +626,22 @@ std::string ItnEn(const std::string& text) {
 
 std::string InverseNormalize(const std::string& text,
                              const std::string& language) {
-  if (language == "zh") return ItnZh(text);
-  if (language == "en") return ItnEn(text);
+  // electronic/whitelist tables mirror funasr_tpu/text/electronic.py
+  // ELECTRONIC_WORDS["zh"/"en"] / WHITELIST["en"] so the native zh/en path
+  // byte-matches inverse_normalize_zh/en (which append the same passes).
+  if (language == "zh") {
+    return ApplyElectronicPass({"\xE8\x89\xBE\xE7\x89\xB9", "at"},
+                               {"\xE7\x82\xB9", "dot"}, true, ItnZh(text));
+  }
+  if (language == "en") {
+    static const std::map<std::string, std::string> kEnWhitelist = {
+        {"misses", "mrs."},       {"mister", "mr."},
+        {"doctor", "dr."},        {"saint", "st."},
+        {"for example", "e.g."},  {"seven eleven", "7-eleven"}};
+    const std::string out =
+        ApplyElectronicPass({"at"}, {"dot"}, false, ItnEn(text));
+    return ApplyWhitelistPass(kEnWhitelist, false, out);
+  }
   return text;
 }
 

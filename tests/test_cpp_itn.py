@@ -40,7 +40,9 @@ ZH_CASES = ["ä¸€å…±ä¸‰ç™¾äºŒåäº”å…ƒ", "äºŒé›¶äºŒä¸‰", "äº”åƒå››ç™¾é›¶ä¸‰", "ä
             "ä¸‰ç‚¹åäº”åˆ†", "ä¸¤ç‚¹åŠ", "ä¸‹åˆå››ç‚¹é›¶äº”åˆ†äºŒåç§’å¼€ä¼š", "ä¸‰ç‚¹ä¸€å››",
             "ä¸‰ç‚¹", "åäºŒç‚¹é›¶ä¸€åˆ†", "äº”å—é’±", "ä¸‰ç™¾ä¸‡æ—¥å…ƒ",
             "æˆ‘æœ‰ä¸€ç™¾äºŒåä¸‰å—é’±å’Œç™¾åˆ†ä¹‹ä¸‰åçš„è‚¡ä»½", "äºŒåä¸€ä¸–çºª",
-            "ä»–ä¸€ä¸ªäººå»äº†"]
+            "ä»–ä¸€ä¸ªäººå»äº†",
+            # v6: electronic (email) â€” ç‚¹ doubles as dot word and time marker
+            "æˆ‘çš„é‚®ç®±æ˜¯abcè‰¾ç‰¹gmailç‚¹com", "ä¸‰ç‚¹åäº”åˆ†"]
 EN_CASES = ["twenty three dollars", "one hundred and five people",
             "three thousand five hundred", "fifty percent done",
             "no numbers here",
@@ -48,7 +50,12 @@ EN_CASES = ["twenty three dollars", "one hundred and five people",
             "three dollars fifty", "three dollars and fifty cents",
             "fifty cents", "twenty first", "january third",
             "one hundred and first", "second place", "the third of may",
-            "one million bucks", "two hundred dollars"]
+            "one million bucks", "two hundred dollars",
+            # v6: electronic (email/url) + whitelist
+            "my email is john at gmail dot com",
+            "j o h n at g mail dot co dot uk", "www open a i dot com",
+            "doctor smith said for example twenty three",
+            "meet me at noon dot", "at the house"]
 
 
 def test_cpp_zh_matches_python(lib):

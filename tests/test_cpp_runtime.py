@@ -734,6 +734,18 @@ def test_itn_grammar_archive_cpp(built, tmp_path):
         ("ja", "三分の一"), ("ja", "五キロメートル"),
         ("ja", "ゼロ三の一二三四の五六七八"),
         ("ko", "삼분의 일"), ("ko", "오 킬로미터"), ("ko", "오미터"),
+        # v6 class rules: electronic (email/url) + whitelist
+        ("de", "meine adresse ist hans at gmail punkt de"),
+        ("de", "doktor schmidt hat fünfzig prozent"),
+        ("es", "c d f uno arroba a b c punto e d u"),
+        ("fr", "monsieur dupont arobase orange point fr"),
+        ("fr", "www a b c point com"), ("fr", "www point le monde point fr"),
+        ("ru", "то есть пять рублей"),
+        ("ja", "abcアットマークdefドットcom"), ("ja", "セブンイレブンで三点一四"),
+        ("ko", "abc골뱅이def닷com"),
+        ("vi", "a b c a còng d e f chấm com"),
+        ("id", "user at gmail titik com dot"),
+        ("pt", "senhor silva arroba uol ponto com ponto br"),
     ]
     for lang, text in class_cases:
         res = lib.FunItnGrammarApply(g, lang.encode(), text.encode())
