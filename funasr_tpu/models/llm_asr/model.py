@@ -220,7 +220,10 @@ class LLMASR(FunASRNano):
         """Messages-mode inference when ``data_in`` carries OpenAI-format
         conversations (reference LLMASR2 ``inference:820-945``); plain audio
         falls through to the FunASRNano path."""
-        if not (data_in and self._is_messages(data_in[0])):
+        is_msgs = (isinstance(data_in, (list, tuple)) and len(data_in) > 0
+                   and self._is_messages(data_in[0]))
+        if not is_msgs:
+            # plain audio (path / ndarray / bytes) — FunASRNano ASR path
             return super().inference(params, data_in, data_lengths, key,
                                      tokenizer, frontend, **kwargs)
         meta: Dict = {}
