@@ -86,6 +86,7 @@ def main(**kwargs):
     trainer = Trainer(model, tx, frontend=kwargs.get("frontend"),
                       output_dir=kwargs.get("output_dir", "exp"),
                       sharding=kwargs.get("sharding", "dp"),
+                      pp_micro=int(kwargs.get("pp_micro", 2)),
                       mesh=mesh, **train_conf)
     params = trainer.run(params, dl.train, dl.valid,
                          rng=jax.random.PRNGKey(kwargs.get("seed", 0)))

@@ -133,12 +133,23 @@ class SANMEncoder:
                          lengths=ilens)
 
         if cfg.num_blocks > 1:
-            def body(carry, layer_params):
-                h = _layer_apply(layer_params, cfg, carry, mask, first=False,
-                                 rng=rng, lengths=ilens)
-                return h, None
+            runner = getattr(self, "pipeline_runner", None)
+            if runner is not None:
+                # pipeline-parallel stage execution (funasr_tpu.parallel.
+                # pipeline): the stacked layer axis is sharded over the mesh's
+                # stage axis and activations rotate via ppermute
+                x = runner(
+                    lambda lp, h, ctx: _layer_apply(
+                        lp, cfg, h, ctx["mask"], first=False, rng=rng,
+                        lengths=ctx["lengths"]),
+                    params["encoders"], x, {"mask": mask, "lengths": ilens})
+            else:
+                def body(carry, layer_params):
+                    h = _layer_apply(layer_params, cfg, carry, mask,
+                                     first=False, rng=rng, lengths=ilens)
+                    return h, None
 
-            x, _ = jax.lax.scan(body, x, params["encoders"])
+                x, _ = jax.lax.scan(body, x, params["encoders"])
 
         if cfg.normalize_before:
             x = layer_norm_apply(params["after_norm"], x)

@@ -75,11 +75,23 @@ class Trainer:
         # additionally shard large params' first dim over "data" (ZeRO-3 role,
         # ref funasr/bin/train.py:139-170 FSDP auto-wrap policy); "sp" =
         # additionally shard feature time dims over the "model" axis
-        # (sequence/context parallelism for long-audio training).
-        if sharding not in ("dp", "fsdp", "sp"):
+        # (sequence/context parallelism for long-audio training); "pp" =
+        # pipeline-parallel stages over the "model" axis (stacked encoder
+        # layers sharded per stage, activations rotated via ppermute —
+        # funasr_tpu.parallel.pipeline; ++pp_micro sets the GPipe microbatch
+        # count, default 2).
+        if sharding not in ("dp", "fsdp", "sp", "pp"):
             raise ValueError(
-                f"sharding must be 'dp', 'fsdp' or 'sp', got {sharding!r}")
+                f"sharding must be 'dp', 'fsdp', 'sp' or 'pp', "
+                f"got {sharding!r}")
         self.sharding = sharding
+        if sharding == "pp":
+            from funasr_tpu.parallel.pipeline import make_pipeline_runner
+            if not hasattr(model, "encoder"):
+                raise ValueError("sharding='pp' needs a model with a stacked-"
+                                 "layer .encoder (Paraformer/SANM family)")
+            model.encoder.pipeline_runner = make_pipeline_runner(
+                self.mesh, n_micro=int(kwargs.get("pp_micro", 2)))
         self.step = 0
         self.start_epoch = 0
         self._resume_skip_batches = 0  # mid-epoch resume: batches to skip
@@ -156,8 +168,12 @@ class Trainer:
 
     def run(self, params, dataloader_train, dataloader_val=None, rng=None):
         rng = rng if rng is not None else jax.random.PRNGKey(0)
-        shard_fn = (fsdp_param_shardings if self.sharding == "fsdp"
-                    else param_shardings)
+        if self.sharding == "pp":
+            from funasr_tpu.parallel.pipeline import pp_param_shardings
+            shard_fn = pp_param_shardings
+        else:
+            shard_fn = (fsdp_param_shardings if self.sharding == "fsdp"
+                        else param_shardings)
         params = jax.device_put(params, shard_fn(params, self.mesh))
         opt_state = self.tx.init(params)
 
