@@ -34,15 +34,26 @@ class QwenConfig(NamedTuple):
     tie_word_embeddings: bool = True
     qkv_bias: bool = False       # qwen2: True, qwen3: False
     qk_norm: bool = False        # qwen3: True
+    # Qwen3-MoE (HF qwen3_moe): num_experts routed SwiGLU experts of width
+    # moe_intermediate_size, top-k softmax gating with renormalization
+    num_experts: int = 0
+    num_experts_per_tok: int = 0
+    moe_intermediate_size: Optional[int] = None
+    norm_topk_prob: bool = True
 
     @property
     def hd(self) -> int:
         return self.head_dim or self.hidden_size // self.num_attention_heads
 
+    @property
+    def moe(self) -> bool:
+        return self.num_experts > 0
+
     @classmethod
     def from_hf(cls, hf_config) -> "QwenConfig":
         d = hf_config.to_dict() if hasattr(hf_config, "to_dict") else dict(hf_config)
-        is_qwen3 = d.get("model_type", "") == "qwen3"
+        mtype = d.get("model_type", "")
+        is_qwen3 = mtype in ("qwen3", "qwen3_moe")
         return cls(
             vocab_size=d["vocab_size"], hidden_size=d["hidden_size"],
             intermediate_size=d["intermediate_size"],
@@ -54,8 +65,12 @@ class QwenConfig(NamedTuple):
             rms_norm_eps=d.get("rms_norm_eps", 1e-6),
             rope_theta=d.get("rope_theta", 1e6),
             tie_word_embeddings=d.get("tie_word_embeddings", False),
-            qkv_bias=not is_qwen3 and d.get("model_type") == "qwen2",
+            qkv_bias=not is_qwen3 and mtype == "qwen2",
             qk_norm=is_qwen3,
+            num_experts=d.get("num_experts", 0) if mtype == "qwen3_moe" else 0,
+            num_experts_per_tok=d.get("num_experts_per_tok", 0),
+            moe_intermediate_size=d.get("moe_intermediate_size"),
+            norm_topk_prob=d.get("norm_topk_prob", True),
         )
 
 
@@ -88,7 +103,7 @@ class QwenLM:
         keys = jax.random.split(rng, c.num_hidden_layers + 3)
 
         def layer(k):
-            ks = jax.random.split(k, 7)
+            ks = jax.random.split(k, 8)
             p = {
                 "input_layernorm": jnp.ones((c.hidden_size,), jnp.float32),
                 "post_attention_layernorm": jnp.ones((c.hidden_size,), jnp.float32),
@@ -100,13 +115,31 @@ class QwenLM:
                                       c.num_key_value_heads * c.hd, bias=c.qkv_bias),
                 "o_proj": linear_init(ks[3], c.num_attention_heads * c.hd,
                                       c.hidden_size, bias=False),
-                "gate_proj": linear_init(ks[4], c.hidden_size, c.intermediate_size,
-                                         bias=False),
-                "up_proj": linear_init(ks[5], c.hidden_size, c.intermediate_size,
-                                       bias=False),
-                "down_proj": linear_init(ks[6], c.intermediate_size, c.hidden_size,
-                                         bias=False),
             }
+            if c.moe:
+                mi = c.moe_intermediate_size or c.intermediate_size
+                ek = jax.random.split(ks[4], 3)
+                scale_in = (c.hidden_size ** -0.5)
+                p["gate"] = linear_init(ks[5], c.hidden_size, c.num_experts,
+                                        bias=False)
+                p["experts"] = {
+                    "gate_proj": {"w": jax.random.normal(
+                        ek[0], (c.num_experts, c.hidden_size, mi)) * scale_in},
+                    "up_proj": {"w": jax.random.normal(
+                        ek[1], (c.num_experts, c.hidden_size, mi)) * scale_in},
+                    "down_proj": {"w": jax.random.normal(
+                        ek[2], (c.num_experts, mi, c.hidden_size))
+                        * (mi ** -0.5)},
+                }
+            else:
+                p.update({
+                    "gate_proj": linear_init(ks[4], c.hidden_size,
+                                             c.intermediate_size, bias=False),
+                    "up_proj": linear_init(ks[5], c.hidden_size,
+                                           c.intermediate_size, bias=False),
+                    "down_proj": linear_init(ks[6], c.intermediate_size,
+                                             c.hidden_size, bias=False),
+                })
             if c.qk_norm:
                 p["q_norm"] = jnp.ones((c.hd,), jnp.float32)
                 p["k_norm"] = jnp.ones((c.hd,), jnp.float32)
@@ -183,6 +216,36 @@ class QwenLM:
         h = jax.nn.silu(g.astype(jnp.float32)).astype(x.dtype) * u
         return qlinear(lp["down_proj"], h)
 
+    def _moe_mlp(self, lp, x):
+        """Qwen3-MoE sparse block (HF ``Qwen3MoeSparseMoeBlock``): softmax
+        router -> top-k experts (renormalized when norm_topk_prob) -> weighted
+        sum of per-expert SwiGLU outputs.
+
+        Executed DENSELY over the stacked expert dim (one einsum per
+        projection) with a zero-masked combine — the jit/TPU-friendly form:
+        static shapes, the expert dim is a physical array axis that expert
+        parallelism shards over the mesh's "model" axis (GSPMD inserts the
+        output psum), and no per-token gather/scatter. Costs E/k x the
+        selected-expert FLOPs; EP spreads that across devices."""
+        c = self.cfg
+        router = qlinear(lp["gate"], x).astype(jnp.float32)     # (B, T, E)
+        probs = jax.nn.softmax(router, axis=-1)
+        topv, topi = jax.lax.top_k(probs, c.num_experts_per_tok)
+        if c.norm_topk_prob:
+            topv = topv / jnp.sum(topv, axis=-1, keepdims=True)
+        # (B, T, E) combine weights, zero outside the top-k
+        gates = jnp.sum(
+            jax.nn.one_hot(topi, c.num_experts, dtype=jnp.float32)
+            * topv[..., None], axis=-2)
+        g = jnp.einsum("btd,edh->beth", x, lp["experts"]["gate_proj"]["w"]
+                       .astype(x.dtype))
+        u = jnp.einsum("btd,edh->beth", x, lp["experts"]["up_proj"]["w"]
+                       .astype(x.dtype))
+        h = jax.nn.silu(g.astype(jnp.float32)).astype(x.dtype) * u
+        y = jnp.einsum("beth,ehd->betd", h, lp["experts"]["down_proj"]["w"]
+                       .astype(x.dtype))
+        return jnp.einsum("betd,bte->btd", y, gates.astype(x.dtype))
+
     def forward(self, params, input_embeds, positions, kv_cache, write_pos, kv_lens):
         """input_embeds: (B, T, D); positions: (B, T) global positions; returns
         (logits (B, T, V), new_kv_cache)."""
@@ -194,7 +257,8 @@ class QwenLM:
             h, kv = self._attn(lp, h, positions, kv_cache[i], write_pos, kv_lens)
             x = x + h
             h = rms_norm(lp["post_attention_layernorm"], x, c.rms_norm_eps)
-            x = x + self._mlp(lp, h)
+            x = x + (self._moe_mlp(lp, h) if "experts" in lp
+                     else self._mlp(lp, h))
             new_cache.append(kv)
         x = rms_norm(params["norm"], x, c.rms_norm_eps)
         if c.tie_word_embeddings:
@@ -256,10 +320,21 @@ def convert_hf_qwen(state_dict, config: QwenConfig):
             "k_proj": lin(f"{pre}.self_attn.k_proj", config.qkv_bias),
             "v_proj": lin(f"{pre}.self_attn.v_proj", config.qkv_bias),
             "o_proj": lin(f"{pre}.self_attn.o_proj", False),
-            "gate_proj": lin(f"{pre}.mlp.gate_proj", False),
-            "up_proj": lin(f"{pre}.mlp.up_proj", False),
-            "down_proj": lin(f"{pre}.mlp.down_proj", False),
         }
+        if f"{pre}.mlp.gate.weight" in state_dict:
+            # qwen3_moe sparse layer: router + stacked routed experts
+            lp["gate"] = lin(f"{pre}.mlp.gate", False)
+            lp["experts"] = {
+                nm: {"w": np.stack(
+                    [g(f"{pre}.mlp.experts.{j}.{nm}.weight").T
+                     for j in range(config.num_experts)])}
+                for nm in ("gate_proj", "up_proj", "down_proj")}
+        else:
+            lp.update({
+                "gate_proj": lin(f"{pre}.mlp.gate_proj", False),
+                "up_proj": lin(f"{pre}.mlp.up_proj", False),
+                "down_proj": lin(f"{pre}.mlp.down_proj", False),
+            })
         if config.qk_norm:
             lp["q_norm"] = g(f"{pre}.self_attn.q_norm.weight")
             lp["k_norm"] = g(f"{pre}.self_attn.k_norm.weight")

@@ -63,6 +63,13 @@ def param_pspec(path, leaf, model_axis: str = "model", model_size: int = 1):
     """PartitionSpec for one param leaf given its tree path."""
     name = _path_str(path)
     shape = leaf.shape
+    # expert parallelism: stacked MoE expert weights [E, ...] (path
+    # .../experts/<proj>/w) shard the expert dim over the model axis; the
+    # dense-dispatch einsums then compute only local experts per device and
+    # GSPMD inserts the combine psum
+    if (model_size > 1 and "/experts/" in f"/{name}" and leaf.ndim >= 3
+            and shape[0] % model_size == 0):
+        return P(model_axis, *([None] * (leaf.ndim - 1)))
     is_kernel = name.endswith("/w") and leaf.ndim >= 2
     # stacked-layer params have a leading layer axis; the matmul dims are the last 2
     if is_kernel and model_size > 1:
