@@ -1,0 +1,22 @@
+#!/usr/bin/env python3
+"""Contextual Paraformer: hotword-biased decoding.
+
+funasr_tpu counterpart of the reference
+``examples/industrial_data_pretraining/contextual_paraformer/demo.py``. Model ids resolve
+through the hub alias/download layer (``funasr_tpu/download/``); set
+``FUNASR_TPU_DEMO_MODEL`` to a local model dir to run offline, and pass an
+audio path as the first CLI argument.
+"""
+
+import os
+import sys
+
+from funasr_tpu import AutoModel
+
+
+model = AutoModel(model=os.environ.get("FUNASR_TPU_DEMO_MODEL",
+                                       "iic/speech_paraformer-large-contextual_asr_nat-zh-cn-16k-common-vocab8404"))
+
+wav = sys.argv[1] if len(sys.argv) > 1 else "asr_example_zh.wav"
+res = model.generate(input=wav, hotword="达摩院 魔搭")
+print(res)

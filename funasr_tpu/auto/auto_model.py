@@ -22,6 +22,7 @@ import time
 from typing import Any, Dict, List, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from funasr_tpu.download.download_model_from_hub import download_model
@@ -206,17 +207,25 @@ class AutoModel:
         init_param = kwargs.get("init_param")
         if init_param is not None and os.path.exists(init_param):
             from funasr_tpu.convert.torch_to_jax import (
-                convert_state_dict, load_torch_checkpoint)
+                convert_state_dict, load_native_checkpoint,
+                load_torch_checkpoint)
             logging.info("loading pretrained params from %s", init_param)
-            sd = load_torch_checkpoint(init_param)
-            try:
-                params = convert_state_dict(sd, model, model_class_name)
-            except NotImplementedError:
-                logging.warning("no converter for %s; using random init",
-                                model_class_name)
+            native = load_native_checkpoint(init_param)
+            if native is not None:
+                # own Trainer checkpoint (model.pt.ep*/model.pt.avg): the
+                # pytree structure matches model.init_params by construction
+                params = jax.tree_util.tree_map(
+                    lambda old, new: jnp.asarray(new, old.dtype),
+                    params, native)
+            else:
+                sd = load_torch_checkpoint(init_param)
+                try:
+                    params = convert_state_dict(sd, model, model_class_name)
+                except NotImplementedError:
+                    logging.warning("no converter for %s; using random init",
+                                    model_class_name)
 
         if kwargs.get("bf16", False) or kwargs.get("fp16", False):
-            import jax.numpy as jnp
             from funasr_tpu.core.module import cast_floats
             params = cast_floats(params, jnp.bfloat16)
         if quantization and quantization not in ("int8", "w8"):

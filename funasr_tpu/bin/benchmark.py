@@ -181,7 +181,13 @@ def main_cli():
     assert "model" in cfg, __doc__
 
     model_keys = {"model", "vad_model", "punc_model", "spk_model", "hub",
-                  "disable_pbar", "batch_size", "device", "quant"}
+                  "disable_pbar", "batch_size", "device", "quant",
+                  # config-override keys so a freshly trained checkpoint can be
+                  # evaluated: ++model=<conf dir> ++init_param=<model.pt.avg>
+                  # ++tokenizer_conf.token_list=... (the recipe stage-5 path)
+                  "init_param", "tokenizer_conf", "frontend_conf", "model_conf",
+                  "encoder_conf", "decoder_conf", "predictor_conf", "seed",
+                  "bf16", "fp16", "vad_kwargs", "punc_kwargs", "spk_kwargs"}
     model = AutoModel(**{k: v for k, v in cfg.items() if k in model_keys},
                       disable_pbar=True)
     run_cfg = {k: v for k, v in cfg.items() if k not in model_keys}

@@ -41,7 +41,11 @@ def scp2jsonl(scp_file_list: List[str], data_type_list: List[str],
                 obj[dtype] = m[k]
                 if dtype == "source":
                     try:
-                        obj["source_len"] = int(len(load_audio(m[k])))
+                        # 10 ms frames, matching the reference scp2jsonl.py
+                        # (token batching and max_token_length budgets count
+                        # frames, not samples)
+                        obj["source_len"] = int(len(load_audio(m[k], fs=16000))
+                                                // 160)
                     except Exception:  # noqa: BLE001
                         obj["source_len"] = -1
                 elif dtype == "target":
@@ -60,14 +64,27 @@ def jsonl2scp(jsonl_file_in: str, scp_file_out: str, data_type: str = "source",
     print(f"wrote {scp_file_out}")
 
 
-def compute_cmvn(jsonl: str, out: str, dim: int = 560, lfr_m: int = 7,
-                 lfr_n: int = 6, n_mels: int = 80, max_utts: int = 5000, **kwargs):
-    """Accumulate fbank+LFR stats over the corpus -> Kaldi-format am.mvn."""
+def compute_cmvn(jsonl: str, out: str, dim: int = 560, lfr_m: int = None,
+                 lfr_n: int = None, n_mels: int = 80, max_utts: int = 5000,
+                 **kwargs):
+    """Accumulate fbank+LFR stats over the corpus -> Kaldi-format am.mvn.
+
+    The LFR stacking is inferred from ``dim`` (dim = n_mels * lfr_m) unless
+    given explicitly: dim=560 -> the classic 7/6, dim=80 -> no LFR, dim=400 ->
+    the VAD frontend's 5/1.
+    """
     import jax
     from funasr_tpu.ops.fbank import fbank
     from funasr_tpu.ops.lfr import apply_lfr
     from funasr_tpu.utils.load_utils import load_audio
     import jax.numpy as jnp
+
+    if lfr_m is None:
+        assert dim % n_mels == 0, f"dim={dim} not a multiple of n_mels={n_mels}"
+        lfr_m = dim // n_mels
+    if lfr_n is None:
+        lfr_n = {7: 6, 5: 1}.get(lfr_m, lfr_m)
+    assert dim == n_mels * lfr_m, (dim, n_mels, lfr_m)
 
     total = np.zeros((dim,), np.float64)
     total_sq = np.zeros((dim,), np.float64)
@@ -173,7 +190,7 @@ def sensevoice2jsonl(scp_file_list: List[str], data_type_list: List[str],
             except Exception:  # noqa: BLE001 — skip unreadable rows like ref
                 continue
             text = tgt.get(key, "")
-            row = {"key": key, "source": wav, "source_len": n,
+            row = {"key": key, "source": wav, "source_len": n // 160,
                    "target": text, "target_len": len(text),
                    "lid": cols.get("lid", {}).get(key, lid),
                    "emo": cols.get("emo", {}).get(key, emo),

@@ -1002,6 +1002,31 @@ def _strip_module_prefix(sd: Dict[str, Any]) -> Dict[str, Any]:
     return dict(sd)
 
 
+def load_native_checkpoint(path: str):
+    """Load a funasr_tpu Trainer/average_checkpoints pickle and return its
+    params pytree, or None if ``path`` is not one.
+
+    Trainer.save_checkpoint pickles ``{"params": <numpy pytree>, ...}``; torch
+    checkpoints are either zip archives (new format) or torch-unpickler-only
+    legacy pickles, so a plain-pickle dict with a "params" key is unambiguous.
+    This is what lets ``++init_param=exp/model.pt.avg`` close the reference's
+    train -> average -> inference loop (ref ``funasr/bin/train.py`` saves and
+    ``funasr/auto/auto_model.py`` reloads the same torch state_dict format).
+    """
+    import pickle
+    import zipfile
+    if zipfile.is_zipfile(path):
+        return None
+    try:
+        with open(path, "rb") as f:
+            obj = pickle.load(f)
+    except Exception:
+        return None
+    if isinstance(obj, dict) and isinstance(obj.get("params"), dict):
+        return obj["params"]
+    return None
+
+
 def load_torch_checkpoint(path: str) -> Dict[str, Any]:
     """Load a ``model.pt`` state dict without requiring CUDA."""
     import torch

@@ -26,6 +26,9 @@ class BatchSampler:
         self.world_size = world_size
         self.seed = seed
         self.sort_size = sort_size
+        # drop overlong samples (reference dataset_conf.max_token_length:
+        # filter if source_token_len + target_token_len exceeds it)
+        self.max_token_length = kwargs.get("max_token_length")
         self.epoch = 0
 
     def set_epoch(self, epoch: int):
@@ -34,6 +37,14 @@ class BatchSampler:
     def _batches(self) -> List[List[int]]:
         n = len(self.dataset)
         order = np.arange(n)
+        if self.max_token_length:
+            gtl = getattr(self.dataset, "get_target_len", None)
+            order = np.asarray(
+                [i for i in order
+                 if self.dataset.get_source_len(i)
+                 + (gtl(i) if gtl else 0) <= self.max_token_length],
+                dtype=np.int64)
+            n = len(order)
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self.epoch)
             rng.shuffle(order)

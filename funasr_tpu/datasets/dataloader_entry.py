@@ -34,8 +34,14 @@ class DataLoader:
 class DataloaderMapStyle:
     def __init__(self, frontend=None, tokenizer=None, **kwargs):
         dataset_conf = dict(kwargs.get("dataset_conf", {}))
-        index_ds = kwargs.get("index_ds", "IndexDSJsonl")
+        # index_ds/batch sampling keys may live inside dataset_conf (the
+        # reference template.yaml layout) or at the top level; dataset_conf wins
+        index_ds = dataset_conf.get("index_ds", kwargs.get("index_ds",
+                                                           "IndexDSJsonl"))
         dataset_cls = tables.dataset_classes[kwargs.get("dataset", "AudioDataset")]
+        _loader_keys = ("speed_perturb", "index_ds", "batch_sampler",
+                        "batch_size", "batch_type", "sort_size", "buffer_size",
+                        "shuffle", "num_workers", "max_token_length")
 
         def build(path, is_training):
             ds = dataset_cls(
@@ -43,7 +49,8 @@ class DataloaderMapStyle:
                 index_ds_conf={"path": path, **kwargs.get("index_ds_conf", {})},
                 tokenizer=tokenizer, frontend=frontend,
                 speed_perturb=dataset_conf.get("speed_perturb", False) and is_training,
-                **{k: v for k, v in dataset_conf.items() if k != "speed_perturb"})
+                **{k: v for k, v in dataset_conf.items()
+                   if k not in _loader_keys})
             sampler_cls = tables.batch_sampler_classes[
                 dataset_conf.get("batch_sampler", "BatchSampler")]
             sampler = sampler_cls(
@@ -52,6 +59,7 @@ class DataloaderMapStyle:
                 batch_type=dataset_conf.get("batch_type", "example"),
                 shuffle=is_training,
                 rank=kwargs.get("rank", 0), world_size=kwargs.get("world_size", 1),
+                max_token_length=dataset_conf.get("max_token_length"),
                 sort_size=dataset_conf.get("sort_size",
                                            dataset_conf.get("buffer_size", 1024)))
             return DataLoader(ds, sampler,

@@ -16,6 +16,8 @@ import jax
 import jax.numpy as jnp
 
 from funasr_tpu.core.layers import (
+    embedding_apply,
+    embedding_init,
     ffn_apply,
     ffn_init,
     layer_norm_apply,
@@ -77,7 +79,13 @@ class ParaformerSANDecoder:
              "after_norm": layer_norm_init(cfg.dim)}
         if cfg.use_output_layer:
             p["output_layer"] = linear_init(keys[1], cfg.dim, cfg.vocab_size)
+        # token embedding table for the glancing sampler (reference
+        # decoder.py:311-319 builds self.embed for the SAN variant too)
+        p["embed"] = embedding_init(keys[2], cfg.vocab_size, cfg.dim)
         return p
+
+    def embed(self, params, ids, dtype=jnp.float32):
+        return embedding_apply(params["embed"], ids, dtype=dtype)
 
     def __call__(self, params, hs_pad, hlens, sematic_embeds, ys_lens):
         cfg = self.cfg

@@ -49,7 +49,9 @@ def test_scp2jsonl_roundtrip(tmp_path):
     scp2jsonl([str(tmp_path / "wav.scp"), str(tmp_path / "text.txt")],
               ["source", "target"], str(out))
     obj = json.loads(out.read_text().strip())
-    assert obj["source_len"] == 1600 and obj["target_len"] == 4
+    # source_len counts 10 ms frames (1600 samples -> 10), matching the
+    # reference scp2jsonl.py whose token-budget batching expects frames
+    assert obj["source_len"] == 10 and obj["target_len"] == 4
     jsonl2scp(str(out), str(tmp_path / "back.scp"))
     assert "utt1" in (tmp_path / "back.scp").read_text()
 
