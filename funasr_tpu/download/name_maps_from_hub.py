@@ -29,6 +29,8 @@ name_maps_hf = {
     "cam++": "funasr/campplus",
     "sensevoice-small": "FunAudioLLM/SenseVoiceSmall",
     "fun-asr-nano": "FunAudioLLM/Fun-ASR-Nano-2512",
+    "glm-asr-nano": "zai-org/GLM-ASR-Nano-2512",
+    "qwen3-asr": "Qwen/Qwen3-ASR-1.7B",
 }
 
 name_maps_openai = {

@@ -12,12 +12,18 @@ TEST_DIR = os.path.dirname(os.path.abspath(__file__))
 
 TESTS = [
     "test_fsmn_vad.py",
+    "test_fsmn_vad_streaming.py",
     "test_ct_transformer.py",
     "test_paraformer.py",
     "test_sensevoice.py",
+    "test_sensevoice_spk.py",
     "test_campplus.py",
     "test_paraformer_streaming.py",
     "test_seaco_paraformer.py",
+    "test_qwen3_asr.py",
+    "test_glm_asr.py",
+    "test_fun_asr_nano_spk.py",
+    "test_eres2netv2.py",
 ]
 
 
