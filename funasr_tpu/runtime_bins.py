@@ -39,6 +39,15 @@ def _load_lib(lib_path: Optional[str] = None):
     lib.FunOfflineInferHotword.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
                                            ctypes.c_int, ctypes.c_int,
                                            ctypes.c_int, ctypes.c_void_p]
+    lib.FunOfflineInferHotwordBeam.restype = ctypes.c_void_p
+    lib.FunOfflineInferHotwordBeam.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_void_p, ctypes.c_int]
+    lib.FunASRBiasBeamDecode.restype = ctypes.c_int
+    lib.FunASRBiasBeamDecode.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_int)]
     lib.FunASRHotwordCompile.restype = ctypes.c_void_p
     lib.FunASRHotwordCompile.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
                                          ctypes.c_float]
@@ -138,14 +147,16 @@ class Paraformer(_Handle):
 
     def __call__(self, wav_content: Union[str, bytes, List], fs: int = 16000,
                  hotword: Optional[str] = None, hotword_boost: float = 3.0,
-                 **kwargs) -> List[dict]:
+                 beam: int = 1, **kwargs) -> List[dict]:
         items = wav_content if isinstance(wav_content, list) else [wav_content]
         trie = self._trie(hotword, hotword_boost) if hotword else None
         results = []
         for item in items:
             data = _read_audio(item)
-            res = self.lib.FunOfflineInferHotword(self.handle, data, len(data),
-                                                  0, fs, trie)
+            # beam > 1 runs the bias-LM beam search (wfst-decoder lattice
+            # role); beam <= 1 is the bias-aware greedy decode
+            res = self.lib.FunOfflineInferHotwordBeam(
+                self.handle, data, len(data), 0, fs, trie, int(beam))
             out = {"preds": ""}
             if res:
                 text = self.lib.FunASRGetResult(res, 0)

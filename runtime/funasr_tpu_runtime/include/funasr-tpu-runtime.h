@@ -179,10 +179,25 @@ void FunASRITNFree(char* s);
 FUNASR_RESULT FunOfflineInferHotword(FUNASR_HANDLE handle, const char* data,
                                      int data_len, FUNASR_MODE mode,
                                      int sampling_rate, void* hotword_trie);
+/* Same, with a bias-LM beam search (beam > 1): hypotheses keep per-path trie
+ * states and scores, so a hotword whose first char loses the local argmax can
+ * still win on total path score — the reference wfst-decoder lattice role.
+ * beam <= 1 is the bias-aware greedy decode of FunOfflineInferHotword. */
+FUNASR_RESULT FunOfflineInferHotwordBeam(FUNASR_HANDLE handle,
+                                         const char* data, int data_len,
+                                         FUNASR_MODE mode, int sampling_rate,
+                                         void* hotword_trie, int beam);
 void* FunASRHotwordCompile(const char* hotwords, const char* tokens_file,
                            float boost);
 int FunASRHotwordStep(void* trie, int state, int token, float* delta);
 void FunASRHotwordFree(void* trie);
+/* Pure bias-LM beam decode over NAR position logits (n_tok x vocab_size,
+ * row-major float32): writes one chosen token id per position to out_ids
+ * (length >= n_tok) and returns the count. Incomplete hotword prefixes give
+ * back their pending boost at sentence end (bias-lm.cpp semantics). */
+int FunASRBiasBeamDecode(const float* logits, int n_tok, int vocab_size,
+                         void* trie, int beam, int blank, int sos, int eos,
+                         int* out_ids);
 
 #ifdef __cplusplus
 }

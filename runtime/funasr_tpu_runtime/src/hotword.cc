@@ -1,5 +1,6 @@
 #include "hotword.h"
 
+#include <algorithm>
 #include <cctype>
 #include <cstring>
 #include <fstream>
@@ -159,6 +160,11 @@ int HotwordTrie::Step(int state, int token, float* delta) const {
   return 0;
 }
 
+float HotwordTrie::Pending(int state) const {
+  if (state < 0 || state >= static_cast<int>(nodes_.size())) return 0.0f;
+  return nodes_[state].accum;
+}
+
 void HotwordTrie::Candidates(int state,
                              std::vector<std::pair<int, float>>* out) const {
   if (!built_) const_cast<HotwordTrie*>(this)->Build();
@@ -182,6 +188,79 @@ void HotwordTrie::Candidates(int state,
     node = f;
   }
   out->assign(best.begin(), best.end());
+}
+
+std::vector<int> BiasBeamDecode(const float* logits, int n_tok, int vocab_size,
+                                const HotwordTrie* trie, int beam, int blank,
+                                int sos, int eos) {
+  struct Hyp {
+    std::vector<int> ids;
+    int state = 0;
+    float score = 0.0f;
+  };
+  if (beam < 1) beam = 1;
+  std::vector<Hyp> hyps{Hyp{}};
+  std::vector<std::pair<int, float>> hw_cands;
+  std::vector<int> plain;  // per-position acoustic top-K (shared by all hyps)
+  const int top_k = std::max(beam, 4);
+  for (int i = 0; i < n_tok; ++i) {
+    const float* row = logits + static_cast<int64_t>(i) * vocab_size;
+    plain.clear();
+    for (int j = 0; j < vocab_size; ++j) {
+      // insertion into a K-sized best list (vocab scan dominates anyway)
+      if (static_cast<int>(plain.size()) < top_k) {
+        plain.push_back(j);
+        if (static_cast<int>(plain.size()) == top_k)
+          std::sort(plain.begin(), plain.end(),
+                    [&](int a, int b) { return row[a] > row[b]; });
+      } else if (row[j] > row[plain.back()]) {
+        plain.back() = j;
+        for (size_t k = plain.size() - 1;
+             k > 0 && row[plain[k]] > row[plain[k - 1]]; --k)
+          std::swap(plain[k], plain[k - 1]);
+      }
+    }
+    std::vector<Hyp> next;
+    for (const Hyp& h : hyps) {
+      // candidate set: acoustic top-K plus every bias-LM extension from the
+      // hypothesis's trie state (so hotword chars outside the top-K survive)
+      std::vector<int> cands(plain);
+      if (trie != nullptr) {
+        trie->Candidates(h.state, &hw_cands);
+        for (const auto& [tok, _] : hw_cands)
+          if (tok < vocab_size &&
+              std::find(cands.begin(), cands.end(), tok) == cands.end())
+            cands.push_back(tok);
+      }
+      for (int tok : cands) {
+        Hyp nh;
+        nh.ids = h.ids;
+        nh.ids.push_back(tok);
+        nh.state = h.state;
+        float delta = 0.0f;
+        if (trie != nullptr && tok != blank && tok != sos && tok != eos)
+          nh.state = trie->Step(h.state, tok, &delta);
+        nh.score = h.score + row[tok] + delta;
+        next.push_back(std::move(nh));
+      }
+    }
+    std::sort(next.begin(), next.end(),
+              [](const Hyp& a, const Hyp& b) { return a.score > b.score; });
+    if (static_cast<int>(next.size()) > beam) next.resize(beam);
+    hyps = std::move(next);
+  }
+  // sentence end: refund the pending bonus of incomplete prefixes
+  const Hyp* best = nullptr;
+  float best_score = 0.0f;
+  for (const Hyp& h : hyps) {
+    const float s =
+        h.score - (trie != nullptr ? trie->Pending(h.state) : 0.0f);
+    if (best == nullptr || s > best_score) {
+      best = &h;
+      best_score = s;
+    }
+  }
+  return best != nullptr ? best->ids : std::vector<int>();
 }
 
 // ---- C API -------------------------------------------------------------------
@@ -217,6 +296,18 @@ int FunASRHotwordStep(void* trie, int state, int token, float* delta) {
 
 void FunASRHotwordFree(void* trie) {
   delete static_cast<HotwordTrie*>(trie);
+}
+
+int FunASRBiasBeamDecode(const float* logits, int n_tok, int vocab_size,
+                         void* trie, int beam, int blank, int sos, int eos,
+                         int* out_ids) {
+  if (logits == nullptr || out_ids == nullptr || n_tok <= 0) return 0;
+  const auto ids =
+      BiasBeamDecode(logits, n_tok, vocab_size,
+                     static_cast<const HotwordTrie*>(trie), beam, blank, sos,
+                     eos);
+  for (size_t i = 0; i < ids.size(); ++i) out_ids[i] = ids[i];
+  return static_cast<int>(ids.size());
 }
 
 }  // extern "C"

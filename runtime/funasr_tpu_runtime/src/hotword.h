@@ -61,6 +61,13 @@ class HotwordTrie {
   void Candidates(int state,
                   std::vector<std::pair<int, float>>* out) const;
 
+  // Boost earned by the in-progress (incomplete) hotword prefix at `state`.
+  // A beam decoder subtracts this at end of sequence so a hypothesis that
+  // dies on a partial prefix returns its advance bonus — the reference
+  // bias-lm.cpp sentence-end semantics (incremental weights are provisional
+  // until the word completes).
+  float Pending(int state) const;
+
   int NumStates() const { return static_cast<int>(nodes_.size()); }
   bool empty() const { return nodes_.size() <= 1; }
 
@@ -74,6 +81,18 @@ class HotwordTrie {
   std::vector<Node> nodes_{Node{}};
   bool built_ = false;
 };
+
+// Beam search over NAR per-position logits with bias-LM rescoring: each
+// hypothesis carries a trie state; every expansion adds logit + incremental
+// bias delta (refunds included), and incomplete prefixes give back their
+// pending bonus at the end. This is the lattice counterpart of the greedy
+// bias-aware argmax — hypotheses whose first hotword char loses the local
+// argmax survive to collect the rest of the word (reference
+// wfst-decoder.cpp beam + bias-lm.cpp roles). Returns one chosen token per
+// position (blanks included; the caller's emission loop filters them).
+std::vector<int> BiasBeamDecode(const float* logits, int n_tok, int vocab_size,
+                                const HotwordTrie* trie, int beam, int blank,
+                                int sos, int eos);
 
 }  // namespace funasr_tpu
 

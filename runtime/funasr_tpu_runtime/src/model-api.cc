@@ -162,9 +162,11 @@ FUNASR_RESULT FunFrontendExtract(FUNASR_HANDLE handle, const char* data,
   return r;
 }
 
-FUNASR_RESULT FunOfflineInferHotword(FUNASR_HANDLE handle, const char* data,
-                                     int data_len, FUNASR_MODE /*mode*/,
-                                     int sampling_rate, void* hotword_trie) {
+FUNASR_RESULT FunOfflineInferHotwordBeam(FUNASR_HANDLE handle,
+                                         const char* data, int data_len,
+                                         FUNASR_MODE /*mode*/,
+                                         int sampling_rate, void* hotword_trie,
+                                         int beam) {
   auto* h = static_cast<Handle*>(handle);
   auto* r = static_cast<Result*>(
       FunFrontendExtract(handle, data, data_len, sampling_rate));
@@ -174,7 +176,7 @@ FUNASR_RESULT FunOfflineInferHotword(FUNASR_HANDLE handle, const char* data,
         h->engine != nullptr
             ? h->engine->Infer(
                   r->features, r->frames, &r->stamp,
-                  static_cast<funasr_tpu::HotwordTrie*>(hotword_trie))
+                  static_cast<funasr_tpu::HotwordTrie*>(hotword_trie), beam)
             : h->sv->Infer(r->features, r->frames);
     // restore punctuation when a punc.ftr sits in the model dir (the
     // reference offline-stream pipeline: ASR -> CT-Transformer punc)
@@ -184,6 +186,13 @@ FUNASR_RESULT FunOfflineInferHotword(FUNASR_HANDLE handle, const char* data,
     r->texts.push_back("");  // DSP-only handle: no weights.ftr in model dir
   }
   return r;
+}
+
+FUNASR_RESULT FunOfflineInferHotword(FUNASR_HANDLE handle, const char* data,
+                                     int data_len, FUNASR_MODE mode,
+                                     int sampling_rate, void* hotword_trie) {
+  return FunOfflineInferHotwordBeam(handle, data, data_len, mode,
+                                    sampling_rate, hotword_trie, 1);
 }
 
 FUNASR_RESULT FunOfflineInfer(FUNASR_HANDLE handle, const char* data,

@@ -459,7 +459,7 @@ static std::vector<std::pair<long long, long long>> TsPrediction(
 
 std::string ParaformerEngine::Infer(const std::vector<float>& feats, int t,
                                     std::string* stamp,
-                                    const HotwordTrie* hotwords) {
+                                    const HotwordTrie* hotwords, int beam) {
   if (!loaded_ || t <= 0) return "";
   std::vector<float> enc = encoder_.Encode(feats, t);
   std::vector<float> embeds;
@@ -467,40 +467,56 @@ std::string ParaformerEngine::Infer(const std::vector<float>& feats, int t,
   if (n_tok <= 0) return "";
   std::vector<float> logits = Decode(enc, t, embeds, n_tok);
 
+  // token selection: bias-aware greedy argmax, or full bias-LM beam search
+  // when beam > 1 (hypotheses whose first hotword char loses the local argmax
+  // survive to collect the rest of the word — the reference wfst-decoder
+  // lattice role)
+  std::vector<int> ids;
+  const bool use_hw = hotwords != nullptr && !hotwords->empty();
+  if (beam > 1 && use_hw) {
+    ids = BiasBeamDecode(logits.data(), n_tok, vocab_size_, hotwords, beam,
+                         blank_, sos_, eos_);
+  } else {
+    ids.reserve(n_tok);
+    int hw_state = 0;
+    std::vector<std::pair<int, float>> hw_cands;
+    for (int i = 0; i < n_tok; ++i) {
+      const float* row = logits.data() + static_cast<int64_t>(i) * vocab_size_;
+      int best = 0;
+      float best_v = row[0];
+      for (int j = 1; j < vocab_size_; ++j) {
+        if (row[j] > best_v) {
+          best_v = row[j];
+          best = j;
+        }
+      }
+      if (use_hw) {
+        // bias-aware argmax: a token continuing (or starting) a hotword beats
+        // the plain argmax when its boosted logit wins
+        hotwords->Candidates(hw_state, &hw_cands);
+        for (const auto& [tok, boost] : hw_cands) {
+          if (tok < vocab_size_ && row[tok] + boost > best_v) {
+            best_v = row[tok] + boost;
+            best = tok;
+          }
+        }
+        // advance only over EMITTED symbols: a blank between hotword chars
+        // must not reset the in-progress prefix (the reference bias-LM walks
+        // output symbols, not frames)
+        if (best != blank_ && best != sos_ && best != eos_) {
+          float unused = 0.0f;
+          hw_state = hotwords->Step(hw_state, best, &unused);
+        }
+      }
+      ids.push_back(best);
+    }
+  }
+
   std::string text;
   bool prev_ascii = false;
   int n_chars = 0;  // tokens past blank/sos/eos (the ts_prediction char list)
   std::vector<bool> char_kept;  // false for <unk> (suppressed in the text)
-  int hw_state = 0;
-  std::vector<std::pair<int, float>> hw_cands;
-  for (int i = 0; i < n_tok; ++i) {
-    const float* row = logits.data() + static_cast<int64_t>(i) * vocab_size_;
-    int best = 0;
-    float best_v = row[0];
-    for (int j = 1; j < vocab_size_; ++j) {
-      if (row[j] > best_v) {
-        best_v = row[j];
-        best = j;
-      }
-    }
-    if (hotwords != nullptr && !hotwords->empty()) {
-      // bias-aware argmax: a token continuing (or starting) a hotword beats
-      // the plain argmax when its boosted logit wins
-      hotwords->Candidates(hw_state, &hw_cands);
-      for (const auto& [tok, boost] : hw_cands) {
-        if (tok < vocab_size_ && row[tok] + boost > best_v) {
-          best_v = row[tok] + boost;
-          best = tok;
-        }
-      }
-      // advance only over EMITTED symbols: a blank between hotword chars
-      // must not reset the in-progress prefix (the reference bias-LM walks
-      // output symbols, not frames)
-      if (best != blank_ && best != sos_ && best != eos_) {
-        float unused = 0.0f;
-        hw_state = hotwords->Step(hw_state, best, &unused);
-      }
-    }
+  for (int best : ids) {
     if (best == blank_ || best == sos_ || best == eos_) continue;
     ++n_chars;
     const std::string& tok = vocab_.Id2Token(best);

@@ -38,10 +38,13 @@ class ParaformerEngine {
   // With a hotword trie, the greedy argmax runs bias-aware: logits of tokens
   // extending a hotword prefix earn the trie's incremental boost before the
   // max (the lattice-free counterpart of the reference wfst-decoder +
-  // bias-lm.cpp contextual biasing).
+  // bias-lm.cpp contextual biasing). With beam > 1 the selection runs a full
+  // bias-LM beam search (BiasBeamDecode) so hotword paths whose first char
+  // loses the local argmax still win on total path score.
   std::string Infer(const std::vector<float>& feats, int t,
                     std::string* stamp = nullptr,
-                    const class HotwordTrie* hotwords = nullptr);
+                    const class HotwordTrie* hotwords = nullptr,
+                    int beam = 1);
 
   bool has_timestamps() const { return upsample_times_ > 0; }
 

@@ -1518,3 +1518,98 @@ def test_hotword_seg_dict_en(built, tmp_path):
     lib.FunASRHotwordStep(trie, 0, 3, ctypes.byref(d3))
     assert d3.value == 0.0, d3.value
     lib.FunASRHotwordFree(ctypes.c_void_p(trie))
+
+
+def test_bias_beam_decode(built, tmp_path):
+    """Bias-LM beam search (the reference wfst-decoder lattice role): a
+    hotword whose first char loses the local argmax is recovered by beam > 1
+    on total path score, and an incomplete prefix refunds its pending boost
+    at sentence end (bias-lm.cpp semantics)."""
+    tokens = tmp_path / "beam_tokens.txt"
+    tokens.write_text("\n".join(list("abcdxyz")))
+    lib = ctypes.CDLL(str(built / "libfunasr_tpu_runtime.so"))
+    lib.FunASRHotwordCompile.restype = ctypes.c_void_p
+    lib.FunASRHotwordCompile.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
+                                         ctypes.c_float]
+    lib.FunASRHotwordFree.argtypes = [ctypes.c_void_p]
+    lib.FunASRBiasBeamDecode.restype = ctypes.c_int
+    lib.FunASRBiasBeamDecode.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_int)]
+    trie = lib.FunASRHotwordCompile(b"ab", str(tokens).encode(),
+                                    ctypes.c_float(0.3))
+    assert trie
+
+    def decode(logits, beam, use_trie=True):
+        arr = np.ascontiguousarray(logits, np.float32)
+        n_tok, vocab = arr.shape
+        out = (ctypes.c_int * n_tok)()
+        n = lib.FunASRBiasBeamDecode(
+            arr.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n_tok, vocab,
+            trie if use_trie else None, beam, -1, -1, -1, out)
+        return list(out[:n])
+
+    A, B, C = 0, 1, 2
+    # pos0: "c"(2.0) beats biased "a"(1.55 + 0.3); pos1: "b" completes "ab".
+    # greedy-equivalent beam=1 takes [c, b]; beam=4 keeps the "a" hypothesis
+    # alive and wins on total score (1.85 + 2.3 > 2.0 + 2.0).
+    logits = np.zeros((2, 7), np.float32)
+    logits[0, C] = 2.0
+    logits[0, A] = 1.55
+    logits[1, B] = 2.0
+    assert decode(logits, beam=1) == [C, B]
+    assert decode(logits, beam=4) == [A, B]
+    # without the trie: plain per-position argmax regardless of beam
+    assert decode(logits, beam=4, use_trie=False) == [C, B]
+
+    # end-of-sentence refund: "a" starts a hotword that never completes, so
+    # its provisional +0.3 is returned and the honest "c" path wins
+    short = np.zeros((1, 7), np.float32)
+    short[0, A] = 1.9
+    short[0, C] = 1.95
+    assert decode(short, beam=4) == [C]
+    lib.FunASRHotwordFree(ctypes.c_void_p(trie))
+
+
+def test_hotword_beam_engine_decode(built, tiny_model_dir, tmp_path):
+    """Engine-level beam decode through runtime_bins: beam=8 without hotwords
+    reproduces the greedy transcript, and a boosted hotword surfaces in the
+    beam output just as in the greedy bias path."""
+    import wave
+
+    from funasr_tpu.auto.auto_model import AutoModel
+    from funasr_tpu.export_runtime import export_native_dir
+
+    am = AutoModel(model=tiny_model_dir, disable_pbar=True)
+    out_dir = str(tmp_path / "beam_native")
+    export_native_dir(am.model, am.model_params, tiny_model_dir, out_dir)
+
+    rng = np.random.default_rng(31)
+    sig = (rng.standard_normal(24000) * 0.1 * 32767).astype(np.int16)
+    wav_path = str(tmp_path / "beam.wav")
+    with wave.open(wav_path, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(sig.tobytes())
+
+    from funasr_tpu import runtime_bins
+    asr = runtime_bins.Paraformer(out_dir)
+    base = asr(wav_path)[0]["preds"]
+    assert base
+    # beam without a trie short-circuits to the greedy decode
+    assert asr(wav_path, beam=8)[0]["preds"] == base
+
+    vocab = open(os.path.join(out_dir, "tokens.txt"),
+                 encoding="utf-8").read().splitlines()
+    chars = [t for t in vocab if len(t) == 1 and t not in base
+             and t not in ("<blank>", "<s>", "</s>", "<unk>")]
+    hotword = chars[0] + chars[1]
+    boosted = asr(wav_path, hotword=hotword, hotword_boost=50.0,
+                  beam=8)[0]["preds"]
+    assert hotword in boosted, (hotword, base, boosted)
+    # beam keeps a negligible-boost decode at the unbiased transcript
+    tiny = asr(wav_path, hotword=hotword, hotword_boost=1e-6,
+               beam=8)[0]["preds"]
+    assert tiny == base, (tiny, base)
