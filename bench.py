@@ -24,10 +24,15 @@ if _os.environ.get("JAX_PLATFORMS") not in (None, "", "cpu"):
     # interpreter and fall back to auto-discovery if it doesn't.
     import subprocess as _sp
     import sys as _sys
-    _r = _sp.run([_sys.executable, "-c", "import jax; jax.devices()"],
-                 capture_output=True)
-    if _r.returncode != 0:
-        _os.environ["JAX_PLATFORMS"] = ""
+    try:
+        _r = _sp.run([_sys.executable, "-c", "import jax; jax.devices()"],
+                     capture_output=True, timeout=300)
+        if _r.returncode != 0:
+            _os.environ["JAX_PLATFORMS"] = ""
+    except _sp.TimeoutExpired:
+        # tunnel congested, not broken: keep the pinned platform and let the
+        # real run wait it out rather than silently benching on CPU
+        pass
 
 import jax
 import jax.numpy as jnp
