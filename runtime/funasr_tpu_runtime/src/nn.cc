@@ -76,16 +76,13 @@ inline void MicroKernelEdge(const float* xp, const float* wp, int k_len,
 
 }  // namespace
 
-void MatMul(const float* x, int m, int k, const WTensor& w, const float* bias,
-            float* y) {
-  const int n = static_cast<int>(w.cols());
-  if (!w.quantized()) {
-    const float* wd = w.f32.data();
-    for (int i = 0; i < m; ++i) {
-      float* yi = y + static_cast<int64_t>(i) * n;
-      if (bias) std::memcpy(yi, bias, n * sizeof(float));
-      else std::memset(yi, 0, n * sizeof(float));
-    }
+void GemmF32(const float* x, int m, int k, const float* wd, int n,
+             const float* bias, float* y) {
+  for (int i = 0; i < m; ++i) {
+    float* yi = y + static_cast<int64_t>(i) * n;
+    if (bias) std::memcpy(yi, bias, n * sizeof(float));
+    else std::memset(yi, 0, n * sizeof(float));
+  }
 #ifdef _OPENMP
 #pragma omp parallel for schedule(static) if (static_cast<int64_t>(m) * k * n > 1 << 20)
 #endif
@@ -134,6 +131,13 @@ void MatMul(const float* x, int m, int k, const WTensor& w, const float* bias,
         }
       }
     }
+}
+
+void MatMul(const float* x, int m, int k, const WTensor& w, const float* bias,
+            float* y) {
+  const int n = static_cast<int>(w.cols());
+  if (!w.quantized()) {
+    GemmF32(x, m, k, w.f32.data(), n, bias, y);
   } else {
     // int8 path: identical tiling — the pack step widens int8 -> float (raw
     // code values; per-column scales and bias are applied in one pass after

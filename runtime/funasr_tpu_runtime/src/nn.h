@@ -32,6 +32,12 @@ struct WTensor {
 void MatMul(const float* x, int m, int k, const WTensor& w, const float* bias,
             float* y);
 
+// Raw-pointer fp32 GEMM core (the cache-tiled path MatMul uses): y (m,n) =
+// x (m,k) @ w (k,n row-major) [+ bias]. For activation-activation products
+// (attention scores/context) where no WTensor exists.
+void GemmF32(const float* x, int m, int k, const float* w, int n,
+             const float* bias, float* y);
+
 // Raw fp32 view for weights consumed outside MatMul (depthwise convs, LSTM
 // gates). Aborts loudly if the tensor arrived int8-quantized — a silent
 // empty-vector read here produced garbage transcripts before.

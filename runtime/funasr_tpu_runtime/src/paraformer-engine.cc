@@ -104,29 +104,38 @@ void ParaformerEngine::CrossAttention(const std::string& prefix,
   MatMul(memory.data(), t_mem, d, wkv, bkv ? bkv->f32.data() : nullptr,
          kv.data());
 
+  // per-head attention as two GEMMs through the tiled fp32 core (see
+  // sanm-encoder.cc SelfAttention): scores = Q_h @ K_h^T, ctx_h = A @ V_h
   const float scale = 1.0f / std::sqrt(static_cast<float>(dk));
   std::vector<float> ctx(static_cast<int64_t>(n_tok) * d);
-  std::vector<float> scores(t_mem);
+  std::vector<float> qh(static_cast<int64_t>(n_tok) * dk);
+  std::vector<float> kht(static_cast<int64_t>(dk) * t_mem);
+  std::vector<float> vh(static_cast<int64_t>(t_mem) * dk);
+  std::vector<float> scores(static_cast<int64_t>(n_tok) * t_mem), ch(qh.size());
   for (int hh = 0; hh < h; ++hh) {
     const int off = hh * dk;
-    for (int i = 0; i < n_tok; ++i) {
-      const float* qi = q.data() + static_cast<int64_t>(i) * d + off;
-      for (int j = 0; j < t_mem; ++j) {
-        const float* kj = kv.data() + static_cast<int64_t>(j) * 2 * d + off;
-        float s = 0.0f;
-        for (int z = 0; z < dk; ++z) s += qi[z] * kj[z];
-        scores[j] = s * scale;
-      }
-      SoftmaxRow(scores.data(), t_mem);
-      float* ci = ctx.data() + static_cast<int64_t>(i) * d + off;
-      std::memset(ci, 0, dk * sizeof(float));
-      for (int j = 0; j < t_mem; ++j) {
-        const float a = scores[j];
-        const float* vj =
-            kv.data() + static_cast<int64_t>(j) * 2 * d + d + off;
-        for (int z = 0; z < dk; ++z) ci[z] += a * vj[z];
-      }
+    for (int i = 0; i < n_tok; ++i)
+      std::memcpy(qh.data() + static_cast<int64_t>(i) * dk,
+                  q.data() + static_cast<int64_t>(i) * d + off,
+                  dk * sizeof(float));
+    for (int j = 0; j < t_mem; ++j) {
+      const float* kj = kv.data() + static_cast<int64_t>(j) * 2 * d + off;
+      const float* vj = kv.data() + static_cast<int64_t>(j) * 2 * d + d + off;
+      for (int z = 0; z < dk; ++z) kht[static_cast<int64_t>(z) * t_mem + j] = kj[z];
+      std::memcpy(vh.data() + static_cast<int64_t>(j) * dk, vj,
+                  dk * sizeof(float));
     }
+    GemmF32(qh.data(), n_tok, dk, kht.data(), t_mem, nullptr, scores.data());
+    for (int i = 0; i < n_tok; ++i) {
+      float* srow = scores.data() + static_cast<int64_t>(i) * t_mem;
+      for (int j = 0; j < t_mem; ++j) srow[j] *= scale;
+      SoftmaxRow(srow, t_mem);
+    }
+    GemmF32(scores.data(), n_tok, t_mem, vh.data(), dk, nullptr, ch.data());
+    for (int i = 0; i < n_tok; ++i)
+      std::memcpy(ctx.data() + static_cast<int64_t>(i) * d + off,
+                  ch.data() + static_cast<int64_t>(i) * dk,
+                  dk * sizeof(float));
   }
   out->assign(static_cast<int64_t>(n_tok) * d, 0.0f);
   const WTensor& wo = W(prefix + "/linear_out/w");

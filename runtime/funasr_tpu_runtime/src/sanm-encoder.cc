@@ -51,36 +51,43 @@ void SanmEncoder::SelfAttention(const std::string& prefix,
                   cfg_.kernel, left, right, fsmn.data());
   for (int64_t i = 0; i < static_cast<int64_t>(t) * d; ++i) fsmn[i] += v[i];
 
-  // scaled dot attention per head
+  // scaled dot attention per head, as two GEMMs through the tiled fp32 core
+  // (scores = Q_h @ K_h^T, ctx = softmax(scores) @ V_h): the per-row scalar
+  // dot products were the engine bottleneck once the weight matmuls were
+  // tiled
   const float scale = 1.0f / std::sqrt(static_cast<float>(dk));
   std::vector<float> ctx(static_cast<int64_t>(t) * d);
-  std::vector<float> scores(t);
+  std::vector<float> qh(static_cast<int64_t>(t) * dk), vh(qh.size());
+  std::vector<float> kht(static_cast<int64_t>(dk) * t);  // K_h^T (dk, t)
+  std::vector<float> scores(static_cast<int64_t>(t) * t), ch(qh.size());
   for (int hh = 0; hh < h; ++hh) {
     const int off = hh * dk;
     for (int i = 0; i < t; ++i) {
       const float* qi = q.data() + static_cast<int64_t>(i) * d + off;
+      const float* ki = k.data() + static_cast<int64_t>(i) * d + off;
+      const float* vi = v.data() + static_cast<int64_t>(i) * d + off;
+      std::memcpy(qh.data() + static_cast<int64_t>(i) * dk, qi,
+                  dk * sizeof(float));
+      std::memcpy(vh.data() + static_cast<int64_t>(i) * dk, vi,
+                  dk * sizeof(float));
+      for (int z = 0; z < dk; ++z) kht[static_cast<int64_t>(z) * t + i] = ki[z];
+    }
+    GemmF32(qh.data(), t, dk, kht.data(), t, nullptr, scores.data());
+    for (int i = 0; i < t; ++i) {
+      float* srow = scores.data() + static_cast<int64_t>(i) * t;
       for (int j = 0; j < t; ++j) {
         const bool blocked =
             (mask == Mask::kCausal && j > i) ||
             (mask == Mask::kVadCorner && i <= vad_pos - 2 && j >= vad_pos);
-        if (blocked) {
-          scores[j] = -1e30f;
-          continue;
-        }
-        const float* kj = k.data() + static_cast<int64_t>(j) * d + off;
-        float s = 0.0f;
-        for (int z = 0; z < dk; ++z) s += qi[z] * kj[z];
-        scores[j] = s * scale;
+        srow[j] = blocked ? -1e30f : srow[j] * scale;
       }
-      SoftmaxRow(scores.data(), t);
-      float* ci = ctx.data() + static_cast<int64_t>(i) * d + off;
-      std::memset(ci, 0, dk * sizeof(float));
-      for (int j = 0; j < t; ++j) {
-        const float a = scores[j];
-        const float* vj = v.data() + static_cast<int64_t>(j) * d + off;
-        for (int z = 0; z < dk; ++z) ci[z] += a * vj[z];
-      }
+      SoftmaxRow(srow, t);
     }
+    GemmF32(scores.data(), t, t, vh.data(), dk, nullptr, ch.data());
+    for (int i = 0; i < t; ++i)
+      std::memcpy(ctx.data() + static_cast<int64_t>(i) * d + off,
+                  ch.data() + static_cast<int64_t>(i) * dk,
+                  dk * sizeof(float));
   }
 
   out->assign(static_cast<int64_t>(t) * d, 0.0f);
