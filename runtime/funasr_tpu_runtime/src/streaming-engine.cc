@@ -256,28 +256,39 @@ void StreamingEngine::SelfAttentionChunk(const std::string& prefix,
     }
   }
 
+  // per-head attention as two GEMMs through the tiled fp32 core (see
+  // sanm-encoder.cc SelfAttention)
   const float scale = 1.0f / std::sqrt(static_cast<float>(dk));
   std::vector<float> ctx(static_cast<int64_t>(t) * d);
-  std::vector<float> scores(t_full);
+  std::vector<float> qh(static_cast<int64_t>(t) * dk);
+  std::vector<float> kht(static_cast<int64_t>(dk) * t_full);
+  std::vector<float> vh(static_cast<int64_t>(t_full) * dk);
+  std::vector<float> scores(static_cast<int64_t>(t) * t_full), ch(qh.size());
   for (int hh = 0; hh < h; ++hh) {
     const int off = hh * dk;
-    for (int i = 0; i < t; ++i) {
-      const float* qi = q.data() + static_cast<int64_t>(i) * d + off;
-      for (int j = 0; j < t_full; ++j) {
-        const float* kj = kp->data() + static_cast<int64_t>(j) * d + off;
-        float s = 0.0f;
-        for (int z = 0; z < dk; ++z) s += qi[z] * kj[z];
-        scores[j] = s * scale;
-      }
-      SoftmaxRow(scores.data(), t_full);
-      float* ci = ctx.data() + static_cast<int64_t>(i) * d + off;
-      std::memset(ci, 0, dk * sizeof(float));
-      for (int j = 0; j < t_full; ++j) {
-        const float a = scores[j];
-        const float* vj = vp->data() + static_cast<int64_t>(j) * d + off;
-        for (int z = 0; z < dk; ++z) ci[z] += a * vj[z];
-      }
+    for (int i = 0; i < t; ++i)
+      std::memcpy(qh.data() + static_cast<int64_t>(i) * dk,
+                  q.data() + static_cast<int64_t>(i) * d + off,
+                  dk * sizeof(float));
+    for (int j = 0; j < t_full; ++j) {
+      const float* kj = kp->data() + static_cast<int64_t>(j) * d + off;
+      std::memcpy(vh.data() + static_cast<int64_t>(j) * dk,
+                  vp->data() + static_cast<int64_t>(j) * d + off,
+                  dk * sizeof(float));
+      for (int z = 0; z < dk; ++z)
+        kht[static_cast<int64_t>(z) * t_full + j] = kj[z];
     }
+    GemmF32(qh.data(), t, dk, kht.data(), t_full, nullptr, scores.data());
+    for (int i = 0; i < t; ++i) {
+      float* srow = scores.data() + static_cast<int64_t>(i) * t_full;
+      for (int j = 0; j < t_full; ++j) srow[j] *= scale;
+      SoftmaxRow(srow, t_full);
+    }
+    GemmF32(scores.data(), t, t_full, vh.data(), dk, nullptr, ch.data());
+    for (int i = 0; i < t; ++i)
+      std::memcpy(ctx.data() + static_cast<int64_t>(i) * d + off,
+                  ch.data() + static_cast<int64_t>(i) * dk,
+                  dk * sizeof(float));
   }
 
   out->assign(static_cast<int64_t>(t) * d, 0.0f);
@@ -473,28 +484,40 @@ void StreamingEngine::CrossAttentionChunk(const std::string& prefix,
     cache->t = keep;
   }
 
+  // per-head attention as two GEMMs through the tiled fp32 core (see
+  // sanm-encoder.cc SelfAttention)
   const float scale = 1.0f / std::sqrt(static_cast<float>(dk));
   std::vector<float> ctx(static_cast<int64_t>(n_tok) * d);
-  std::vector<float> scores(t_full);
+  std::vector<float> qh(static_cast<int64_t>(n_tok) * dk);
+  std::vector<float> kht(static_cast<int64_t>(dk) * t_full);
+  std::vector<float> vh(static_cast<int64_t>(t_full) * dk);
+  std::vector<float> scores(static_cast<int64_t>(n_tok) * t_full),
+      ch(qh.size());
   for (int hh = 0; hh < h; ++hh) {
     const int off = hh * dk;
-    for (int i = 0; i < n_tok; ++i) {
-      const float* qi = q.data() + static_cast<int64_t>(i) * d + off;
-      for (int j = 0; j < t_full; ++j) {
-        const float* kj = kp->data() + static_cast<int64_t>(j) * d + off;
-        float sc = 0.0f;
-        for (int z = 0; z < dk; ++z) sc += qi[z] * kj[z];
-        scores[j] = sc * scale;
-      }
-      SoftmaxRow(scores.data(), t_full);
-      float* ci = ctx.data() + static_cast<int64_t>(i) * d + off;
-      std::memset(ci, 0, dk * sizeof(float));
-      for (int j = 0; j < t_full; ++j) {
-        const float a = scores[j];
-        const float* vj = vp->data() + static_cast<int64_t>(j) * d + off;
-        for (int z = 0; z < dk; ++z) ci[z] += a * vj[z];
-      }
+    for (int i = 0; i < n_tok; ++i)
+      std::memcpy(qh.data() + static_cast<int64_t>(i) * dk,
+                  q.data() + static_cast<int64_t>(i) * d + off,
+                  dk * sizeof(float));
+    for (int j = 0; j < t_full; ++j) {
+      const float* kj = kp->data() + static_cast<int64_t>(j) * d + off;
+      std::memcpy(vh.data() + static_cast<int64_t>(j) * dk,
+                  vp->data() + static_cast<int64_t>(j) * d + off,
+                  dk * sizeof(float));
+      for (int z = 0; z < dk; ++z)
+        kht[static_cast<int64_t>(z) * t_full + j] = kj[z];
     }
+    GemmF32(qh.data(), n_tok, dk, kht.data(), t_full, nullptr, scores.data());
+    for (int i = 0; i < n_tok; ++i) {
+      float* srow = scores.data() + static_cast<int64_t>(i) * t_full;
+      for (int j = 0; j < t_full; ++j) srow[j] *= scale;
+      SoftmaxRow(srow, t_full);
+    }
+    GemmF32(scores.data(), n_tok, t_full, vh.data(), dk, nullptr, ch.data());
+    for (int i = 0; i < n_tok; ++i)
+      std::memcpy(ctx.data() + static_cast<int64_t>(i) * d + off,
+                  ch.data() + static_cast<int64_t>(i) * dk,
+                  dk * sizeof(float));
   }
   out->assign(static_cast<int64_t>(n_tok) * d, 0.0f);
   const WTensor& wo = W(prefix + "/linear_out/w");
