@@ -17,8 +17,31 @@ from typing import Any, List, Tuple
 import numpy as np
 
 
+def _g711_ulaw_decode(u8: np.ndarray) -> np.ndarray:
+    """ITU-T G.711 mu-law -> float32 in [-1, 1] (telephony WAV format 7)."""
+    u = (~u8).astype(np.int32) & 0xFF
+    sign = u & 0x80
+    exponent = (u >> 4) & 0x07
+    mantissa = u & 0x0F
+    mag = ((mantissa << 3) + 0x84 << exponent) - 0x84
+    return np.where(sign, -mag, mag).astype(np.float32) / 32768.0
+
+
+def _g711_alaw_decode(a8: np.ndarray) -> np.ndarray:
+    """ITU-T G.711 A-law -> float32 in [-1, 1] (telephony WAV format 6)."""
+    a = (a8.astype(np.int32) ^ 0x55) & 0xFF
+    sign = a & 0x80
+    exponent = (a >> 4) & 0x07
+    mantissa = a & 0x0F
+    mag = np.where(exponent == 0, (mantissa << 4) + 8,
+                   ((mantissa << 4) + 0x108) << (exponent - 1))
+    # A-law transmits bit 7 = 1 for POSITIVE samples (opposite of mu-law)
+    return np.where(sign, mag, -mag).astype(np.float32) / 32768.0
+
+
 def _parse_wav_bytes(data: bytes) -> Tuple[np.ndarray, int]:
-    """Minimal RIFF/WAVE parser: PCM16/24/32, float32, mono/multi-channel."""
+    """Minimal RIFF/WAVE parser: PCM16/24/32, float32, G.711 mu-law/A-law,
+    mono/multi-channel."""
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE stream")
     pos = 12
@@ -38,6 +61,10 @@ def _parse_wav_bytes(data: bytes) -> Tuple[np.ndarray, int]:
     audio_format, channels, sample_rate, _, _, bits = fmt
     if audio_format == 3 or (audio_format == 0xFFFE and bits == 32):
         wav = np.frombuffer(raw, dtype=np.float32)
+    elif audio_format == 7:  # G.711 mu-law (telephony; openclaw voice path)
+        wav = _g711_ulaw_decode(np.frombuffer(raw, dtype=np.uint8))
+    elif audio_format == 6:  # G.711 A-law
+        wav = _g711_alaw_decode(np.frombuffer(raw, dtype=np.uint8))
     elif bits == 16:
         wav = np.frombuffer(raw, dtype=np.int16).astype(np.float32) / 32768.0
     elif bits == 32:

@@ -143,3 +143,54 @@ def test_client_compiles_when_toolchain_present(tool, args, reason, tmp_path):
     r = subprocess.run(argv, cwd=srcdir, capture_output=True, text=True,
                        timeout=300)
     assert r.returncode == 0, r.stdout + r.stderr
+
+
+def test_openclaw_plugin_sources():
+    """OpenClaw voice plugin (reference integrations/openclaw/ role): the TS
+    provider speaks the funasr_tpu WS protocol and the G.711 conversion
+    matches the python decoder on the ITU-T reference points."""
+    root = CLIENTS.parent.parent / "integrations" / "openclaw"
+    provider = (root / "src" / "realtime-transcription-provider.ts").read_text()
+    for needle in ("chunk_size", "is_speaking", "hotwords", "2pass",
+                   "binary", "FUNASR_WS_URL"):
+        assert needle in provider, needle
+    audio = (root / "src" / "audio.ts").read_text()
+    for needle in ("0x84", "upsample8kTo16k", "960"):
+        assert needle in audio, needle
+    manifest = json.loads((root / "openclaw.plugin.json").read_text())
+    assert manifest["id"] == "funasr-tpu"
+
+    # the python decoder agrees with the TS constants on the ITU-T extremes
+    from funasr_tpu.utils.load_utils import _g711_ulaw_decode
+    pts = _g711_ulaw_decode(np.array([0xFF, 0x80, 0x00], np.uint8))
+    assert np.allclose(pts * 32768.0, [0.0, 32124.0, -32124.0])
+
+
+def test_g711_wav_decode(tmp_path):
+    """G.711 mu-law/A-law WAV files (telephony / openclaw voice path) decode
+    through load_audio within the codec's quantization error."""
+    import struct
+
+    from funasr_tpu.utils.load_utils import load_audio
+
+    t = np.arange(1600)
+    sig = (0.5 * np.sin(2 * np.pi * 440 * t / 8000) * 32767).astype(np.int16)
+
+    def ulaw_encode(x16):
+        x = np.clip(x16.astype(np.int32), -32635, 32635)
+        sign = np.where(x < 0, 0x80, 0)
+        x = np.abs(x) + 0x84
+        exponent = np.clip(np.floor(
+            np.log2(np.maximum(x >> 7, 1))).astype(np.int32), 0, 7)
+        mantissa = (x >> (exponent + 3)) & 0x0F
+        return ((~(sign | (exponent << 4) | mantissa)) & 0xFF).astype(np.uint8)
+
+    payload = ulaw_encode(sig).tobytes()
+    hdr = struct.pack("<4sI4s4sIHHIIHH4sI", b"RIFF", 36 + len(payload),
+                      b"WAVE", b"fmt ", 16, 7, 1, 8000, 8000, 1, 8, b"data",
+                      len(payload))
+    path = tmp_path / "ulaw.wav"
+    path.write_bytes(hdr + payload)
+    wav = np.asarray(load_audio(str(path), fs=8000))
+    err = np.abs(wav - sig.astype(np.float32) / 32768.0).max()
+    assert err < 0.05, err
