@@ -5,6 +5,7 @@
 // model_dir: weights.ftr + tokens.txt + am.mvn (funasr_tpu.export_runtime
 // .export_ftr output).
 
+#include <algorithm>
 #include <chrono>
 #include <cstdio>
 #include <string>
@@ -67,12 +68,22 @@ int main(int argc, char** argv) {
                    std::string(wav.data(), 4) == "RIFF" ? 44 : 0;
       const size_t stride = 19200;  // 600 ms * 16 kHz * 2 bytes
       std::string full;
+      std::vector<double> chunk_ms;
+      double total_wall = 0.0, total_audio = 0.0;
       while (off < wav.size()) {
         const size_t n = std::min(stride, wav.size() - off);
         const int is_final = off + n >= wav.size();
+        const auto c0 = std::chrono::steady_clock::now();
         FUNASR_RESULT r = FunASRStreamInfer(stream, wav.data() + off,
                                             static_cast<int>(n), is_final,
                                             16000);
+        const double cw =
+            std::chrono::duration<double>(std::chrono::steady_clock::now() -
+                                          c0)
+                .count();
+        chunk_ms.push_back(cw * 1000.0);
+        total_wall += cw;
+        total_audio += n / 2.0 / 16000.0;
         const char* text = r ? FunASRGetResult(r, 0) : nullptr;
         if (text && text[0]) {
           std::printf("%s\tpartial\t%s\n", argv[i], text);
@@ -82,6 +93,17 @@ int main(int argc, char** argv) {
         off += n;
       }
       std::printf("%s\tfinal\t%s\n", argv[i], full.c_str());
+      if (rtf && !chunk_ms.empty()) {
+        std::sort(chunk_ms.begin(), chunk_ms.end());
+        const double p50 = chunk_ms[chunk_ms.size() / 2];
+        const double p95 = chunk_ms[static_cast<size_t>(
+            (chunk_ms.size() - 1) * 0.95)];
+        std::printf(
+            "%s\tstreaming rtf=%.4f\trtfx=%.1f\tchunk_p50_ms=%.1f\t"
+            "chunk_p95_ms=%.1f\taudio_s=%.2f\twall_s=%.3f\n",
+            argv[i], total_wall / total_audio, total_audio / total_wall, p50,
+            p95, total_audio, total_wall);
+      }
       FunASRStreamFree(stream);
     } else {
       const auto t0 = std::chrono::steady_clock::now();
