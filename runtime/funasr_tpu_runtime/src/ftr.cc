@@ -82,6 +82,9 @@ bool FtrFile::Load(const std::string& path) {
       t.i8.clear();
       t.scales.clear();
     }
+    // repack matmul weights for the AMX TMUL unit when the host has one
+    // (no-op otherwise); done at load so engines share one packed copy
+    if (t.quantized()) AmxPackWeight(t);
     tensors.emplace(std::move(name), std::move(t));
   }
   std::fclose(f);

@@ -139,6 +139,10 @@ void MatMul(const float* x, int m, int k, const WTensor& w, const float* bias,
   if (!w.quantized()) {
     GemmF32(x, m, k, w.f32.data(), n, bias, y);
   } else {
+    // AMX TMUL path: s8 x s8 -> s32 tiles with dynamic per-row activation
+    // quantization (nn_amx.cc); an order of magnitude past the widened-float
+    // fallback below on Sapphire-Rapids-class hosts
+    if (AmxMatMulInt8(x, m, k, w, bias, y)) return;
     // int8 path: identical tiling — the pack step widens int8 -> float (raw
     // code values; per-column scales and bias are applied in one pass after
     // accumulation, exactly as before), so the same register microkernel

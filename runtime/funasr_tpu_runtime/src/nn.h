@@ -19,6 +19,10 @@ struct WTensor {
   std::vector<float> f32;
   std::vector<int8_t> i8;
   std::vector<float> scales;  // int8: one per last-dim column
+  // AMX-INT8 backend (nn_amx.cc): VNNI B-tile repack of i8, filled at FTR
+  // load when the host TMUL unit is usable; empty otherwise.
+  std::vector<int8_t> amx_pack;
+  int64_t amx_k_pad = 0, amx_n_pad = 0;
   bool quantized() const { return !i8.empty(); }
   int64_t rows() const {  // product of all dims but last
     int64_t r = 1;
@@ -37,6 +41,16 @@ void MatMul(const float* x, int m, int k, const WTensor& w, const float* bias,
 // (attention scores/context) where no WTensor exists.
 void GemmF32(const float* x, int m, int k, const float* w, int n,
              const float* bias, float* y);
+
+// AMX-INT8 backend (nn_amx.cc; stubs when the toolchain/host lacks AMX).
+// AmxInt8Available: CPUID + Linux XTILEDATA permission, FUNASR_TPU_NO_AMX=1
+// kill switch. AmxPackWeight fills WTensor::amx_pack. AmxMatMulInt8 runs the
+// int8 GEMM with dynamic per-row activation quantization; returns false (and
+// leaves y untouched) when the tensor is unpacked or shapes do not line up.
+bool AmxInt8Available();
+void AmxPackWeight(WTensor& w);
+bool AmxMatMulInt8(const float* x, int m, int k, const WTensor& w,
+                   const float* bias, float* y);
 
 // Raw fp32 view for weights consumed outside MatMul (depthwise convs, LSTM
 // gates). Aborts loudly if the tensor arrived int8-quantized — a silent

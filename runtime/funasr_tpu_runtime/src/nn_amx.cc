@@ -1,0 +1,221 @@
+// AMX-INT8 GEMM backend for the int8 engines (weight-only int8 exports).
+//
+// The portable int8 path in nn.cc widens int8 codes to float and reuses the
+// fp32 microkernel, so int8 buys only memory size. On Sapphire-Rapids-class
+// hosts the TMUL unit does 16x64 s8 x 64x16 s8 -> 16x16 s32 per TDPBSSD
+// (16,384 MACs/instruction), an order of magnitude past AVX-512 FMA. This TU
+// quantizes activations per row on the fly (absmax -> s8, the same dynamic
+// scheme onnxruntime uses for the reference's quantized models,
+// reference runtime/onnxruntime/src/paraformer.cpp session options) and runs
+// s8 x s8 -> s32 tiles, dequantizing once per output element:
+//   y[i][j] = C_s32[i][j] * sx[i] * w.scales[j] + bias[j]
+//
+// Weights are repacked at FTR-load time into the VNNI B-tile layout
+// (AmxPackWeight); the kernel is a 2x2 C-tile block (tmm0-3 accumulators,
+// tmm4-5 A rows, tmm6-7 B columns) over K blocks of 64 bytes.
+//
+// Compiled with -mamx-tile -mamx-int8 when the compiler supports it; every
+// entry point degrades to "not available" otherwise, and at runtime AMX is
+// gated on CPUID + the Linux XTILEDATA permission request (and the
+// FUNASR_TPU_NO_AMX=1 kill switch).
+
+#include "nn.h"
+
+#include <algorithm>
+#include <cmath>
+#include <cstring>
+#include <vector>
+
+#if defined(__AMX_INT8__) && defined(__AMX_TILE__) && defined(__linux__)
+#define FUNASR_TPU_AMX_IMPL 1
+#include <immintrin.h>
+#include <cpuid.h>
+#include <cstdlib>
+#include <sys/syscall.h>
+#include <unistd.h>
+#endif
+
+namespace funasr_tpu {
+
+#ifdef FUNASR_TPU_AMX_IMPL
+
+namespace {
+
+constexpr long kArchReqXcompPerm = 0x1023;  // ARCH_REQ_XCOMP_PERM
+constexpr long kXFeatureXtileData = 18;
+
+bool DetectAmx() {
+  if (std::getenv("FUNASR_TPU_NO_AMX")) return false;
+  unsigned eax = 0, ebx = 0, ecx = 0, edx = 0;
+  if (!__get_cpuid_count(7, 0, &eax, &ebx, &ecx, &edx)) return false;
+  const bool amx_tile = edx & (1u << 24);
+  const bool amx_int8 = edx & (1u << 25);
+  if (!amx_tile || !amx_int8) return false;
+  // per-process permission to use the XTILEDATA state component
+  if (syscall(SYS_arch_prctl, kArchReqXcompPerm, kXFeatureXtileData) != 0)
+    return false;
+  return true;
+}
+
+// 64-byte LDTILECFG operand: palette 1, all eight tiles 16 rows x 64 bytes
+// (A: 16x64 s8, B: 16 VNNI rows x 64 bytes, C: 16x16 s32).
+struct alignas(64) TileConfig {
+  uint8_t palette_id;
+  uint8_t start_row;
+  uint8_t reserved[14];
+  uint16_t colsb[16];
+  uint8_t rows[16];
+};
+
+inline void EnsureTileConfig() {
+  static thread_local bool done = false;
+  if (done) return;
+  TileConfig cfg;
+  std::memset(&cfg, 0, sizeof(cfg));
+  cfg.palette_id = 1;
+  for (int t = 0; t < 8; ++t) {
+    cfg.colsb[t] = 64;
+    cfg.rows[t] = 16;
+  }
+  _tile_loadconfig(&cfg);
+  done = true;
+}
+
+}  // namespace
+
+bool AmxInt8Available() {
+  static const bool ok = DetectAmx();
+  return ok;
+}
+
+void AmxPackWeight(WTensor& w) {
+  if (!AmxInt8Available() || !w.quantized()) return;
+  const int64_t k = w.rows(), n = w.cols();
+  const int64_t k_pad = (k + 63) & ~int64_t{63};
+  const int64_t n_pad = (n + 15) & ~int64_t{15};
+  const int64_t kb_n = k_pad / 64, jt_n = n_pad / 16;
+  w.amx_pack.assign(static_cast<size_t>(jt_n) * kb_n * 1024, 0);
+  const int8_t* src = w.i8.data();
+  for (int64_t jt = 0; jt < jt_n; ++jt) {
+    const int64_t j0 = jt * 16;
+    const int64_t jn = std::min<int64_t>(16, n - j0);
+    for (int64_t kb = 0; kb < kb_n; ++kb) {
+      int8_t* dst = w.amx_pack.data() + static_cast<size_t>(jt * kb_n + kb) * 1024;
+      const int64_t kk0 = kb * 64;
+      const int64_t kkn = std::min<int64_t>(64, k - kk0);
+      for (int64_t kk = 0; kk < kkn; ++kk) {
+        // B VNNI layout: byte for (k=kk, col c) lives at row kk/4,
+        // byte offset c*4 + kk%4
+        const int8_t* srow = src + (kk0 + kk) * n + j0;
+        int8_t* drow = dst + (kk >> 2) * 64 + (kk & 3);
+        for (int64_t c = 0; c < jn; ++c) drow[c * 4] = srow[c];
+      }
+    }
+  }
+  w.amx_k_pad = k_pad;
+  w.amx_n_pad = n_pad;
+}
+
+bool AmxMatMulInt8(const float* x, int m, int k, const WTensor& w,
+                   const float* bias, float* y) {
+  if (!AmxInt8Available() || w.amx_pack.empty()) return false;
+  const int n = static_cast<int>(w.cols());
+  const int64_t k_pad = (k + 63) & ~int64_t{63};
+  if (k_pad != w.amx_k_pad) return false;  // caller passed a sliced view
+  const int kb_n = static_cast<int>(k_pad / 64);
+  const int m_pad = (m + 15) & ~15;
+  const int64_t jt_n = w.amx_n_pad / 16;
+
+  // dynamic per-row activation quantization: sx[i] = absmax/127
+  static thread_local std::vector<int8_t> xq_buf;
+  static thread_local std::vector<float> sx_buf;
+  xq_buf.assign(static_cast<size_t>(m_pad) * k_pad, 0);
+  sx_buf.resize(m);
+  for (int i = 0; i < m; ++i) {
+    const float* xi = x + static_cast<int64_t>(i) * k;
+    float amax = 0.0f;
+    for (int j = 0; j < k; ++j) {
+      const float a = std::fabs(xi[j]);
+      amax = a > amax ? a : amax;
+    }
+    sx_buf[i] = amax / 127.0f;
+    if (amax == 0.0f) continue;
+    const float inv = 127.0f / amax;
+    int8_t* qi = xq_buf.data() + static_cast<size_t>(i) * k_pad;
+    for (int j = 0; j < k; ++j)
+      qi[j] = static_cast<int8_t>(lrintf(xi[j] * inv));
+  }
+
+  // raw pointers: thread_local vectors must not be referenced from inside the
+  // OMP region (each worker would see its own empty instance)
+  const int8_t* xq = xq_buf.data();
+  const float* sx = sx_buf.data();
+  const int8_t* pack = w.amx_pack.data();
+  const float* scales = w.scales.data();
+
+  const int jt2_n = (n + 31) / 32;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) if (static_cast<int64_t>(m) * k * n > 1 << 22)
+#endif
+  for (int jt2 = 0; jt2 < jt2_n; ++jt2) {
+    EnsureTileConfig();
+    alignas(64) int32_t c[32 * 32];
+    const int j0 = jt2 * 32;
+    const int64_t jt0 = static_cast<int64_t>(jt2) * 2;
+    const bool has_j1 = jt0 + 1 < jt_n;
+    for (int i0 = 0; i0 < m_pad; i0 += 32) {
+      const bool two = i0 + 16 < m_pad;
+      _tile_zero(0);
+      if (has_j1) _tile_zero(1);
+      if (two) _tile_zero(2);
+      if (two && has_j1) _tile_zero(3);
+      for (int kb = 0; kb < kb_n; ++kb) {
+        _tile_loadd(4, xq + static_cast<size_t>(i0) * k_pad + kb * 64,
+                    k_pad);
+        const int8_t* b0 = pack + (static_cast<size_t>(jt0) * kb_n + kb) * 1024;
+        _tile_loadd(6, b0, 64);
+        _tile_dpbssd(0, 4, 6);
+        if (two) {
+          _tile_loadd(5, xq + static_cast<size_t>(i0 + 16) * k_pad + kb * 64,
+                      k_pad);
+          _tile_dpbssd(2, 5, 6);
+        }
+        if (has_j1) {
+          const int8_t* b1 =
+              pack + (static_cast<size_t>(jt0 + 1) * kb_n + kb) * 1024;
+          _tile_loadd(7, b1, 64);
+          _tile_dpbssd(1, 4, 7);
+          if (two) _tile_dpbssd(3, 5, 7);
+        }
+      }
+      _tile_stored(0, c, 128);
+      if (has_j1) _tile_stored(1, c + 16, 128);
+      if (two) _tile_stored(2, c + 16 * 32, 128);
+      if (two && has_j1) _tile_stored(3, c + 16 * 32 + 16, 128);
+      const int mn = std::min(32, m - i0);
+      const int jn = std::min(32, n - j0);
+      for (int r = 0; r < mn; ++r) {
+        const float sr = sx[i0 + r];
+        float* yr = y + static_cast<int64_t>(i0 + r) * n + j0;
+        const int32_t* cr = c + r * 32;
+        for (int j = 0; j < jn; ++j)
+          yr[j] = static_cast<float>(cr[j]) * (sr * scales[j0 + j]) +
+                  (bias ? bias[j0 + j] : 0.0f);
+      }
+    }
+  }
+  return true;
+}
+
+#else  // !FUNASR_TPU_AMX_IMPL — compiler or platform without AMX support
+
+bool AmxInt8Available() { return false; }
+void AmxPackWeight(WTensor&) {}
+bool AmxMatMulInt8(const float*, int, int, const WTensor&, const float*,
+                   float*) {
+  return false;
+}
+
+#endif
+
+}  // namespace funasr_tpu

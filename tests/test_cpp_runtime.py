@@ -66,6 +66,17 @@ def test_dsp_golden_parity(built, tmp_path):
     assert "PASS" in out.stdout, out.stdout
 
 
+def test_amx_int8_gemm(built):
+    """AMX-INT8 GEMM backend: exact vs an int64 integer reference (the only
+    float math is the final dequant scale). Skips cleanly on hosts without
+    the TMUL unit — the engines then use the portable widened-float path."""
+    out = subprocess.run([str(built / "test_amx")], capture_output=True,
+                         text=True)
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert ("all AMX tests passed" in out.stdout
+            or "SKIP" in out.stdout), out.stdout
+
+
 def test_c_api_via_ctypes(built):
     lib = ctypes.CDLL(str(built / "libfunasr_tpu_runtime.so"))
     lib.FunASRVersion.restype = ctypes.c_char_p
