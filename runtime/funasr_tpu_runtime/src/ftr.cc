@@ -84,7 +84,24 @@ bool FtrFile::Load(const std::string& path) {
     }
     // repack matmul weights for the AMX TMUL unit when the host has one
     // (no-op otherwise); done at load so engines share one packed copy
-    if (t.quantized()) AmxPackWeight(t);
+    if (t.quantized()) {
+      AmxPackWeight(t);
+    } else {
+      // opt-in bf16 repack (FUNASR_TPU_AMX_BF16=1) — matmul weights only:
+      // embeddings are row-gathered and depthwise-conv kernels are consumed
+      // raw (GetRawF32), the same exclusion set the int8 exporter applies
+      // (funasr_tpu/export_runtime.py:229-239)
+      const bool is_embed = name.rfind("embed/", 0) == 0 ||
+                            name.find("/embed/") != std::string::npos;
+      auto ends_with = [&name](const char* suf) {
+        const size_t ls = std::strlen(suf);
+        return name.size() >= ls &&
+               name.compare(name.size() - ls, ls, suf) == 0;
+      };
+      if (!is_embed && !ends_with("fsmn_block/w") &&
+          !ends_with("conv_left/w") && !ends_with("conv_right/w"))
+        AmxPackWeightBf16(t);
+    }
     tensors.emplace(std::move(name), std::move(t));
   }
   std::fclose(f);

@@ -137,6 +137,9 @@ void MatMul(const float* x, int m, int k, const WTensor& w, const float* bias,
             float* y) {
   const int n = static_cast<int>(w.cols());
   if (!w.quantized()) {
+    // opt-in AMX-BF16 path (FUNASR_TPU_AMX_BF16=1): f32 weights pre-rounded
+    // to bf16 tiles at load, f32 accumulation in the TMUL (nn_amx.cc)
+    if (AmxMatMulBf16(x, m, k, w, bias, y)) return;
     GemmF32(x, m, k, w.f32.data(), n, bias, y);
   } else {
     // AMX TMUL path: s8 x s8 -> s32 tiles with dynamic per-row activation

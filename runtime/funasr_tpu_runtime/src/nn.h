@@ -19,10 +19,13 @@ struct WTensor {
   std::vector<float> f32;
   std::vector<int8_t> i8;
   std::vector<float> scales;  // int8: one per last-dim column
-  // AMX-INT8 backend (nn_amx.cc): VNNI B-tile repack of i8, filled at FTR
-  // load when the host TMUL unit is usable; empty otherwise.
+  // AMX backends (nn_amx.cc): VNNI B-tile repack, filled at FTR load when
+  // the host TMUL unit is usable; empty otherwise. For int8 tensors the
+  // bytes are s8 codes; for fp32 tensors (opt-in FUNASR_TPU_AMX_BF16=1)
+  // they are bf16 pairs.
   std::vector<int8_t> amx_pack;
   int64_t amx_k_pad = 0, amx_n_pad = 0;
+  bool amx_bf16 = false;
   bool quantized() const { return !i8.empty(); }
   int64_t rows() const {  // product of all dims but last
     int64_t r = 1;
@@ -50,6 +53,16 @@ void GemmF32(const float* x, int m, int k, const float* w, int n,
 bool AmxInt8Available();
 void AmxPackWeight(WTensor& w);
 bool AmxMatMulInt8(const float* x, int m, int k, const WTensor& w,
+                   const float* bias, float* y);
+
+// AMX-BF16 backend for fp32 engines — OPT-IN via FUNASR_TPU_AMX_BF16=1
+// (bf16's 8-bit mantissa breaks the 1e-4 C++<->JAX parity budget, so the
+// default fp32 path is untouched; accumulation stays f32 in the TMUL).
+// AmxPackWeightBf16 rounds fp32 weights to bf16 VNNI tiles at FTR load;
+// AmxMatMulBf16 returns false when unpacked/unavailable.
+bool AmxBf16Available();
+void AmxPackWeightBf16(WTensor& w);
+bool AmxMatMulBf16(const float* x, int m, int k, const WTensor& w,
                    const float* bias, float* y);
 
 // Raw fp32 view for weights consumed outside MatMul (depthwise convs, LSTM

@@ -33,6 +33,9 @@
 #include <cstdlib>
 #include <sys/syscall.h>
 #include <unistd.h>
+#if defined(__AMX_BF16__)
+#define FUNASR_TPU_AMX_BF16_IMPL 1
+#endif
 #endif
 
 namespace funasr_tpu {
@@ -212,6 +215,153 @@ bool AmxMatMulInt8(const float* x, int m, int k, const WTensor& w,
 bool AmxInt8Available() { return false; }
 void AmxPackWeight(WTensor&) {}
 bool AmxMatMulInt8(const float*, int, int, const WTensor&, const float*,
+                   float*) {
+  return false;
+}
+
+#endif
+
+#ifdef FUNASR_TPU_AMX_BF16_IMPL
+
+namespace {
+
+// round-to-nearest-even f32 -> bf16 (the same rounding XLA uses on TPU)
+inline uint16_t F32ToBf16(float f) {
+  uint32_t u;
+  std::memcpy(&u, &f, 4);
+  u += 0x7FFFu + ((u >> 16) & 1u);
+  return static_cast<uint16_t>(u >> 16);
+}
+
+bool DetectAmxBf16() {
+  // opt-in: bf16 weights perturb logits ~0.5%, past the engines' default
+  // 1e-4 parity budget — production deployments turn it on explicitly
+  if (!std::getenv("FUNASR_TPU_AMX_BF16")) return false;
+  if (!AmxInt8Available()) return false;  // tile + XTILEDATA permission
+  unsigned eax = 0, ebx = 0, ecx = 0, edx = 0;
+  if (!__get_cpuid_count(7, 0, &eax, &ebx, &ecx, &edx)) return false;
+  return (edx & (1u << 22)) != 0;  // AMX-BF16
+}
+
+}  // namespace
+
+bool AmxBf16Available() {
+  static const bool ok = DetectAmxBf16();
+  return ok;
+}
+
+void AmxPackWeightBf16(WTensor& w) {
+  if (!AmxBf16Available() || w.quantized() || w.f32.empty()) return;
+  const int64_t k = w.rows(), n = w.cols();
+  if (k < 32 || static_cast<int64_t>(w.f32.size()) != k * n) return;
+  const int64_t k_pad = (k + 31) & ~int64_t{31};
+  const int64_t n_pad = (n + 15) & ~int64_t{15};
+  const int64_t kb_n = k_pad / 32, jt_n = n_pad / 16;
+  w.amx_pack.assign(static_cast<size_t>(jt_n) * kb_n * 1024, 0);
+  const float* src = w.f32.data();
+  for (int64_t jt = 0; jt < jt_n; ++jt) {
+    const int64_t j0 = jt * 16;
+    const int64_t jn = std::min<int64_t>(16, n - j0);
+    for (int64_t kb = 0; kb < kb_n; ++kb) {
+      int8_t* dst =
+          w.amx_pack.data() + static_cast<size_t>(jt * kb_n + kb) * 1024;
+      const int64_t kk0 = kb * 32;
+      const int64_t kkn = std::min<int64_t>(32, k - kk0);
+      for (int64_t kk = 0; kk < kkn; ++kk) {
+        // B VNNI bf16 layout: element (k=kk, col c) lives at row kk/2,
+        // byte offset c*4 + (kk%2)*2
+        const float* srow = src + (kk0 + kk) * n + j0;
+        uint16_t* drow = reinterpret_cast<uint16_t*>(
+            dst + (kk >> 1) * 64 + (kk & 1) * 2);
+        for (int64_t c = 0; c < jn; ++c) drow[c * 2] = F32ToBf16(srow[c]);
+      }
+    }
+  }
+  w.amx_k_pad = k_pad;
+  w.amx_n_pad = n_pad;
+  w.amx_bf16 = true;
+}
+
+bool AmxMatMulBf16(const float* x, int m, int k, const WTensor& w,
+                   const float* bias, float* y) {
+  if (!w.amx_bf16 || w.amx_pack.empty()) return false;
+  const int n = static_cast<int>(w.cols());
+  const int64_t k_pad = (k + 31) & ~int64_t{31};
+  if (k_pad != w.amx_k_pad) return false;  // caller passed a sliced view
+  const int kb_n = static_cast<int>(k_pad / 32);
+  const int m_pad = (m + 15) & ~15;
+  const int64_t jt_n = w.amx_n_pad / 16;
+
+  static thread_local std::vector<uint16_t> xb_buf;
+  xb_buf.assign(static_cast<size_t>(m_pad) * k_pad, 0);
+  for (int i = 0; i < m; ++i) {
+    const float* xi = x + static_cast<int64_t>(i) * k;
+    uint16_t* bi = xb_buf.data() + static_cast<size_t>(i) * k_pad;
+    for (int j = 0; j < k; ++j) bi[j] = F32ToBf16(xi[j]);
+  }
+
+  const uint16_t* xb = xb_buf.data();
+  const int8_t* pack = w.amx_pack.data();
+
+  const int jt2_n = (n + 31) / 32;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) if (static_cast<int64_t>(m) * k * n > 1 << 22)
+#endif
+  for (int jt2 = 0; jt2 < jt2_n; ++jt2) {
+    EnsureTileConfig();
+    alignas(64) float c[32 * 32];
+    const int j0 = jt2 * 32;
+    const int64_t jt0 = static_cast<int64_t>(jt2) * 2;
+    const bool has_j1 = jt0 + 1 < jt_n;
+    for (int i0 = 0; i0 < m_pad; i0 += 32) {
+      const bool two = i0 + 16 < m_pad;
+      _tile_zero(0);
+      if (has_j1) _tile_zero(1);
+      if (two) _tile_zero(2);
+      if (two && has_j1) _tile_zero(3);
+      for (int kb = 0; kb < kb_n; ++kb) {
+        _tile_loadd(4, xb + static_cast<size_t>(i0) * k_pad + kb * 32,
+                    k_pad * 2);
+        const int8_t* b0 =
+            pack + (static_cast<size_t>(jt0) * kb_n + kb) * 1024;
+        _tile_loadd(6, b0, 64);
+        _tile_dpbf16ps(0, 4, 6);
+        if (two) {
+          _tile_loadd(5,
+                      xb + static_cast<size_t>(i0 + 16) * k_pad + kb * 32,
+                      k_pad * 2);
+          _tile_dpbf16ps(2, 5, 6);
+        }
+        if (has_j1) {
+          const int8_t* b1 =
+              pack + (static_cast<size_t>(jt0 + 1) * kb_n + kb) * 1024;
+          _tile_loadd(7, b1, 64);
+          _tile_dpbf16ps(1, 4, 7);
+          if (two) _tile_dpbf16ps(3, 5, 7);
+        }
+      }
+      _tile_stored(0, c, 128);
+      if (has_j1) _tile_stored(1, c + 16, 128);
+      if (two) _tile_stored(2, c + 16 * 32, 128);
+      if (two && has_j1) _tile_stored(3, c + 16 * 32 + 16, 128);
+      const int mn = std::min(32, m - i0);
+      const int jn = std::min(32, n - j0);
+      for (int r = 0; r < mn; ++r) {
+        float* yr = y + static_cast<int64_t>(i0 + r) * n + j0;
+        const float* cr = c + r * 32;
+        for (int j = 0; j < jn; ++j)
+          yr[j] = cr[j] + (bias ? bias[j0 + j] : 0.0f);
+      }
+    }
+  }
+  return true;
+}
+
+#else  // !FUNASR_TPU_AMX_BF16_IMPL
+
+bool AmxBf16Available() { return false; }
+void AmxPackWeightBf16(WTensor&) {}
+bool AmxMatMulBf16(const float*, int, int, const WTensor&, const float*,
                    float*) {
   return false;
 }

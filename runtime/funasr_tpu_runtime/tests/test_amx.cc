@@ -12,6 +12,7 @@
 #include <cmath>
 #include <cstdio>
 #include <cstdlib>
+#include <cstring>
 #include <ctime>
 #include <random>
 #include <vector>
@@ -104,6 +105,68 @@ void TestShape(int m, int k, int n, unsigned seed, bool with_bias) {
   std::printf("ok %s\n", msg);
 }
 
+// bf16 reference: replicate the kernel's rounding (RNE f32->bf16 on both
+// operands), accumulate in double; tolerance covers the kernel's f32
+// tile accumulation order only.
+uint16_t RefF32ToBf16(float f) {
+  uint32_t u;
+  std::memcpy(&u, &f, 4);
+  u += 0x7FFFu + ((u >> 16) & 1u);
+  return static_cast<uint16_t>(u >> 16);
+}
+
+float RefBf16ToF32(uint16_t h) {
+  uint32_t u = static_cast<uint32_t>(h) << 16;
+  float f;
+  std::memcpy(&f, &u, 4);
+  return f;
+}
+
+void TestShapeBf16(int m, int k, int n, unsigned seed, bool with_bias) {
+  std::mt19937 rng(seed);
+  std::uniform_real_distribution<float> uf(-2.0f, 2.0f);
+
+  WTensor w;
+  w.shape = {k, n};
+  w.f32.resize(static_cast<size_t>(k) * n);
+  for (auto& v : w.f32) v = uf(rng);
+  funasr_tpu::AmxPackWeightBf16(w);
+  Check(!w.amx_pack.empty() && w.amx_bf16, "bf16 pack produced");
+
+  std::vector<float> x(static_cast<size_t>(m) * k);
+  for (auto& v : x) v = uf(rng);
+  std::vector<float> bias(n);
+  for (auto& v : bias) v = uf(rng);
+
+  std::vector<float> y(static_cast<size_t>(m) * n, -1e30f);
+  const bool ran = funasr_tpu::AmxMatMulBf16(
+      x.data(), m, k, w, with_bias ? bias.data() : nullptr, y.data());
+  Check(ran, "AmxMatMulBf16 dispatched");
+  if (!ran) return;
+
+  double worst = 0.0;
+  for (int i = 0; i < m; ++i) {
+    for (int j = 0; j < n; ++j) {
+      double acc = 0.0;
+      for (int kk = 0; kk < k; ++kk)
+        acc += static_cast<double>(RefBf16ToF32(RefF32ToBf16(
+                   x[static_cast<size_t>(i) * k + kk]))) *
+               RefBf16ToF32(
+                   RefF32ToBf16(w.f32[static_cast<size_t>(kk) * n + j]));
+      if (with_bias) acc += bias[j];
+      const double got = y[static_cast<size_t>(i) * n + j];
+      const double denom = std::max(1.0, std::fabs(acc));
+      worst = std::max(worst, std::fabs(got - acc) / denom);
+    }
+  }
+  char msg[128];
+  std::snprintf(msg, sizeof(msg),
+                "bf16 m=%d k=%d n=%d bias=%d rel err %.2e within f32 accum",
+                m, k, n, with_bias ? 1 : 0, worst);
+  Check(worst < 1e-5, msg);
+  std::printf("ok %s\n", msg);
+}
+
 double Now() {
   timespec ts;
   clock_gettime(CLOCK_MONOTONIC, &ts);
@@ -134,6 +197,28 @@ void Bench() {
   std::printf("amx int8 gemm %dx%dx%d: %.1f GOP/s\n", m, k, n, gops);
 }
 
+void BenchBf16() {
+  const int m = 168, k = 512, n = 2048;
+  std::mt19937 rng(7);
+  std::uniform_real_distribution<float> uf(-1.0f, 1.0f);
+  WTensor w;
+  w.shape = {k, n};
+  w.f32.resize(static_cast<size_t>(k) * n);
+  for (auto& v : w.f32) v = uf(rng);
+  funasr_tpu::AmxPackWeightBf16(w);
+  std::vector<float> x(static_cast<size_t>(m) * k);
+  for (auto& v : x) v = uf(rng);
+  std::vector<float> y(static_cast<size_t>(m) * n);
+  funasr_tpu::AmxMatMulBf16(x.data(), m, k, w, nullptr, y.data());  // warm
+  const int iters = 200;
+  const double t0 = Now();
+  for (int i = 0; i < iters; ++i)
+    funasr_tpu::AmxMatMulBf16(x.data(), m, k, w, nullptr, y.data());
+  const double dt = Now() - t0;
+  const double gops = 2.0 * m * k * n * iters / dt / 1e9;
+  std::printf("amx bf16 gemm %dx%dx%d: %.1f GFLOP/s\n", m, k, n, gops);
+}
+
 }  // namespace
 
 int main() {
@@ -149,6 +234,16 @@ int main() {
   TestShape(1, 200, 41, 5, true);      // single token, odd k/n
   TestShape(33, 64, 33, 6, false);
   TestShape(16, 2048, 512, 7, true);   // ffn down
+  if (funasr_tpu::AmxBf16Available()) {
+    TestShapeBf16(32, 128, 64, 11, true);
+    TestShapeBf16(20, 512, 2048, 12, true);
+    TestShapeBf16(10, 320, 70, 13, true);   // odd n
+    TestShapeBf16(1, 200, 41, 14, true);    // single row, odd k/n
+    TestShapeBf16(33, 64, 33, 15, false);
+    BenchBf16();
+  } else {
+    std::printf("bf16: not enabled (set FUNASR_TPU_AMX_BF16=1)\n");
+  }
   Bench();
   if (failures) {
     std::fprintf(stderr, "%d failures\n", failures);

@@ -70,8 +70,9 @@ def test_amx_int8_gemm(built):
     """AMX-INT8 GEMM backend: exact vs an int64 integer reference (the only
     float math is the final dequant scale). Skips cleanly on hosts without
     the TMUL unit — the engines then use the portable widened-float path."""
+    env = dict(os.environ, FUNASR_TPU_AMX_BF16="1")  # cover the bf16 branch
     out = subprocess.run([str(built / "test_amx")], capture_output=True,
-                         text=True)
+                         text=True, env=env)
     assert out.returncode == 0, out.stdout + out.stderr
     assert ("all AMX tests passed" in out.stdout
             or "SKIP" in out.stdout), out.stdout
