@@ -136,9 +136,41 @@ def bench_nano(batch: int = 16, secs: float = 15.0, new_tokens: int = 64):
             "decode_tok_s": round(toks, 1)}
 
 
+def bench_whisper(batch: int = 8, new_tokens: int = 48):
+    """whisper-large-v3, 30 s padded windows (the model's fixed receptive
+    field) — reference contrast row RTFx 13x on H100 (``README.md:319``)."""
+    from funasr_tpu.core.module import cast_floats
+    from funasr_tpu.models.whisper.model import WhisperModel
+
+    model = WhisperModel(whisper_size="whisper-large-v3")
+    params = cast_floats(model.init_params(jax.random.PRNGKey(0)),
+                         jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    mel = jnp.asarray(rng.standard_normal((batch, 128, 3000)) * 0.3,
+                      jnp.bfloat16)
+    prompt = [50258, 50260, 50360, 50365]  # sot/lang/transcribe/no-ts
+    encode = jax.jit(lambda p, m: model.encode(p, m))
+
+    def run_once():
+        t0 = time.perf_counter()
+        enc, _ = encode(params, mel)
+        out = model.greedy_decode(params, enc, prompt, eot_id=50257,
+                                  max_new=new_tokens)
+        assert len(out) == batch
+        return time.perf_counter() - t0
+
+    run_once()  # compile (encoder + cross-kv + cached step)
+    best = min(run_once() for _ in range(3))
+    rtfx = batch * 30.0 / best
+    return {"metric": "whisper_large_v3_offline_rtfx_1chip",
+            "value": round(rtfx, 1), "unit": "x_realtime",
+            "vs_baseline": round(rtfx / 13.0, 2)}
+
+
 def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "sensevoice"
-    fn = {"sensevoice": bench_sensevoice, "nano": bench_nano}[mode]
+    fn = {"sensevoice": bench_sensevoice, "nano": bench_nano,
+          "whisper": bench_whisper}[mode]
     print(json.dumps(fn()))
 
 

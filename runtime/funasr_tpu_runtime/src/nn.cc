@@ -78,6 +78,12 @@ inline void MicroKernelEdge(const float* xp, const float* wp, int k_len,
 
 void GemmF32(const float* x, int m, int k, const float* wd, int n,
              const float* bias, float* y) {
+  // bf16-mode engines (FUNASR_TPU_AMX_BF16=1) also route activation GEMMs
+  // (attention Q@K^T / A@V) through the TMUL; tiny shapes keep the f32
+  // microkernel — the per-call bf16 conversion would dominate them
+  if (static_cast<int64_t>(m) * k * n >= 1 << 16 && m >= 4 &&
+      AmxGemmBf16Dynamic(x, m, k, wd, n, bias, y))
+    return;
   for (int i = 0; i < m; ++i) {
     float* yi = y + static_cast<int64_t>(i) * n;
     if (bias) std::memcpy(yi, bias, n * sizeof(float));

@@ -64,6 +64,10 @@ bool AmxBf16Available();
 void AmxPackWeightBf16(WTensor& w);
 bool AmxMatMulBf16(const float* x, int m, int k, const WTensor& w,
                    const float* bias, float* y);
+// activation x activation GEMM (attention scores/context) with per-call
+// bf16 conversion of both operands; false when unavailable/too small
+bool AmxGemmBf16Dynamic(const float* x, int m, int k, const float* w, int n,
+                        const float* bias, float* y);
 
 // Raw fp32 view for weights consumed outside MatMul (depthwise convs, LSTM
 // gates). Aborts loudly if the tensor arrived int8-quantized — a silent

@@ -282,30 +282,16 @@ void AmxPackWeightBf16(WTensor& w) {
   w.amx_bf16 = true;
 }
 
-bool AmxMatMulBf16(const float* x, int m, int k, const WTensor& w,
-                   const float* bias, float* y) {
-  if (!w.amx_bf16 || w.amx_pack.empty()) return false;
-  const int n = static_cast<int>(w.cols());
-  const int64_t k_pad = (k + 31) & ~int64_t{31};
-  if (k_pad != w.amx_k_pad) return false;  // caller passed a sliced view
-  const int kb_n = static_cast<int>(k_pad / 32);
-  const int m_pad = (m + 15) & ~15;
-  const int64_t jt_n = w.amx_n_pad / 16;
+namespace {
 
-  static thread_local std::vector<uint16_t> xb_buf;
-  xb_buf.assign(static_cast<size_t>(m_pad) * k_pad, 0);
-  for (int i = 0; i < m; ++i) {
-    const float* xi = x + static_cast<int64_t>(i) * k;
-    uint16_t* bi = xb_buf.data() + static_cast<size_t>(i) * k_pad;
-    for (int j = 0; j < k; ++j) bi[j] = F32ToBf16(xi[j]);
-  }
-
-  const uint16_t* xb = xb_buf.data();
-  const int8_t* pack = w.amx_pack.data();
-
+// shared bf16 tile loop: xb is (m_pad, k_pad) bf16 rows, pack is the VNNI
+// B-tile arena (jt_n x kb_n x 1024 B)
+void Bf16TileLoop(const uint16_t* xb, const int8_t* pack, int m, int m_pad,
+                  int64_t k_pad, int n, int64_t jt_n, int kb_n,
+                  const float* bias, float* y, int64_t work) {
   const int jt2_n = (n + 31) / 32;
 #ifdef _OPENMP
-#pragma omp parallel for schedule(static) if (static_cast<int64_t>(m) * k * n > 1 << 22)
+#pragma omp parallel for schedule(static) if (work > 1 << 22)
 #endif
   for (int jt2 = 0; jt2 < jt2_n; ++jt2) {
     EnsureTileConfig();
@@ -354,6 +340,70 @@ bool AmxMatMulBf16(const float* x, int m, int k, const WTensor& w,
       }
     }
   }
+}
+
+}  // namespace
+
+bool AmxMatMulBf16(const float* x, int m, int k, const WTensor& w,
+                   const float* bias, float* y) {
+  if (!w.amx_bf16 || w.amx_pack.empty()) return false;
+  const int n = static_cast<int>(w.cols());
+  const int64_t k_pad = (k + 31) & ~int64_t{31};
+  if (k_pad != w.amx_k_pad) return false;  // caller passed a sliced view
+  const int kb_n = static_cast<int>(k_pad / 32);
+  const int m_pad = (m + 15) & ~15;
+  const int64_t jt_n = w.amx_n_pad / 16;
+
+  static thread_local std::vector<uint16_t> xb_buf;
+  xb_buf.assign(static_cast<size_t>(m_pad) * k_pad, 0);
+  for (int i = 0; i < m; ++i) {
+    const float* xi = x + static_cast<int64_t>(i) * k;
+    uint16_t* bi = xb_buf.data() + static_cast<size_t>(i) * k_pad;
+    for (int j = 0; j < k; ++j) bi[j] = F32ToBf16(xi[j]);
+  }
+  Bf16TileLoop(xb_buf.data(), w.amx_pack.data(), m, m_pad, k_pad, n, jt_n,
+               kb_n, bias, y, static_cast<int64_t>(m) * k * n);
+  return true;
+}
+
+bool AmxGemmBf16Dynamic(const float* x, int m, int k, const float* w, int n,
+                        const float* bias, float* y) {
+  // activation x activation GEMM (attention Q@K^T / A@V): B has no
+  // load-time pack, so convert both operands per call — the O(kn) pack is
+  // tiny next to the O(mkn) compute for the shapes the engines hit
+  if (!AmxBf16Available() || k < 32) return false;
+  const int64_t k_pad = (k + 31) & ~int64_t{31};
+  const int64_t n_pad = (n + 15) & ~int64_t{15};
+  const int kb_n = static_cast<int>(k_pad / 32);
+  const int64_t jt_n = n_pad / 16;
+  const int m_pad = (m + 15) & ~15;
+
+  static thread_local std::vector<int8_t> pack_buf;
+  static thread_local std::vector<uint16_t> xb_buf;
+  pack_buf.assign(static_cast<size_t>(jt_n) * kb_n * 1024, 0);
+  for (int64_t jt = 0; jt < jt_n; ++jt) {
+    const int64_t j0 = jt * 16;
+    const int64_t jn = std::min<int64_t>(16, n - j0);
+    for (int64_t kb = 0; kb < kb_n; ++kb) {
+      int8_t* dst = pack_buf.data() + static_cast<size_t>(jt * kb_n + kb) * 1024;
+      const int64_t kk0 = kb * 32;
+      const int64_t kkn = std::min<int64_t>(32, k - kk0);
+      for (int64_t kk = 0; kk < kkn; ++kk) {
+        const float* srow = w + (kk0 + kk) * n + j0;
+        uint16_t* drow = reinterpret_cast<uint16_t*>(
+            dst + (kk >> 1) * 64 + (kk & 1) * 2);
+        for (int64_t c = 0; c < jn; ++c) drow[c * 2] = F32ToBf16(srow[c]);
+      }
+    }
+  }
+  xb_buf.assign(static_cast<size_t>(m_pad) * k_pad, 0);
+  for (int i = 0; i < m; ++i) {
+    const float* xi = x + static_cast<int64_t>(i) * k;
+    uint16_t* bi = xb_buf.data() + static_cast<size_t>(i) * k_pad;
+    for (int j = 0; j < k; ++j) bi[j] = F32ToBf16(xi[j]);
+  }
+  Bf16TileLoop(xb_buf.data(), pack_buf.data(), m, m_pad, k_pad, n, jt_n,
+               kb_n, bias, y, static_cast<int64_t>(m) * k * n);
   return true;
 }
 
@@ -363,6 +413,10 @@ bool AmxBf16Available() { return false; }
 void AmxPackWeightBf16(WTensor&) {}
 bool AmxMatMulBf16(const float*, int, int, const WTensor&, const float*,
                    float*) {
+  return false;
+}
+bool AmxGemmBf16Dynamic(const float*, int, int, const float*, int,
+                        const float*, float*) {
   return false;
 }
 

@@ -197,6 +197,37 @@ void Bench() {
   std::printf("amx int8 gemm %dx%dx%d: %.1f GOP/s\n", m, k, n, gops);
 }
 
+void TestDynamicBf16(int m, int k, int n, unsigned seed) {
+  std::mt19937 rng(seed);
+  std::uniform_real_distribution<float> uf(-2.0f, 2.0f);
+  std::vector<float> x(static_cast<size_t>(m) * k), w(static_cast<size_t>(k) * n);
+  for (auto& v : x) v = uf(rng);
+  for (auto& v : w) v = uf(rng);
+  std::vector<float> y(static_cast<size_t>(m) * n, -1e30f);
+  const bool ran =
+      funasr_tpu::AmxGemmBf16Dynamic(x.data(), m, k, w.data(), n, nullptr,
+                                     y.data());
+  Check(ran, "AmxGemmBf16Dynamic dispatched");
+  if (!ran) return;
+  double worst = 0.0;
+  for (int i = 0; i < m; ++i)
+    for (int j = 0; j < n; ++j) {
+      double acc = 0.0;
+      for (int kk = 0; kk < k; ++kk)
+        acc += static_cast<double>(RefBf16ToF32(RefF32ToBf16(
+                   x[static_cast<size_t>(i) * k + kk]))) *
+               RefBf16ToF32(RefF32ToBf16(w[static_cast<size_t>(kk) * n + j]));
+      const double got = y[static_cast<size_t>(i) * n + j];
+      worst = std::max(worst,
+                       std::fabs(got - acc) / std::max(1.0, std::fabs(acc)));
+    }
+  char msg[128];
+  std::snprintf(msg, sizeof(msg), "dyn bf16 m=%d k=%d n=%d rel err %.2e", m,
+                k, n, worst);
+  Check(worst < 1e-5, msg);
+  std::printf("ok %s\n", msg);
+}
+
 void BenchBf16() {
   const int m = 168, k = 512, n = 2048;
   std::mt19937 rng(7);
@@ -240,6 +271,9 @@ int main() {
     TestShapeBf16(10, 320, 70, 13, true);   // odd n
     TestShapeBf16(1, 200, 41, 14, true);    // single row, odd k/n
     TestShapeBf16(33, 64, 33, 15, false);
+    TestDynamicBf16(168, 128, 168, 21);  // attention scores shape class
+    TestDynamicBf16(168, 168, 128, 22);  // attention context
+    TestDynamicBf16(20, 100, 37, 23);    // odd everything
     BenchBf16();
   } else {
     std::printf("bf16: not enabled (set FUNASR_TPU_AMX_BF16=1)\n");
