@@ -153,7 +153,9 @@ def run_cer_eval(model, wav_scp: str, text_path: str, batch_size: int = 16,
     report = {"mode": "cer", "n_utts": len(keys),
               "audio_seconds": round(total_audio_s, 1),
               "wall_seconds": round(wall, 2),
-              "rtfx": round(total_audio_s / wall, 1),
+              # 4 decimals: slow hosts (or contended CI) can land below 0.05,
+              # and a 1-decimal round would flush a real value to 0.0
+              "rtfx": round(total_audio_s / wall, 4),
               "cer": round(cer["cer"] * 100, 2),
               "sub": round(cer["sub"] * 100, 2),
               "del": round(cer["del"] * 100, 2),

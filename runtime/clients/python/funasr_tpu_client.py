@@ -50,13 +50,14 @@ class FunASRClient:
     def __init__(self, host: str = "127.0.0.1", port: int = 10095,
                  mode: str = "2pass", chunk_size=(5, 10, 5),
                  chunk_interval: int = 10, hotwords: str = "",
-                 itn: bool = True):
+                 itn: bool = True, final_timeout: float = 60.0):
         self.host, self.port = host, port
         self.mode = mode
         self.chunk_size = list(chunk_size)
         self.chunk_interval = chunk_interval
         self.hotwords = hotwords
         self.itn = itn
+        self.final_timeout = final_timeout  # first-request compiles can be slow
         self.ws = None
 
     async def __aenter__(self):
@@ -113,7 +114,7 @@ class FunASRClient:
                 await asyncio.sleep(0.001)
         await self.ws.send(json.dumps({"is_speaking": False}))
         try:
-            await asyncio.wait_for(recv_task, timeout=60)
+            await asyncio.wait_for(recv_task, timeout=self.final_timeout)
         except asyncio.TimeoutError:
             recv_task.cancel()
         return "".join(final_text) or online_text

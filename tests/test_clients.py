@@ -64,7 +64,10 @@ def test_python_client_offline_roundtrip(tmp_path, tmp_path_factory):
         srv = await serve(server.handle, "127.0.0.1", port)
         try:
             partials = []
-            async with FunASRClient("127.0.0.1", port, mode="offline") as cli:
+            # generous final wait: the fresh AutoModel's first decode compiles
+            # under whatever load the test host is carrying
+            async with FunASRClient("127.0.0.1", port, mode="offline",
+                                    final_timeout=240) as cli:
                 text = await cli.transcribe(read_pcm16(wav_path), "utt1",
                                             on_partial=partials.append)
             return text, partials
