@@ -192,12 +192,20 @@ def main_cli():
                         help="streaming punc (ct-punc-realtime) for "
                              "2pass-online partials")
     parser.add_argument("--vad_model", default="")
+    # TLS (reference funasr_wss_server.py --certfile/--keyfile); empty = ws://
+    parser.add_argument("--certfile", default="")
+    parser.add_argument("--keyfile", default="")
     args = parser.parse_args()
     logging.basicConfig(level=logging.INFO)
     server = build_server(args)
+    ssl_ctx = None
+    if args.certfile:
+        import ssl as ssl_mod
+        ssl_ctx = ssl_mod.SSLContext(ssl_mod.PROTOCOL_TLS_SERVER)
+        ssl_ctx.load_cert_chain(args.certfile, args.keyfile or None)
 
     async def run():
-        srv = await serve(server.handle, args.host, args.port)
+        srv = await serve(server.handle, args.host, args.port, ssl=ssl_ctx)
         logging.info("funasr-tpu wss server listening on %s:%d", args.host, args.port)
         async with srv:
             await srv.serve_forever()

@@ -315,6 +315,8 @@ def main_cli():
                         help="audio before the first partial decode")
     parser.add_argument("--partial-window-sec", type=float, default=15.0)
     parser.add_argument("--max-utterance-sec", type=float, default=300.0)
+    parser.add_argument("--certfile", default="", help="TLS cert; empty = ws://")
+    parser.add_argument("--keyfile", default="")
     args = parser.parse_args()
     logging.basicConfig(level=logging.INFO)
 
@@ -332,8 +334,14 @@ def main_cli():
                               max_utterance_sec=args.max_utterance_sec,
                               endpoint_mode=args.endpoint_mode)
 
+    ssl_ctx = None
+    if args.certfile:
+        import ssl as ssl_mod
+        ssl_ctx = ssl_mod.SSLContext(ssl_mod.PROTOCOL_TLS_SERVER)
+        ssl_ctx.load_cert_chain(args.certfile, args.keyfile or None)
+
     async def run():
-        srv = await serve(server.handle, args.host, args.port)
+        srv = await serve(server.handle, args.host, args.port, ssl=ssl_ctx)
         logger.info("realtime ws server on %s:%d (endpoint_mode=%s)",
                     args.host, args.port, server.default_endpoint_mode)
         async with srv:

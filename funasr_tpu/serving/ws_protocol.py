@@ -173,8 +173,12 @@ class ClientWebSocket(WebSocket):
         await self.writer.drain()
 
 
-async def connect(host: str, port: int, path: str = "/") -> ClientWebSocket:
-    reader, writer = await asyncio.open_connection(host, port)
+async def connect(host: str, port: int, path: str = "/",
+                  ssl=None) -> ClientWebSocket:
+    """``ssl``: an SSLContext for wss:// servers (pass
+    ``ssl.SSLContext(ssl.PROTOCOL_TLS_CLIENT)`` with verification configured,
+    or a default context for public certs)."""
+    reader, writer = await asyncio.open_connection(host, port, ssl=ssl)
     key = base64.b64encode(hashlib.sha1(str(id(reader)).encode()).digest()[:16])
     writer.write(
         f"GET {path} HTTP/1.1\r\nHost: {host}:{port}\r\n"

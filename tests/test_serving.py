@@ -370,3 +370,46 @@ def test_cross_request_dynamic_batching(offline_automodel):
 
     text = asyncio.run(scenario2())
     assert text.strip(), "real-model batched request returned empty text"
+
+
+def test_ws_tls_roundtrip(tmp_path):
+    """wss:// end-to-end: self-signed cert, TLS server socket, TLS client
+    (reference funasr_wss_server.py --certfile/--keyfile role)."""
+    import ssl
+    import subprocess
+
+    from funasr_tpu.serving.ws_protocol import connect, serve
+
+    crt, key = str(tmp_path / "s.crt"), str(tmp_path / "s.key")
+    r = subprocess.run(
+        ["openssl", "req", "-x509", "-newkey", "rsa:2048", "-nodes",
+         "-keyout", key, "-out", crt, "-days", "1", "-subj", "/CN=localhost"],
+        capture_output=True, text=True)
+    if r.returncode != 0:
+        pytest.skip(f"openssl unavailable: {r.stderr[:100]}")
+
+    sctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+    sctx.load_cert_chain(crt, key)
+    cctx = ssl.SSLContext(ssl.PROTOCOL_TLS_CLIENT)
+    cctx.check_hostname = False
+    cctx.verify_mode = ssl.CERT_NONE  # self-signed test cert
+
+    port = _free_port()
+
+    async def handler(ws):
+        msg = await ws.recv()
+        await ws.send(json.dumps({"echo": json.loads(msg)["x"]}))
+
+    async def scenario():
+        srv = await serve(handler, "127.0.0.1", port, ssl=sctx)
+        try:
+            ws = await connect("127.0.0.1", port, ssl=cctx)
+            await ws.send(json.dumps({"x": 42}))
+            reply = json.loads(await ws.recv())
+            await ws.close()
+            return reply
+        finally:
+            srv.close()
+            await srv.wait_closed()
+
+    assert asyncio.run(scenario()) == {"echo": 42}
