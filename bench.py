@@ -21,18 +21,30 @@ import time
 if _os.environ.get("JAX_PLATFORMS") not in (None, "", "cpu"):
     # A stale pinned platform name (e.g. a renamed TPU plugin) would make
     # backend init fail outright; verify it resolves in a throwaway
-    # interpreter and fall back to auto-discovery if it doesn't.
+    # interpreter and fall back to auto-discovery if it doesn't. The device
+    # tunnel can also WEDGE (jax.devices() blocks uninterruptibly), so the
+    # probe runs in a killable subprocess and retries for a bounded window —
+    # a wedged tunnel must fail this script loudly, not hang it forever.
     import subprocess as _sp
     import sys as _sys
-    try:
-        _r = _sp.run([_sys.executable, "-c", "import jax; jax.devices()"],
-                     capture_output=True, timeout=300)
-        if _r.returncode != 0:
-            _os.environ["JAX_PLATFORMS"] = ""
-    except _sp.TimeoutExpired:
-        # tunnel congested, not broken: keep the pinned platform and let the
-        # real run wait it out rather than silently benching on CPU
-        pass
+    _attempts = int(_os.environ.get("BENCH_PROBE_ATTEMPTS", 6))
+    for _i in range(_attempts):
+        try:
+            _r = _sp.run([_sys.executable, "-c", "import jax; jax.devices()"],
+                         capture_output=True, timeout=300)
+        except _sp.TimeoutExpired:  # wedged: child killed, retry
+            continue
+        if _r.returncode == 0:
+            break  # platform resolves; proceed pinned
+        _os.environ["JAX_PLATFORMS"] = ""  # renamed plugin: auto-discover
+        break
+    else:
+        print(json.dumps({"metric": "paraformer_large_offline_rtfx_1chip",
+                          "value": 0.0, "unit": "x_realtime",
+                          "vs_baseline": 0.0,
+                          "error": "device tunnel unresponsive after "
+                                   f"{_attempts}x300s probes"}))
+        raise SystemExit(3)
 
 import jax
 import jax.numpy as jnp
