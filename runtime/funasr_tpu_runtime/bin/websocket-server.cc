@@ -32,6 +32,7 @@
 #include <algorithm>
 #include <atomic>
 #include <cstdint>
+#include <cstdlib>
 #include <condition_variable>
 #include <cstdio>
 #include <cstring>
@@ -97,7 +98,36 @@ struct DecodeTask {
   std::string mode;       // reply mode string ("offline", "2pass-offline", ...)
   std::string wav_name;
   bool is_final;
+  std::shared_ptr<void> hotword_trie;  // per-session bias trie (may be null)
+  bool itn = false;                    // apply inverse text normalization
+  std::string itn_lang = "zh";
 };
+
+// The reference wire format sends hotwords as a JSON-object string
+// ('{"阿里巴巴": 20}'); clients of the python server may also send plain
+// space-separated words. Extract the words (and the first weight as the
+// boost) into the whitespace form FunASRHotwordCompile takes.
+std::string ParseHotwordsField(const std::string& field, float* boost) {
+  if (field.empty() || field[0] != '{') return field;
+  std::string words;
+  size_t p = 0;
+  bool have_boost = false;
+  while ((p = field.find('"', p)) != std::string::npos) {
+    size_t q = field.find('"', p + 1);
+    if (q == std::string::npos) break;
+    if (!words.empty()) words += ' ';
+    words += field.substr(p + 1, q - p - 1);
+    if (!have_boost) {
+      const size_t c = field.find(':', q);
+      if (c != std::string::npos) {
+        const float w = std::strtof(field.c_str() + c + 1, nullptr);
+        if (w > 0) { *boost = w; have_boost = true; }
+      }
+    }
+    p = q + 1;
+  }
+  return words;
+}
 
 class DecoderPool {
  public:
@@ -135,13 +165,22 @@ class DecoderPool {
       }
       std::string text;
       if (handle_ != nullptr && !task.pcm.empty()) {
-        FUNASR_RESULT res = FunOfflineInfer(handle_, task.pcm.data(),
-                                            static_cast<int>(task.pcm.size()),
-                                            FUNASR_MODE_OFFLINE, 16000);
+        FUNASR_RESULT res = FunOfflineInferHotwordBeam(
+            handle_, task.pcm.data(), static_cast<int>(task.pcm.size()),
+            FUNASR_MODE_OFFLINE, 16000, task.hotword_trie.get(),
+            task.hotword_trie ? 4 : 1);
         if (res != nullptr) {
           const char* t = FunASRGetResult(res, 0);
           if (t != nullptr) text = t;
           FunASRFreeResult(res);
+        }
+        if (task.itn && !text.empty()) {
+          char* norm = FunASRITNNormalize(text.c_str(),
+                                          task.itn_lang.c_str());
+          if (norm != nullptr) {
+            text = norm;
+            FunASRITNFree(norm);
+          }
         }
       }
       std::string reply = "{\"mode\": \"" + task.mode + "\", \"wav_name\": \"" +
@@ -166,10 +205,13 @@ constexpr int kBytesPerMs = 32;        // 16 kHz * 2 bytes
 constexpr int kPartialStrideMs = 600;  // min fresh audio between partials
 
 void ServeConnection(std::shared_ptr<funasr_tpu::WsConnection> conn,
-                     DecoderPool* pool, FUNASR_HANDLE handle) {
+                     DecoderPool* pool, FUNASR_HANDLE handle,
+                     std::string tokens_path) {
   if (!conn->Handshake()) return;
   std::string mode = "2pass";
   std::string wav_name = "microphone";
+  std::shared_ptr<void> hotword_trie;  // per-session contextual bias
+  bool itn = true;  // reference 2pass protocol default
   std::string pcm_buf;        // active audio (already-cut segments dropped)
   size_t partial_anchor = 0;  // pcm_buf size at the last partial/VAD pass
   // true streaming partials (paraformer-online role) when the model dir
@@ -193,6 +235,8 @@ void ServeConnection(std::shared_ptr<funasr_tpu::WsConnection> conn,
     task.mode = reply_mode;
     task.wav_name = wav_name;
     task.is_final = is_final;
+    task.hotword_trie = hotword_trie;  // shared: outlives the session safely
+    task.itn = itn;
     pool->Submit(std::move(task));
   };
 
@@ -200,6 +244,18 @@ void ServeConnection(std::shared_ptr<funasr_tpu::WsConnection> conn,
     if (op == funasr_tpu::WsOp::kText) {
       mode = JsonGetString(payload, "mode", mode);
       wav_name = JsonGetString(payload, "wav_name", wav_name);
+      itn = JsonGetBool(payload, "itn", itn);
+      const std::string hw_field = JsonGetString(payload, "hotwords", "");
+      if (!hw_field.empty() && !tokens_path.empty()) {
+        float boost = 3.0f;
+        const std::string words = ParseHotwordsField(hw_field, &boost);
+        void* trie = words.empty()
+                         ? nullptr
+                         : FunASRHotwordCompile(words.c_str(),
+                                                tokens_path.c_str(), boost);
+        hotword_trie = trie ? std::shared_ptr<void>(trie, FunASRHotwordFree)
+                            : nullptr;
+      }
       if (!JsonGetBool(payload, "is_speaking", true)) {
         if (stream != nullptr) {  // flush the streaming tail + reset
           FUNASR_RESULT sr = FunASRStreamInfer(stream, nullptr, 0, 1, 16000);
@@ -344,6 +400,8 @@ int main(int argc, char** argv) {
     int fd = ::accept(server_fd, nullptr, nullptr);
     if (fd < 0) continue;
     auto conn = std::make_shared<funasr_tpu::WsConnection>(fd);
-    std::thread(ServeConnection, conn, &pool, handle).detach();
+    std::thread(ServeConnection, conn, &pool, handle,
+                model_dir.empty() ? std::string()
+                                  : model_dir + "/tokens.txt").detach();
   }
 }

@@ -456,6 +456,26 @@ def test_cpp_ws_server_2pass(built, tmp_path):
 
         m = asyncio.run(run_offline())
         assert m["is_final"] and m["mode"] == "offline" and m["wav_name"] == "o"
+
+        async def run_offline_hotword():
+            # reference 2pass protocol extras: hotwords as a JSON-object
+            # string + per-session itn flag — must bias/normalize, not crash
+            ws = await connect("127.0.0.1", port)
+            await ws.send(jsonlib.dumps(
+                {"mode": "offline", "wav_name": "h", "is_speaking": True,
+                 "hotwords": jsonlib.dumps({"一二三": 10}), "itn": True}))
+            rng_l = np.random.default_rng(1)
+            pcm = (np.clip(rng_l.standard_normal(16000) * 0.2, -1, 1)
+                   * 32767).astype("<i2").tobytes()
+            await ws.send(pcm)
+            await ws.send(jsonlib.dumps({"is_speaking": False}))
+            m2 = jsonlib.loads(await asyncio.wait_for(ws.recv(), 60))
+            await ws.close()
+            return m2
+
+        m2 = asyncio.run(run_offline_hotword())
+        assert m2["is_final"] and m2["wav_name"] == "h"
+        assert isinstance(m2["text"], str) and m2["text"], m2
     finally:
         proc.terminate()
         proc.wait(timeout=10)
