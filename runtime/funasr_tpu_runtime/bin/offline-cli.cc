@@ -28,17 +28,23 @@ static std::vector<char> ReadFile(const char* path) {
 
 int main(int argc, char** argv) {
   bool streaming = false, rtf = false;
+  std::string hotword, itn_lang;
+  int beam = 4;
   int argi = 1;
   while (argi < argc && argv[argi][0] == '-') {
     const std::string a = argv[argi];
     if (a == "--streaming") streaming = true;
     else if (a == "--rtf") rtf = true;  // funasr-onnx-offline-rtf role
+    else if (a == "--hotword" && argi + 1 < argc) hotword = argv[++argi];
+    else if (a == "--itn" && argi + 1 < argc) itn_lang = argv[++argi];
+    else if (a == "--beam" && argi + 1 < argc) beam = std::atoi(argv[++argi]);
     else break;
     ++argi;
   }
   if (argc - argi < 2) {
     std::fprintf(stderr,
-                 "usage: %s [--streaming] [--rtf] <model_dir> <wav>...\n",
+                 "usage: %s [--streaming] [--rtf] [--hotword <file|words>] "
+                 "[--itn zh|en] [--beam N] <model_dir> <wav>...\n",
                  argv[0]);
     return 2;
   }
@@ -46,6 +52,19 @@ int main(int argc, char** argv) {
   if (!h) {
     std::fprintf(stderr, "init failed for %s\n", argv[argi]);
     return 1;
+  }
+  // --hotword: a file of one hotword per line (funasr-onnx-offline --hotword
+  // role) or an inline space-separated list
+  void* trie = nullptr;
+  if (!hotword.empty()) {
+    std::string words = hotword;
+    std::vector<char> hw_file = ReadFile(hotword.c_str());
+    if (!hw_file.empty()) words.assign(hw_file.begin(), hw_file.end());
+    const std::string tokens = std::string(argv[argi]) + "/tokens.txt";
+    trie = FunASRHotwordCompile(words.c_str(), tokens.c_str(), 3.0f);
+    if (!trie)
+      std::fprintf(stderr, "warning: hotword compile failed (%s)\n",
+                   tokens.c_str());
   }
   int rc = 0;
   for (int i = argi + 1; i < argc; ++i) {
@@ -107,13 +126,22 @@ int main(int argc, char** argv) {
       FunASRStreamFree(stream);
     } else {
       const auto t0 = std::chrono::steady_clock::now();
-      FUNASR_RESULT r = FunOfflineInfer(h, wav.data(),
-                                        static_cast<int>(wav.size()),
-                                        FUNASR_MODE_OFFLINE, 16000);
+      FUNASR_RESULT r = FunOfflineInferHotwordBeam(
+          h, wav.data(), static_cast<int>(wav.size()), FUNASR_MODE_OFFLINE,
+          16000, trie, trie ? beam : 1);
       const double wall =
           std::chrono::duration<double>(std::chrono::steady_clock::now() - t0)
               .count();
       const char* text = r ? FunASRGetResult(r, 0) : nullptr;
+      std::string itn_text;
+      if (!itn_lang.empty() && text && text[0]) {
+        char* norm = FunASRITNNormalize(text, itn_lang.c_str());
+        if (norm) {
+          itn_text = norm;
+          FunASRITNFree(norm);
+          text = itn_text.c_str();
+        }
+      }
       if (rtf) {
         // PCM16 bytes after a possible 44-byte RIFF header -> audio seconds
         const double audio_s =
@@ -127,6 +155,7 @@ int main(int argc, char** argv) {
       if (r) FunASRFreeResult(r);
     }
   }
+  if (trie) FunASRHotwordFree(trie);
   FunASRUninit(h);
   return rc;
 }
