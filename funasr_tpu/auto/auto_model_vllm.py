@@ -108,12 +108,44 @@ class AutoModelVLLM:
         num_chunks = max(-(-len(audio) // chunk_samples), 1)
         windows = [audio[: min((i + 1) * chunk_samples, len(audio))]
                    for i in range(num_chunks)]
-        results = self.generate(windows, **cfg)
-        for i, res in enumerate(results):
+
+        def info(i):
+            return {"is_final": i == num_chunks - 1, "chunk_idx": i + 1,
+                    "audio_duration_ms": len(windows[i]) * 1000.0 / fs}
+
+        # Stage 1 (reference inference_vllm_streaming.py:246-285): the first
+        # ~10 prefix windows decode fresh; the longest meaningful output
+        # becomes the stage-2 continuation prefix.
+        stage1 = min(10, num_chunks)
+        results1 = self.generate(windows[:stage1], **cfg)
+        best = ""
+        for i, res in enumerate(results1):
             text = res.get("text", "")
-            is_final = i == num_chunks - 1
-            fixed = text if is_final else text[: max(len(text) - rollback_chars,
-                                                     0)]
-            yield {"text": text, "fixed_text": fixed, "is_final": is_final,
-                   "chunk_idx": i + 1,
-                   "audio_duration_ms": len(windows[i]) * 1000.0 / fs}
+            if text.strip() and len(text) > len(best):
+                best = text
+            fin = info(i)["is_final"]
+            if fin:
+                fixed = text
+            elif text.strip() and len(text) > rollback_chars:
+                fixed = text[:-rollback_chars]
+            else:
+                fixed = ""
+            yield {"text": text, "fixed_text": fixed, **info(i)}
+
+        # Stage 2: remaining windows decode as continuations of the stable
+        # text (prev_text forced as the assistant prefix); the yielded text
+        # is prev_text + the continuation.
+        if stage1 < num_chunks:
+            prev = best[:-rollback_chars] if len(best) > rollback_chars else best
+            results2 = self.generate(windows[stage1:], prev_text=prev, **cfg)
+            for j, res in enumerate(results2):
+                i = stage1 + j
+                full = prev + res.get("text", "")
+                fin = info(i)["is_final"]
+                if fin:
+                    fixed = full
+                elif full.strip() and len(full) > rollback_chars:
+                    fixed = full[:-rollback_chars]
+                else:
+                    fixed = prev
+                yield {"text": full, "fixed_text": fixed, **info(i)}

@@ -163,11 +163,15 @@ class FunASRNano:
             prompt += "，不进行文本规整"
         return prompt + "："
 
-    def build_chatml_ids(self, tokenizer, prompt: str):
-        """-> (prefix_ids, suffix_ids) around the audio embedding span."""
+    def build_chatml_ids(self, tokenizer, prompt: str, prev_text: str = ""):
+        """-> (prefix_ids, suffix_ids) around the audio embedding span.
+
+        ``prev_text`` is appended after the assistant turn opener as a forced
+        continuation prefix — the streaming SDK's stage-2 stabilizer
+        (reference ``inference_vllm_streaming.py:175-189`` _build_embeds)."""
         prefix = ("<|im_start|>system\nYou are a helpful assistant.<|im_end|>\n"
                   f"<|im_start|>user\n{prompt}")
-        suffix = "<|im_end|>\n<|im_start|>assistant\n"
+        suffix = "<|im_end|>\n<|im_start|>assistant\n" + prev_text
         return tokenizer.encode(prefix), tokenizer.encode(suffix)
 
     def encode_audio(self, params, speech, speech_lengths):
@@ -208,7 +212,8 @@ class FunASRNano:
             else None,
             language=kwargs.get("language"),
             itn=kwargs.get("use_itn", True))
-        prefix_ids, suffix_ids = self.build_chatml_ids(tokenizer, prompt)
+        prefix_ids, suffix_ids = self.build_chatml_ids(
+            tokenizer, prompt, prev_text=kwargs.get("prev_text", ""))
 
         eos_ids = tuple(kwargs.get("eos_token_ids", ()))
         if not eos_ids:

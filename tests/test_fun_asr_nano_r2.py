@@ -244,3 +244,51 @@ def test_vllm_streaming_generate(rng):
     for c in chunks[:-1]:
         assert c["fixed_text"] == c["text"][: max(len(c["text"]) - 2, 0)]
     assert chunks[-1]["fixed_text"] == chunks[-1]["text"]
+
+
+def test_vllm_streaming_two_stage_prev_text(rng):
+    """Past 10 chunks the SDK switches to stage 2: remaining windows decode
+    as continuations of the stable stage-1 text, and every stage-2 result is
+    prefixed by it (reference inference_vllm_streaming.py:291-328)."""
+    import jax
+    import funasr_tpu  # noqa: F401
+    from funasr_tpu.auto.auto_model_vllm import AutoModelVLLM
+    from funasr_tpu.frontends.wav_frontend import WavFrontend
+    from funasr_tpu.models.fun_asr_nano.model import FunASRNano
+
+    model = FunASRNano(
+        input_size=80,
+        audio_encoder_conf=dict(output_size=32, attention_heads=4,
+                                linear_units=64, num_blocks=2),
+        audio_adaptor_conf=dict(downsample_rate=2, encoder_dim=32, llm_dim=48,
+                                ffn_dim=64),
+        llm_conf=dict(LLM_CONF))
+    params = model.init_params(jax.random.PRNGKey(0))
+
+    class Tok:
+        def encode(self, s):
+            return [hash(c) % 150 + 3 for c in s][:12]
+
+        def decode(self, ids):
+            return "".join(chr(ord("a") + (int(i) % 26)) for i in ids)
+
+    am = AutoModelVLLM.__new__(AutoModelVLLM)
+    am.model, am.params = model, params
+    am.num_slots, am.max_model_len, am.tensor_parallel_size = 2, 256, 1
+    am.kwargs = {"tokenizer": Tok(),
+                 "frontend": WavFrontend(fs=16000, lfr_m=1, lfr_n=1,
+                                         n_mels=80, dither=0.0)}
+
+    wav = (rng.standard_normal(4800 * 16) * 0.1).astype(np.float32)  # 4.8 s
+    chunks = list(am.streaming_generate(wav, chunk_ms=400, rollback_chars=2,
+                                        max_new_tokens=4, num_slots=2,
+                                        max_model_len=256))
+    assert len(chunks) == 12 and chunks[-1]["is_final"]
+    stage1 = chunks[:10]
+    best = max((c["text"] for c in stage1 if c["text"].strip()),
+               key=len, default="")
+    prev = best[:-2] if len(best) > 2 else best
+    for c in chunks[10:]:
+        assert c["text"].startswith(prev), (prev, c["text"])
+        if not c["is_final"]:
+            assert c["fixed_text"].startswith(prev) or c["fixed_text"] == prev
