@@ -146,8 +146,8 @@ def bench_whisper(batch: int = 8, new_tokens: int = 48):
     params = cast_floats(model.init_params(jax.random.PRNGKey(0)),
                          jnp.bfloat16)
     rng = np.random.default_rng(0)
-    mel = jnp.asarray(rng.standard_normal((batch, 128, 3000)) * 0.3,
-                      jnp.bfloat16)
+    mel = jnp.asarray(rng.standard_normal((batch, 3000, 128)) * 0.3,
+                      jnp.bfloat16)  # encode() takes time-major (B, T, mels)
     prompt = [50258, 50260, 50360, 50365]  # sot/lang/transcribe/no-ts
     encode = jax.jit(lambda p, m: model.encode(p, m))
 
