@@ -129,7 +129,11 @@ bool AmxMatMulInt8(const float* x, int m, int k, const WTensor& w,
   const int m_pad = (m + 15) & ~15;
   const int64_t jt_n = w.amx_n_pad / 16;
 
-  // dynamic per-row activation quantization: sx[i] = absmax/127
+  // dynamic per-row activation quantization: sx[i] = absmax/127. The scalar
+  // absmax/lrintf loops were the int8 path's hidden cost (the TMUL GEMM runs
+  // ~500 GOP/s, so O(mk) scalar prep showed up at ~15% of wall) — both
+  // passes are vectorized below; _mm512_cvtps_epi32 rounds to nearest even,
+  // identical to lrintf under the default rounding mode.
   static thread_local std::vector<int8_t> xq_buf;
   static thread_local std::vector<float> sx_buf;
   xq_buf.assign(static_cast<size_t>(m_pad) * k_pad, 0);
@@ -137,7 +141,17 @@ bool AmxMatMulInt8(const float* x, int m, int k, const WTensor& w,
   for (int i = 0; i < m; ++i) {
     const float* xi = x + static_cast<int64_t>(i) * k;
     float amax = 0.0f;
-    for (int j = 0; j < k; ++j) {
+    int j = 0;
+#if defined(__AVX512F__)
+    __m512 vmax = _mm512_setzero_ps();
+    const __m512 sign_mask = _mm512_set1_ps(-0.0f);
+    for (; j + 16 <= k; j += 16)
+      vmax = _mm512_max_ps(vmax,
+                           _mm512_andnot_ps(sign_mask,
+                                            _mm512_loadu_ps(xi + j)));
+    amax = _mm512_reduce_max_ps(vmax);
+#endif
+    for (; j < k; ++j) {
       const float a = std::fabs(xi[j]);
       amax = a > amax ? a : amax;
     }
@@ -145,7 +159,17 @@ bool AmxMatMulInt8(const float* x, int m, int k, const WTensor& w,
     if (amax == 0.0f) continue;
     const float inv = 127.0f / amax;
     int8_t* qi = xq_buf.data() + static_cast<size_t>(i) * k_pad;
-    for (int j = 0; j < k; ++j)
+    j = 0;
+#if defined(__AVX512F__)
+    const __m512 vinv = _mm512_set1_ps(inv);
+    for (; j + 16 <= k; j += 16) {
+      const __m512i vi = _mm512_cvtps_epi32(
+          _mm512_mul_ps(_mm512_loadu_ps(xi + j), vinv));
+      _mm_storeu_si128(reinterpret_cast<__m128i*>(qi + j),
+                       _mm512_cvtsepi32_epi8(vi));
+    }
+#endif
+    for (; j < k; ++j)
       qi[j] = static_cast<int8_t>(lrintf(xi[j] * inv));
   }
 
