@@ -257,6 +257,31 @@ inline uint16_t F32ToBf16(float f) {
   return static_cast<uint16_t>(u >> 16);
 }
 
+// vectorized row conversion — the per-call O(mk) conversion is the bf16
+// path's prep cost, same roofline math as the int8 quant passes
+inline void ConvertRowBf16(const float* src, uint16_t* dst, int n) {
+  int j = 0;
+#if defined(__AVX512BF16__)
+  for (; j + 16 <= n; j += 16)
+    _mm256_storeu_si256(
+        reinterpret_cast<__m256i*>(dst + j),
+        reinterpret_cast<__m256i>(
+            _mm512_cvtneps_pbh(_mm512_loadu_ps(src + j))));
+#elif defined(__AVX512F__)
+  const __m512i bias = _mm512_set1_epi32(0x7FFF);
+  const __m512i one = _mm512_set1_epi32(1);
+  for (; j + 16 <= n; j += 16) {
+    __m512i u = _mm512_loadu_si512(src + j);
+    u = _mm512_add_epi32(
+        u, _mm512_add_epi32(bias,
+                            _mm512_and_si512(_mm512_srli_epi32(u, 16), one)));
+    _mm256_storeu_si256(reinterpret_cast<__m256i*>(dst + j),
+                        _mm512_cvtepi32_epi16(_mm512_srli_epi32(u, 16)));
+  }
+#endif
+  for (; j < n; ++j) dst[j] = F32ToBf16(src[j]);
+}
+
 bool DetectAmxBf16() {
   // opt-in: bf16 weights perturb logits ~0.5%, past the engines' default
   // 1e-4 parity budget — production deployments turn it on explicitly
@@ -383,7 +408,7 @@ bool AmxMatMulBf16(const float* x, int m, int k, const WTensor& w,
   for (int i = 0; i < m; ++i) {
     const float* xi = x + static_cast<int64_t>(i) * k;
     uint16_t* bi = xb_buf.data() + static_cast<size_t>(i) * k_pad;
-    for (int j = 0; j < k; ++j) bi[j] = F32ToBf16(xi[j]);
+    ConvertRowBf16(xi, bi, k);
   }
   Bf16TileLoop(xb_buf.data(), w.amx_pack.data(), m, m_pad, k_pad, n, jt_n,
                kb_n, bias, y, static_cast<int64_t>(m) * k * n);
@@ -424,7 +449,7 @@ bool AmxGemmBf16Dynamic(const float* x, int m, int k, const float* w, int n,
   for (int i = 0; i < m; ++i) {
     const float* xi = x + static_cast<int64_t>(i) * k;
     uint16_t* bi = xb_buf.data() + static_cast<size_t>(i) * k_pad;
-    for (int j = 0; j < k; ++j) bi[j] = F32ToBf16(xi[j]);
+    ConvertRowBf16(xi, bi, k);
   }
   Bf16TileLoop(xb_buf.data(), pack_buf.data(), m, m_pad, k_pad, n, jt_n,
                kb_n, bias, y, static_cast<int64_t>(m) * k * n);
