@@ -195,3 +195,25 @@ def test_grpc_sequential_rpcs_share_connection(grpc_server):
         resp = [decode_response(r) for r in stub(iter(reqs), timeout=60)]
         assert len(resp) == 1 and resp[0]["is_final"]
     channel.close()
+
+
+def test_grpc_python_client_sdk(grpc_server):
+    """The bundled python client (runtime/clients/python) round-trips against
+    the native server: partial callback fires for online mode, transcribe()
+    returns the two_pass final."""
+    import sys
+    sys.path.insert(0, str(
+        __import__("pathlib").Path(__file__).resolve().parents[1]
+        / "runtime" / "clients" / "python"))
+    try:
+        from funasr_tpu_grpc_client import GrpcAsrClient
+    finally:
+        sys.path.pop(0)
+
+    client = GrpcAsrClient("127.0.0.1", grpc_server)
+    partials = []
+    text = client.transcribe(_pcm(1.5, seed=5), mode="2pass",
+                             on_partial=lambda t, f: partials.append(t))
+    assert isinstance(text, str) and text != ""
+    # offline mode too
+    assert client.transcribe(_pcm(0.8, seed=6), mode="offline") != ""
