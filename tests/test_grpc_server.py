@@ -217,3 +217,28 @@ def test_grpc_python_client_sdk(grpc_server):
     assert isinstance(text, str) and text != ""
     # offline mode too
     assert client.transcribe(_pcm(0.8, seed=6), mode="offline") != ""
+
+
+def test_grpc_concurrent_rpcs_one_connection(grpc_server):
+    """Two RPCs multiplexed concurrently on ONE HTTP/2 connection: the server
+    keeps per-stream state keyed by stream id, so interleaved DATA frames from
+    both streams decode independently."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    channel = grpc.insecure_channel(f"127.0.0.1:{grpc_server}")
+    stub = channel.stream_stream(
+        "/paraformer.ASR/Recognize",
+        request_serializer=lambda b: b,
+        response_deserializer=lambda b: b)
+
+    def run(seed):
+        pcm = _pcm(0.8, seed=seed)
+        reqs = [encode_request(0, pcm[:8000], False),
+                encode_request(0, pcm[8000:], True)]
+        return [decode_response(r) for r in stub(iter(reqs), timeout=120)]
+
+    with ThreadPoolExecutor(2) as ex:
+        a, b = ex.map(run, (7, 8))
+    assert len(a) == 1 and a[0]["is_final"] and a[0]["text"] != ""
+    assert len(b) == 1 and b[0]["is_final"] and b[0]["text"] != ""
+    channel.close()
