@@ -32,6 +32,7 @@
 #include <sys/socket.h>
 #include <unistd.h>
 
+#include <algorithm>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -73,10 +74,13 @@ bool GetVarint(const uint8_t* p, size_t n, size_t* pos, uint64_t* v) {
 }
 
 struct AsrRequest {
-  int mode = 2;  // two_pass default, like the reference server
+  // proto3 never serializes enum value 0, so an absent mode field means
+  // offline (enum default) — matching the reference server's wire semantics.
+  int mode = 0;
   int sampling_rate = 16000;
   bool is_final = false;
   bool has_mode = false;
+  bool has_sampling_rate = false;
   std::string audio;
 };
 
@@ -98,12 +102,15 @@ bool ParseRequest(const std::string& buf, AsrRequest* req) {
         req->has_mode = true;
       } else if (field == 3) {
         req->sampling_rate = static_cast<int>(v);
+        req->has_sampling_rate = true;
       } else if (field == 5) {
         req->is_final = v != 0;
       }  // field 2 (wav_format=pcm) and stray varints: ignored
     } else if (wire == 2) {  // length-delimited
       uint64_t len;
-      if (!GetVarint(p, n, &pos, &len) || pos + len > n) return false;
+      // `len > n - pos` cannot wrap (pos <= n), unlike `pos + len > n` which
+      // overflows for a crafted ~2^64 length varint
+      if (!GetVarint(p, n, &pos, &len) || len > n - pos) return false;
       if (field == 6) {
         req->audio.append(buf, pos, len);
       }  // field 4 packed chunk_size: decode cadence is engine-fixed; ignored
@@ -226,11 +233,14 @@ std::string TrailerBlock(int grpc_status, const std::string& message) {
 struct Rpc {
   bool headers_sent = false;
   bool done = false;
-  int mode = 2;  // two_pass until the first request says otherwise
+  bool trailer_pending = false;  // done, but DATA still queued on flow control
+  int mode = 0;  // offline until the first request says otherwise (proto3 default)
   int sampling_rate = 16000;
+  int32_t send_window = 65535;  // peer's per-stream receive window
   std::string grpc_buf;    // partially received length-prefixed messages
   std::string audio_all;   // full utterance for the offline/two_pass pass
   std::string online_acc;  // concatenated online partials (final online text)
+  std::string pending;     // framed DATA bytes waiting on flow-control credit
   FUNASR_STREAM stream = nullptr;
 
   ~Rpc() {
@@ -272,7 +282,29 @@ class Connection {
     switch (type) {
       case kFrameSettings:
         if (!(flags & kFlagAck)) {
-          return SendAll(fd_, Frame(kFrameSettings, kFlagAck, 0, ""));
+          // SETTINGS_INITIAL_WINDOW_SIZE (id 4) re-bases every stream's send
+          // window by the delta (RFC 7540 §6.9.2); connection window unaffected.
+          for (size_t off = 0; off + 6 <= payload.size(); off += 6) {
+            const uint16_t id =
+                (static_cast<uint16_t>(static_cast<uint8_t>(payload[off])) << 8) |
+                static_cast<uint8_t>(payload[off + 1]);
+            if (id == 4) {
+              const uint32_t v =
+                  (static_cast<uint32_t>(static_cast<uint8_t>(payload[off + 2])) << 24) |
+                  (static_cast<uint32_t>(static_cast<uint8_t>(payload[off + 3])) << 16) |
+                  (static_cast<uint32_t>(static_cast<uint8_t>(payload[off + 4])) << 8) |
+                  static_cast<uint8_t>(payload[off + 5]);
+              const int64_t delta =
+                  static_cast<int64_t>(v) - initial_stream_window_;
+              initial_stream_window_ = static_cast<int32_t>(v);
+              for (auto& kv : rpcs_) {
+                kv.second->send_window =
+                    static_cast<int32_t>(kv.second->send_window + delta);
+              }
+            }
+          }
+          if (!SendAll(fd_, Frame(kFrameSettings, kFlagAck, 0, ""))) return false;
+          return FlushAll();
         }
         return true;
       case kFramePing:
@@ -285,10 +317,28 @@ class Connection {
         // The client's HPACK block is not decoded (nothing in it changes the
         // route), so its dynamic-table state never needs tracking.
         rpcs_[sid] = std::make_unique<Rpc>();
+        rpcs_[sid]->send_window = initial_stream_window_;
         if (flags & kFlagEndStream) FinishRpc(sid);
         return true;
       }
       case kFrameData: {
+        // Credit the CONNECTION window for every DATA payload received — even
+        // on unknown/closed streams (FinishRpc erases the RPC before the
+        // client half-closes; its trailing audio must not drain the window).
+        if (!payload.empty()) {
+          const uint32_t inc = static_cast<uint32_t>(payload.size());
+          std::string upd;
+          upd.push_back(static_cast<char>((inc >> 24) & 0x7f));
+          upd.push_back(static_cast<char>((inc >> 16) & 0xff));
+          upd.push_back(static_cast<char>((inc >> 8) & 0xff));
+          upd.push_back(static_cast<char>(inc & 0xff));
+          if (!SendAll(fd_, Frame(kFrameWindowUpdate, 0, 0, upd))) return false;
+          auto live = rpcs_.find(sid);
+          if (live != rpcs_.end() &&
+              !SendAll(fd_, Frame(kFrameWindowUpdate, 0, sid, upd))) {
+            return false;
+          }
+        }
         auto it = rpcs_.find(sid);
         if (it == rpcs_.end()) return true;  // unknown stream: drop
         size_t off = 0, end = payload.size();
@@ -301,36 +351,46 @@ class Connection {
         if (off < end) {
           it->second->grpc_buf.append(payload, off, end - off);
         }
-        // Keep the client's flow-control windows open as we consume.
-        if (!payload.empty()) {
-          const uint32_t inc = static_cast<uint32_t>(payload.size());
-          std::string upd;
-          upd.push_back(static_cast<char>((inc >> 24) & 0x7f));
-          upd.push_back(static_cast<char>((inc >> 16) & 0xff));
-          upd.push_back(static_cast<char>((inc >> 8) & 0xff));
-          upd.push_back(static_cast<char>(inc & 0xff));
-          if (!SendAll(fd_, Frame(kFrameWindowUpdate, 0, 0, upd)) ||
-              !SendAll(fd_, Frame(kFrameWindowUpdate, 0, sid, upd))) {
-            return false;
-          }
-        }
-        PumpMessages(sid, it->second.get());
+        PumpMessages(sid);
         if (flags & kFlagEndStream) FinishRpc(sid);
         return true;
+      }
+      case kFrameWindowUpdate: {
+        if (payload.size() < 4) return true;
+        const uint32_t inc =
+            ((static_cast<uint32_t>(static_cast<uint8_t>(payload[0])) & 0x7f) << 24) |
+            (static_cast<uint32_t>(static_cast<uint8_t>(payload[1])) << 16) |
+            (static_cast<uint32_t>(static_cast<uint8_t>(payload[2])) << 8) |
+            static_cast<uint8_t>(payload[3]);
+        if (sid == 0) {
+          conn_send_window_ += static_cast<int64_t>(inc);
+        } else {
+          auto it = rpcs_.find(sid);
+          if (it != rpcs_.end()) {
+            it->second->send_window =
+                static_cast<int32_t>(it->second->send_window + inc);
+          }
+        }
+        return FlushAll();
       }
       case kFrameRstStream:
         rpcs_.erase(sid);
         return true;
       case kFrameGoaway:
         return false;
-      default:  // PRIORITY / WINDOW_UPDATE / CONTINUATION / unknown: ignore
+      default:  // PRIORITY / CONTINUATION / unknown: ignore
         return true;
     }
   }
 
   // Drain complete length-prefixed gRPC messages from the stream buffer.
-  void PumpMessages(uint32_t sid, Rpc* rpc) {
-    while (!rpc->done && rpc->grpc_buf.size() >= 5) {
+  // Re-finds the RPC each iteration: HandleRequest can finish (and erase) it.
+  void PumpMessages(uint32_t sid) {
+    while (true) {
+      auto it = rpcs_.find(sid);
+      if (it == rpcs_.end() || it->second->done) return;
+      Rpc* rpc = it->second.get();
+      if (rpc->grpc_buf.size() < 5) return;
       const uint8_t* p = reinterpret_cast<const uint8_t*>(rpc->grpc_buf.data());
       const uint32_t mlen = (static_cast<uint32_t>(p[1]) << 24) |
                             (static_cast<uint32_t>(p[2]) << 16) |
@@ -346,7 +406,10 @@ class Connection {
 
   void HandleRequest(uint32_t sid, Rpc* rpc, const AsrRequest& req) {
     if (req.has_mode) rpc->mode = req.mode;
-    rpc->sampling_rate = req.sampling_rate;
+    // Stock clients send sampling_rate only in the first packet (and proto3
+    // omits absent fields) — latch it only when actually present, or a later
+    // packet would silently reset a non-16k RPC to the 16000 default.
+    if (req.has_sampling_rate) rpc->sampling_rate = req.sampling_rate;
     if (!req.audio.empty()) {
       if (rpc->mode != 1) rpc->audio_all += req.audio;  // offline / two_pass
       if (rpc->mode != 0) {                             // online / two_pass
@@ -382,6 +445,7 @@ class Connection {
     if (it == rpcs_.end() || it->second->done) return;
     Rpc* rpc = it->second.get();
     rpc->done = true;
+    rpc->trailer_pending = true;
     if (rpc->stream != nullptr) {  // flush the online tail
       FUNASR_RESULT r =
           FunASRStreamInfer(rpc->stream, nullptr, 0, 1, rpc->sampling_rate);
@@ -401,6 +465,13 @@ class Connection {
       SendMessage(sid, rpc, EncodeResponse(rpc->mode == 0 ? 0 : 2, text, true));
     }
     EnsureHeaders(sid, rpc);  // header-only RPCs still need :status 200
+    MaybeTrailer(sid, rpc);   // trailer waits for queued DATA to drain
+  }
+
+  // Send the closing trailer once all flow-controlled DATA has been flushed,
+  // then drop the RPC. Called from FinishRpc and after window credits.
+  void MaybeTrailer(uint32_t sid, Rpc* rpc) {
+    if (!rpc->trailer_pending || !rpc->pending.empty()) return;
     SendAll(fd_, Frame(kFrameHeaders, kFlagEndHeaders | kFlagEndStream, sid,
                        TrailerBlock(0, "")));
     rpcs_.erase(sid);
@@ -423,11 +494,48 @@ class Connection {
     msg.push_back(static_cast<char>((n >> 8) & 0xff));
     msg.push_back(static_cast<char>(n & 0xff));
     msg += proto;
-    SendAll(fd_, Frame(kFrameData, 0, sid, msg));
+    // DATA is flow-controlled: queue and send only what the peer's windows
+    // allow, or a slow reader would see FLOW_CONTROL_ERROR on long streams.
+    rpc->pending += msg;
+    TryFlush(sid, rpc);
+  }
+
+  // Send as much queued DATA as the connection + stream windows permit.
+  bool TryFlush(uint32_t sid, Rpc* rpc) {
+    while (!rpc->pending.empty() && conn_send_window_ > 0 &&
+           rpc->send_window > 0) {
+      size_t n = rpc->pending.size();
+      n = std::min(n, static_cast<size_t>(conn_send_window_));
+      n = std::min(n, static_cast<size_t>(rpc->send_window));
+      n = std::min(n, static_cast<size_t>(16384));  // default max frame size
+      if (!SendAll(fd_, Frame(kFrameData, 0, sid, rpc->pending.substr(0, n))))
+        return false;
+      rpc->pending.erase(0, n);
+      conn_send_window_ -= static_cast<int64_t>(n);
+      rpc->send_window -= static_cast<int32_t>(n);
+    }
+    return true;
+  }
+
+  // Flush every stream with queued DATA after a window credit; release any
+  // finished RPC whose queue just drained.
+  bool FlushAll() {
+    std::vector<uint32_t> sids;
+    sids.reserve(rpcs_.size());
+    for (auto& kv : rpcs_) sids.push_back(kv.first);
+    for (uint32_t sid : sids) {
+      auto it = rpcs_.find(sid);
+      if (it == rpcs_.end()) continue;
+      if (!TryFlush(sid, it->second.get())) return false;
+      MaybeTrailer(sid, it->second.get());
+    }
+    return true;
   }
 
   int fd_;
   FUNASR_HANDLE handle_;
+  int64_t conn_send_window_ = 65535;    // peer's connection receive window
+  int32_t initial_stream_window_ = 65535;
   std::map<uint32_t, std::unique_ptr<Rpc>> rpcs_;
 };
 
