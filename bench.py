@@ -52,6 +52,61 @@ import numpy as np
 
 BASELINE_RTFX = 120.0  # reference Paraformer-large GPU (H100) RTFx
 
+PROD_CONF = dict(
+    input_size=560, vocab_size=8404,
+    encoder_conf=dict(output_size=512, attention_heads=4, linear_units=2048,
+                      num_blocks=50, kernel_size=11, sanm_shfit=0,
+                      dropout_rate=0.0),
+    decoder_conf=dict(attention_heads=16, linear_units=2048, num_blocks=16,
+                      att_layer_num=16, kernel_size=11, sanm_shfit=0),
+    predictor_conf=dict(idim=512, l_order=1, r_order=1, tail_threshold=0.45),
+    sos=1, eos=2, predictor_bias=1)
+
+
+def main_automodel():
+    """RTFx through the PUBLIC path — ``AutoModel.generate()`` end to end
+    (waveform list -> frontend -> bucketed jit decode -> detokenize), the same
+    route a user of the reference's production path takes
+    (``funasr/auto/auto_model.py:683-838``). Proves the public API runs the
+    same compiled-program regime as the raw pipeline below."""
+    from funasr_tpu.auto.auto_model import AutoModel
+
+    batch, secs, fs = int(_os.environ.get("BENCH_BATCH", 32)), 15.0, 16000
+    n = int(secs * fs)
+    token_list = (["<blank>", "<s>", "</s>"]
+                  + [chr(0x4E00 + i) for i in range(8400)] + ["<unk>"])
+    am = AutoModel(
+        model="Paraformer", model_conf={}, **PROD_CONF,
+        frontend="WavFrontend",
+        frontend_conf=dict(fs=fs, n_mels=80, lfr_m=7, lfr_n=6, cmvn_file=None,
+                           dither=0.0),
+        tokenizer="CharTokenizer", tokenizer_conf=dict(token_list=token_list),
+        bf16=True)
+
+    rng = np.random.default_rng(0)
+    waves = [np.asarray(rng.standard_normal(n) * 0.1, np.float32)
+             for _ in range(batch)]
+    keys = [f"utt{i}" for i in range(batch)]
+
+    res = am.generate(input=waves, key=keys, batch_size=batch)  # warm/compile
+    assert len(res) == batch
+
+    iters = 10
+    best_dt = float("inf")
+    for _ in range(6):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            res = am.generate(input=waves, key=keys, batch_size=batch)
+        best_dt = min(best_dt, time.perf_counter() - t0)
+
+    rtfx = batch * secs * iters / best_dt
+    print(json.dumps({
+        "metric": "paraformer_large_automodel_rtfx_1chip",
+        "value": round(rtfx, 1),
+        "unit": "x_realtime",
+        "vs_baseline": round(rtfx / BASELINE_RTFX, 2),
+    }))
+
 
 def main():
     from funasr_tpu.core.module import cast_floats
@@ -64,15 +119,7 @@ def main():
     fs = 16000
     n = int(secs * fs)
 
-    model = Paraformer(
-        input_size=560, vocab_size=8404,
-        encoder_conf=dict(output_size=512, attention_heads=4, linear_units=2048,
-                          num_blocks=50, kernel_size=11, sanm_shfit=0,
-                          dropout_rate=0.0),
-        decoder_conf=dict(attention_heads=16, linear_units=2048, num_blocks=16,
-                          att_layer_num=16, kernel_size=11, sanm_shfit=0),
-        predictor_conf=dict(idim=512, l_order=1, r_order=1, tail_threshold=0.45),
-        sos=1, eos=2, predictor_bias=1)
+    model = Paraformer(**PROD_CONF)
     params = cast_floats(model.init_params(jax.random.PRNGKey(0)), jnp.bfloat16)
 
     rng = np.random.default_rng(0)
@@ -125,4 +172,8 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+    if "--via-automodel" in sys.argv:
+        main_automodel()
+    else:
+        main()

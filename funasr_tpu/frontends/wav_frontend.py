@@ -81,8 +81,17 @@ class WavFrontend:
     # host entry
     # ------------------------------------------------------------------
 
-    def extract(self, waveforms: List[np.ndarray]):
-        """list of float32 waveforms -> (feats (B, T, D) fp32 np, lens (B,) int32)."""
+    # models whose decode path buckets (B, T) itself can take the features as
+    # device arrays straight from the fbank program — no host round trip
+    supports_device_extract = True
+
+    def extract(self, waveforms: List[np.ndarray], device: bool = False):
+        """list of float32 waveforms -> (feats (B, T, D), lens (B,) int32).
+
+        ``device=False``: numpy, trimmed to the batch max length (host callers).
+        ``device=True``: jax arrays left at the waveform-bucket frame count —
+        the downstream jit program pads to its own (B, T) bucket on device.
+        """
         b = len(waveforms)
         maxn = max(max(int(w.shape[0]) for w in waveforms), self.frame_length)
         n_bucket = bucket_length(maxn, minimum=self.fs // 4, multiple=self.frame_shift)
@@ -95,6 +104,8 @@ class WavFrontend:
             batch[i, :n] = w
             lens[i] = max(n, self.frame_length)
         feats, flens = self._jit_pipeline(batch, jnp.asarray(lens))
+        if device:
+            return feats, flens
         feats = np.asarray(feats)
         flens = np.asarray(flens)
         t = int(flens.max()) if len(flens) else 0

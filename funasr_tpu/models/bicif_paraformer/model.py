@@ -9,8 +9,10 @@ upsample head) feeds ``ts_prediction_lfr6_standard`` (upsample_rate=3).
 from __future__ import annotations
 
 import time
+from functools import partial
 from typing import Dict, List, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -21,6 +23,12 @@ from funasr_tpu.models.paraformer.model import Paraformer
 from funasr_tpu.register import tables
 from funasr_tpu.utils import postprocess_utils
 from funasr_tpu.utils.timestamp_tools import ts_prediction_lfr6_standard
+
+
+@partial(jax.jit, static_argnames=("self", "max_tokens"))
+def _infer_ts_program(self, params, speech, speech_lengths, max_tokens):
+    """Jit cache for the decode+timestamp program (one compile per bucket)."""
+    return self.infer_jit_timestamp(params, speech, speech_lengths, max_tokens)
 
 
 @tables.register("model_classes", "BiCifParaformer")
@@ -46,14 +54,27 @@ class BiCifParaformer(Paraformer):
 
     def infer_jit_timestamp(self, params, speech, speech_lengths,
                             max_tokens: Optional[int] = None):
-        yseq, token_lens, score, alphas, peaks = self.infer_jit(
+        (yseq, token_lens, score, alphas, peaks,
+         encoder_out, encoder_out_lens) = self.infer_core(
             params, speech, speech_lengths, max_tokens)
-        encoder_out, encoder_out_lens = self.encode(params, speech, speech_lengths)
         mask = make_pad_mask(encoder_out_lens, encoder_out.shape[1])
         _, _, us_alphas, us_peaks = self.predictor.get_upsample_timestamp(
             params["predictor"], encoder_out, mask,
             token_num=token_lens.astype(jnp.float32))
         return yseq, token_lens, score, us_alphas, us_peaks, encoder_out_lens
+
+    def infer_timestamp_bucketed(self, params, speech, speech_lengths):
+        """Bucketed + jit-cached timestamp decode (public-path counterpart of
+        ``Paraformer.infer_bucketed``), with the same saturation fallback."""
+        from funasr_tpu.utils.bucket import pad_feats_bucketed
+
+        sp, ln, b = pad_feats_bucketed(speech, speech_lengths)
+        mt = self._max_tokens_for(sp.shape[1])
+        out = _infer_ts_program(self, params, sp, ln, mt)
+        token_lens = np.asarray(out[1])
+        if mt <= sp.shape[1] and (token_lens[:b] >= mt).any():
+            out = _infer_ts_program(self, params, sp, ln, sp.shape[1] + 1)
+        return tuple(np.asarray(x)[:b] for x in out)
 
     def inference(self, params, data_in, data_lengths=None, key: Optional[List] = None,
                   tokenizer=None, frontend=None, **kwargs):
@@ -67,19 +88,14 @@ class BiCifParaformer(Paraformer):
             data_type=kwargs.get("data_type", "sound"))
         meta["load_data"] = f"{time.perf_counter() - t0:0.3f}"
         t1 = time.perf_counter()
-        speech, speech_lengths = extract_fbank(audio_list, frontend=frontend)
+        speech, speech_lengths = extract_fbank(audio_list, frontend=frontend,
+                                               device=True)
         meta["extract_feat"] = f"{time.perf_counter() - t1:0.3f}"
         meta["batch_data_time"] = (float(np.sum(speech_lengths))
                                    * frontend.frame_shift_ms * frontend.lfr_n / 1000)
 
         yseq, token_lens, score, us_alphas, us_peaks, enc_lens = \
-            self.infer_jit_timestamp(params, jnp.asarray(speech),
-                                     jnp.asarray(speech_lengths))
-        yseq = np.asarray(yseq)
-        token_lens = np.asarray(token_lens)
-        us_alphas = np.asarray(us_alphas)
-        us_peaks = np.asarray(us_peaks)
-        enc_lens = np.asarray(enc_lens)
+            self.infer_timestamp_bucketed(params, speech, speech_lengths)
         up = self.predictor.upsample_times
 
         results = []

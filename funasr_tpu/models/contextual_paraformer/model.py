@@ -126,7 +126,8 @@ class ContextualParaformer(Paraformer):
         audio_list = load_audio_text_image_video(
             data_in, fs=frontend.fs, audio_fs=kwargs.get("fs", 16000),
             data_type=kwargs.get("data_type", "sound"))
-        speech, speech_lengths = extract_fbank(audio_list, frontend=frontend)
+        speech, speech_lengths = extract_fbank(audio_list, frontend=frontend,
+                                               device=True)
         meta["batch_data_time"] = (float(np.sum(speech_lengths))
                                    * frontend.frame_shift_ms * frontend.lfr_n / 1000)
 
@@ -145,13 +146,14 @@ class ContextualParaformer(Paraformer):
                                           jnp.asarray(lens))
             contextual_info = jnp.tile(selected[None], (speech.shape[0], 1, 1))
 
-        speech = jnp.asarray(speech)
-        speech_lengths = jnp.asarray(speech_lengths)
-        encoder_out, encoder_out_lens = self.encode(params, speech, speech_lengths)
-        pre_acoustic_embeds, pre_token_length, alphas, peaks = self.calc_predictor(
-            params, encoder_out, encoder_out_lens)
-        token_lens = jnp.clip(jnp.round(pre_token_length).astype(jnp.int32), 0,
-                              pre_acoustic_embeds.shape[1])
+        # jit-cached, bucketed encoder+CIF front half; the contextual decode
+        # stays eager (hotword memory shape varies per call)
+        (encoder_out, encoder_out_lens, pre_acoustic_embeds, token_lens,
+         alphas, peaks, b_real) = self.encode_predict_bucketed(
+            params, speech, speech_lengths)
+        if contextual_info is not None and contextual_info.shape[0] != encoder_out.shape[0]:
+            contextual_info = jnp.tile(contextual_info[:1],
+                                       (encoder_out.shape[0], 1, 1))
         logits, _ = self.decoder(params["decoder"], encoder_out, encoder_out_lens,
                                  pre_acoustic_embeds, token_lens,
                                  contextual_info=contextual_info,
@@ -163,7 +165,7 @@ class ContextualParaformer(Paraformer):
         token_lens_np = np.asarray(token_lens)
 
         results = []
-        b = yseq.shape[0]
+        b = b_real
         if key is None:
             key = [f"rand_key_{i}" for i in range(b)]
         for i in range(b):

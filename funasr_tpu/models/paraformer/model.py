@@ -13,6 +13,7 @@ returns padded token ids + lengths; host code does only tokenization/postprocess
 from __future__ import annotations
 
 import logging
+from functools import partial
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -24,6 +25,28 @@ from funasr_tpu.losses.label_smoothing_loss import label_smoothing_loss, th_accu
 from funasr_tpu.models.ctc.ctc import CTC
 from funasr_tpu.models.paraformer.cif_predictor import mae_token_loss
 from funasr_tpu.register import tables
+from funasr_tpu.utils.bucket import pad_feats_bucketed
+
+
+@partial(jax.jit, static_argnames=("self", "max_tokens"))
+def _infer_program(self, params, speech, speech_lengths, max_tokens):
+    """Module-level jit cache for the public offline decode path: one compiled
+    program per (model instance, B-bucket, T-bucket, max_tokens) — the same
+    pattern the streaming decoder uses (``decoder.py:21``)."""
+    return self.infer_jit(params, speech, speech_lengths, max_tokens)
+
+
+@partial(jax.jit, static_argnames=("self", "max_tokens"))
+def _encode_predict_program(self, params, speech, speech_lengths, max_tokens):
+    """Jit cache for encoder+CIF only — the front half used by hotword variants
+    (SeACo/Contextual) whose decode stage interleaves host-side logic."""
+    encoder_out, encoder_out_lens = self.encode(params, speech, speech_lengths)
+    pre_acoustic_embeds, pre_token_length, alphas, peaks = self.calc_predictor(
+        params, encoder_out, encoder_out_lens, max_tokens)
+    token_lens = jnp.clip(jnp.round(pre_token_length).astype(jnp.int32), 0,
+                          pre_acoustic_embeds.shape[1])
+    return (encoder_out, encoder_out_lens, pre_acoustic_embeds, token_lens,
+            alphas, peaks)
 
 
 def add_sos_eos_out(ys_pad, ys_lens, eos: int, ignore_id: int = -1):
@@ -248,10 +271,10 @@ class Paraformer:
                   if self.length_normalized_loss else batch_size)
         return loss, stats, weight
 
-    def infer_jit(self, params, speech, speech_lengths,
-                  max_tokens: Optional[int] = None):
-        """Batched greedy decode. Returns (token_ids (B,K), token_lens (B,),
-        am_score_sums (B,), alphas (B,T+1), peaks (B,T+1)) — all static shapes."""
+    def infer_core(self, params, speech, speech_lengths,
+                   max_tokens: Optional[int] = None):
+        """Batched greedy decode, returning the encoder output too so subclasses
+        (BiCif timestamps, SeACo) can extend the program without re-encoding."""
         encoder_out, encoder_out_lens = self.encode(params, speech, speech_lengths)
         pre_acoustic_embeds, pre_token_length, alphas, peaks = self.calc_predictor(
             params, encoder_out, encoder_out_lens, max_tokens)
@@ -264,11 +287,59 @@ class Paraformer:
         tok_valid = make_pad_mask(token_lens, k)
         score = jnp.sum(jnp.max(decoder_out, -1) * tok_valid, -1)
         yseq = jnp.where(tok_valid, yseq, self.blank_id)
-        return yseq, token_lens, score, alphas, peaks
+        return (yseq, token_lens, score, alphas, peaks,
+                encoder_out, encoder_out_lens)
+
+    def infer_jit(self, params, speech, speech_lengths,
+                  max_tokens: Optional[int] = None):
+        """Batched greedy decode. Returns (token_ids (B,K), token_lens (B,),
+        am_score_sums (B,), alphas (B,T+1), peaks (B,T+1)) — all static shapes."""
+        return self.infer_core(params, speech, speech_lengths, max_tokens)[:5]
 
     # ------------------------------------------------------------------
     # host orchestration (AutoModel contract)
     # ------------------------------------------------------------------
+
+    # static decoder token budget per T-bucket: CIF fires ~T/6 tokens on real
+    # speech (LFR6 frames are 60 ms; speaking rate < ~8 tokens/s), so T/2+16
+    # is a ~3x margin that still halves decoder cross-attention work vs T+1
+    MAX_TOKENS_RATIO = 0.5
+
+    def _max_tokens_for(self, t_bucket: int) -> int:
+        return min(int(t_bucket * self.MAX_TOKENS_RATIO) + 16, t_bucket + 1)
+
+    def infer_bucketed(self, params, speech, speech_lengths):
+        """Public decode path: pad (B, T) to bucket grid, run the cached jitted
+        program, slice back to the real batch. If any utterance saturates the
+        static token budget (pathological audio), rerun with the full T+1
+        budget so the transcript is never truncated.
+
+        Returns the ``infer_jit`` tuple as numpy arrays sliced to the real B.
+        """
+        sp, ln, b = pad_feats_bucketed(speech, speech_lengths)
+        mt = self._max_tokens_for(sp.shape[1])
+        out = _infer_program(self, params, sp, ln, mt)
+        token_lens = np.asarray(out[1])
+        if mt <= sp.shape[1] and (token_lens[:b] >= mt).any():
+            logging.warning("CIF token count hit the %d-token bucket budget; "
+                            "re-decoding with the full budget", mt)
+            out = _infer_program(self, params, sp, ln, sp.shape[1] + 1)
+        return tuple(np.asarray(x)[:b] for x in out)
+
+    def encode_predict_bucketed(self, params, speech, speech_lengths):
+        """Bucketed + jit-cached encoder+CIF front half. Returns DEVICE arrays
+        (encoder_out, encoder_out_lens, pre_acoustic_embeds, token_lens, alphas,
+        peaks) still on the padded batch, plus the real batch size — downstream
+        eager stages keep working on-device and slice at the end."""
+        sp, ln, b = pad_feats_bucketed(speech, speech_lengths)
+        mt = self._max_tokens_for(sp.shape[1])
+        out = _encode_predict_program(self, params, sp, ln, mt)
+        token_lens = np.asarray(out[3])
+        if mt <= sp.shape[1] and (token_lens[:b] >= mt).any():
+            logging.warning("CIF token count hit the %d-token bucket budget; "
+                            "re-encoding with the full budget", mt)
+            out = _encode_predict_program(self, params, sp, ln, sp.shape[1] + 1)
+        return out + (b,)
 
     def inference(self, params, data_in, data_lengths=None, key=None, tokenizer=None,
                   frontend=None, **kwargs):
@@ -288,17 +359,16 @@ class Paraformer:
         t1 = time.perf_counter()
         meta_data["load_data"] = f"{t1 - t0:0.3f}"
         speech, speech_lengths = extract_fbank(
-            audio_list, data_type=kwargs.get("data_type", "sound"), frontend=frontend)
+            audio_list, data_type=kwargs.get("data_type", "sound"),
+            frontend=frontend, device=True)
         t2 = time.perf_counter()
         meta_data["extract_feat"] = f"{t2 - t1:0.3f}"
         meta_data["batch_data_time"] = (
             float(np.sum(speech_lengths)) * frontend.frame_shift_ms
             * frontend.lfr_n / 1000.0)
 
-        yseq, token_lens, score, alphas, peaks = self.infer_jit(
-            params, jnp.asarray(speech), jnp.asarray(speech_lengths))
-        yseq = np.asarray(yseq)
-        token_lens = np.asarray(token_lens)
+        yseq, token_lens, score, alphas, peaks = self.infer_bucketed(
+            params, speech, speech_lengths)
 
         results = []
         b = yseq.shape[0]

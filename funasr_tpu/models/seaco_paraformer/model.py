@@ -149,7 +149,8 @@ class SeacoParaformer(BiCifParaformer):
             data_type=kwargs.get("data_type", "sound"))
         meta["load_data"] = f"{time.perf_counter() - t0:0.3f}"
         t1 = time.perf_counter()
-        speech, speech_lengths = extract_fbank(audio_list, frontend=frontend)
+        speech, speech_lengths = extract_fbank(audio_list, frontend=frontend,
+                                               device=True)
         meta["extract_feat"] = f"{time.perf_counter() - t1:0.3f}"
         meta["batch_data_time"] = (float(np.sum(speech_lengths))
                                    * frontend.frame_shift_ms * frontend.lfr_n / 1000)
@@ -157,13 +158,11 @@ class SeacoParaformer(BiCifParaformer):
         hw_list = self._proc_hotword(kwargs.get("hotword"), tokenizer) \
             if tokenizer is not None else None
 
-        speech = jnp.asarray(speech)
-        speech_lengths = jnp.asarray(speech_lengths)
-        encoder_out, encoder_out_lens = self.encode(params, speech, speech_lengths)
-        pre_acoustic_embeds, pre_token_length, alphas, peaks = self.calc_predictor(
-            params, encoder_out, encoder_out_lens)
-        token_lens = jnp.clip(jnp.round(pre_token_length).astype(jnp.int32), 0,
-                              pre_acoustic_embeds.shape[1])
+        # jit-cached, bucketed encoder+CIF front half; the seaco decode stage
+        # stays eager (hotword-list shapes vary and ASF round-trips the host)
+        (encoder_out, encoder_out_lens, pre_acoustic_embeds, token_lens,
+         alphas, peaks, b_real) = self.encode_predict_bucketed(
+            params, speech, speech_lengths)
         merged_pred = self._seaco_decode_with_asf(
             params, encoder_out, encoder_out_lens, pre_acoustic_embeds, token_lens,
             hw_list, nfilter=kwargs.get("nfilter", 50),
@@ -189,7 +188,7 @@ class SeacoParaformer(BiCifParaformer):
         enc_lens = np.asarray(encoder_out_lens)
 
         results = []
-        b = yseq.shape[0]
+        b = b_real
         if key is None:
             key = [f"rand_key_{i}" for i in range(b)]
         for i in range(b):

@@ -11,6 +11,7 @@ greedy CTC decode ``:1013-1028`` with ``<|zh|><|HAPPY|>...`` tags).
 from __future__ import annotations
 
 import time
+from functools import partial
 from typing import Dict, List, Optional
 
 import jax
@@ -78,6 +79,16 @@ class SenseVoiceEncoderSmall:
             x, _ = jax.lax.scan(body, x, params["tp_encoders"])
         x = layer_norm_apply(params["tp_norm"], x)
         return x, ilens
+
+
+@partial(jax.jit, static_argnames=("self", "ban_emo_unk"))
+def _sv_infer_program(self, params, speech, speech_lengths, lid_ids, tn_ids,
+                      ban_emo_unk):
+    """Jit cache for the public CTC decode path (one compile per (B,T) bucket);
+    drops the full log-softmax output so only ids/lens ever leave the device."""
+    yseq, out_lens, _ = self.infer_jit(params, speech, speech_lengths, lid_ids,
+                                       tn_ids, ban_emo_unk=ban_emo_unk)
+    return yseq, out_lens
 
 
 @tables.register("model_classes", "SenseVoiceSmall")
@@ -208,7 +219,8 @@ class SenseVoiceSmall:
             data_type=kwargs.get("data_type", "sound"))
         meta["load_data"] = f"{time.perf_counter() - t0:0.3f}"
         t1 = time.perf_counter()
-        speech, speech_lengths = extract_fbank(audio_list, frontend=frontend)
+        speech, speech_lengths = extract_fbank(audio_list, frontend=frontend,
+                                               device=True)
         meta["extract_feat"] = f"{time.perf_counter() - t1:0.3f}"
         meta["batch_data_time"] = (float(np.sum(speech_lengths))
                                    * frontend.frame_shift_ms * frontend.lfr_n / 1000)
@@ -220,12 +232,15 @@ class SenseVoiceSmall:
         textnorm = kwargs.get("text_norm") or ("withitn" if use_itn else "woitn")
         tn = self.TEXTNORM_DICT[textnorm]
 
-        yseq, out_lens, _ = self.infer_jit(
-            params, jnp.asarray(speech), jnp.asarray(speech_lengths),
-            jnp.full((b,), lid, jnp.int32), jnp.full((b,), tn, jnp.int32),
-            ban_emo_unk=kwargs.get("ban_emo_unk", False))
-        yseq = np.asarray(yseq)
-        out_lens = np.asarray(out_lens)
+        from funasr_tpu.utils.bucket import pad_feats_bucketed
+        sp, ln, b_real = pad_feats_bucketed(speech, speech_lengths)
+        yseq, out_lens = _sv_infer_program(
+            self, params, sp, ln,
+            jnp.full((sp.shape[0],), lid, jnp.int32),
+            jnp.full((sp.shape[0],), tn, jnp.int32),
+            kwargs.get("ban_emo_unk", False))
+        yseq = np.asarray(yseq)[:b_real]
+        out_lens = np.asarray(out_lens)[:b_real]
 
         if key is None:
             key = [f"rand_key_{i}" for i in range(b)]

@@ -212,10 +212,13 @@ def load_audio_text_image_video(data_in, fs: int = 16000, audio_fs: int = 16000,
 
 
 def extract_fbank(audio_list: List[np.ndarray], data_type: str = "sound",
-                  frontend=None, is_final: bool = True, cache=None):
-    """List of waveforms -> (feats (B, T, D) np.float32, lens (B,) np.int32).
+                  frontend=None, is_final: bool = True, cache=None,
+                  device: bool = False):
+    """List of waveforms -> (feats (B, T, D), lens (B,)).
 
     Delegates to the frontend's batched device pipeline (bucketed shapes).
+    ``device=True`` keeps the features on device when the frontend supports it
+    (models with a bucketed jit decode path consume them without a host trip).
     """
     if data_type == "fbank":
         feats = audio_list
@@ -227,4 +230,6 @@ def extract_fbank(audio_list: List[np.ndarray], data_type: str = "sound",
         return out, lens
     if cache is not None:
         return frontend.forward_streaming(audio_list, cache=cache, is_final=is_final)
+    if device and getattr(frontend, "supports_device_extract", False):
+        return frontend.extract(audio_list, device=True)
     return frontend.extract(audio_list)
