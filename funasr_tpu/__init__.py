@@ -55,6 +55,7 @@ _REGISTRABLE_MODULES = [
     "funasr_tpu.models.fsmn_kws.model",
     "funasr_tpu.models.eres2net.model",
     "funasr_tpu.models.whisper.model",
+    "funasr_tpu.models.whisper.encoders",
     "funasr_tpu.models.whisper_lid.model",
     "funasr_tpu.models.transducer.model",
     "funasr_tpu.models.language_model.transformer_lm",

@@ -616,6 +616,47 @@ def convert_openai_whisper(state_dict: Dict[str, Any], model) -> Dict[str, Any]:
     return {"encoder": enc, "decoder": dec}
 
 
+def convert_whisper_tower(view: SD, n_layer: int) -> Dict[str, Any]:
+    """Whisper-style audio tower (reference ``funasr/models/qwen_audio/audio.py:406``
+    QwenAudioEncoder / ``whisper_lid/encoder.py:18`` OpenAIWhisperEncoderWarp):
+    conv1/conv2 + blocks.N.{attn,mlp} + ln_post [+ proj + audio_bos_eos_token]."""
+
+    def mha(prefix):
+        return {"linear_q": view.linear(prefix + ".query"),
+                "linear_k": {"w": view.get(prefix + ".key.weight").T},
+                "linear_v": view.linear(prefix + ".value"),
+                "linear_out": view.linear(prefix + ".out")}
+
+    p: Dict[str, Any] = {
+        "conv1": view.conv1d("conv1"),
+        "conv2": view.conv1d("conv2"),
+        "layers": [],
+        "ln_post": view.norm("ln_post"),
+    }
+    for i in range(n_layer):
+        pre = f"blocks.{i}"
+        p["layers"].append({
+            "self_attn_layer_norm": view.norm(pre + ".attn_ln"),
+            "self_attn": mha(pre + ".attn"),
+            "final_layer_norm": view.norm(pre + ".mlp_ln"),
+            "fc1": view.linear(pre + ".mlp.0"),
+            "fc2": view.linear(pre + ".mlp.2")})
+    if view.has("proj.weight"):
+        p["proj"] = view.linear("proj")
+    if view.has("audio_bos_eos_token.weight"):
+        p["audio_bos_eos_token"] = view.get("audio_bos_eos_token.weight")
+    return p
+
+
+def _convert_audio_encoder(view: SD, encoder) -> Dict[str, Any]:
+    """Dispatch an LLM-ASR audio-encoder sub-dict on the encoder's class."""
+    from funasr_tpu.models.whisper.encoders import (
+        OpenAIWhisperEncoderWarp, QwenAudioEncoder)
+    if isinstance(encoder, (QwenAudioEncoder, OpenAIWhisperEncoderWarp)):
+        return convert_whisper_tower(view, encoder.cfg.n_layer)
+    return convert_sanm_encoder(view, encoder.cfg.num_blocks)
+
+
 def merge_lora_weights(sd: Dict[str, Any]) -> Dict[str, Any]:
     """Fold peft-style LoRA adapters into their base weights and strip the peft
     wrapper prefixes (reference loads LoRA via peft at
@@ -677,8 +718,8 @@ def convert_fun_asr_nano(state_dict: Dict[str, Any], model) -> Dict[str, Any]:
         return p
 
     params: Dict[str, Any] = {
-        "audio_encoder": convert_sanm_encoder(
-            sd.sub("audio_encoder"), model.audio_encoder.cfg.num_blocks),
+        "audio_encoder": _convert_audio_encoder(
+            sd.sub("audio_encoder"), model.audio_encoder),
         "audio_adaptor": adaptor_params(sd.sub("audio_adaptor")),
         "llm": convert_hf_qwen(
             {k[len("llm."):]: v for k, v in sd_raw.items()

@@ -30,12 +30,10 @@ def register_parity_aliases():
         ("FSMNConvert", "FSMN"),
         ("FSMNMT", "FSMN"),
         ("FSMNMTConvert", "FSMN"),
-        # chunk mask handling lives in the SCAMA chunk encoder; the conformer
-        # spelling resolves to the standard conformer (masks via lengths)
-        ("ChunkConformerEncoder", "ConformerEncoder"),
-        # whisper-style audio tower used by Qwen-Audio (same block layout)
-        ("QwenAudioEncoder", "TransformerEncoder"),
-        ("OpenAIWhisperEncoderWarp", "TransformerEncoder"),
+        # NOTE: ChunkConformerEncoder / QwenAudioEncoder /
+        # OpenAIWhisperEncoderWarp are NOT aliases — they have faithful
+        # implementations (models/conformer/encoder.py:202,
+        # models/whisper/encoders.py) registered before this module runs.
     ]:
         _alias("encoder_classes", name, target)
 
