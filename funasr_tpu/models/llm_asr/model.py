@@ -341,11 +341,12 @@ class GLMASR(LLMASR):
                          audio_encoder_conf=enc_conf, input_size=input_size,
                          prompt_template=prompt_template, **kwargs)
 
-    def build_chatml_ids(self, tokenizer, prompt: str):
+    def build_chatml_ids(self, tokenizer, prompt: str, prev_text: str = ""):
         """GLM chat template: [gMASK]<sop><|user|> prompt + audio ...
-        <|assistant|> (the apply_chat_template layout of GLM-edge)."""
+        <|assistant|> (the apply_chat_template layout of GLM-edge).
+        ``prev_text`` is the streaming stage-2 forced continuation prefix."""
         prefix = f"[gMASK]<sop><|user|>\n{prompt}\n<|begin_of_audio|>"
-        suffix = "<|end_of_audio|><|assistant|>\n"
+        suffix = "<|end_of_audio|><|assistant|>\n" + prev_text
         return tokenizer.encode(prefix), tokenizer.encode(suffix)
 
 
@@ -356,10 +357,11 @@ class QwenAudio(LLMASR):
     """Qwen-Audio chat wrapper (reference ``qwen_audio/model.py``): audio encoder is
     whisper-style; ChatML chat prompting."""
 
-    def build_chatml_ids(self, tokenizer, prompt: str):
+    def build_chatml_ids(self, tokenizer, prompt: str, prev_text: str = ""):
         prefix = ("<|im_start|>system\nYou are a helpful assistant.<|im_end|>\n"
                   "<|im_start|>user\nAudio 1:<audio>")
-        suffix = f"</audio>\n{prompt}<|im_end|>\n<|im_start|>assistant\n"
+        suffix = (f"</audio>\n{prompt}<|im_end|>\n<|im_start|>assistant\n"
+                  + prev_text)
         return tokenizer.encode(prefix), tokenizer.encode(suffix)
 
 
