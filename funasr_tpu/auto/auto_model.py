@@ -31,6 +31,27 @@ from funasr_tpu.utils.misc import deep_update
 from funasr_tpu.utils.vad_utils import merge_vad, slice_padding_audio_samples
 
 
+def _join_vad_texts(texts) -> str:
+    """Strip rich tags and join per-VAD-segment texts, inserting a space only
+    when the join boundary is not CJK-to-CJK (reference
+    ``funasr/auto/auto_model.py:56-68``). This surface feeds the punctuation
+    model AND sentence segmentation — CJK segment boundaries therefore form
+    clumped tokens ("丳丱") whose sentence gets one merged timestamp, exactly
+    like the reference pipeline."""
+    import re
+
+    cleaned = [re.sub(r"<\|[^|]*\|>", "", str(t)).strip() for t in texts]
+    cleaned = [t for t in cleaned if t]
+    if not cleaned:
+        return ""
+    joined = cleaned[0]
+    for text in cleaned[1:]:
+        sep = "" if ("㐀" <= joined[-1] <= "鿿"
+                     and "㐀" <= text[0] <= "鿿") else " "
+        joined += sep + text
+    return joined
+
+
 def _rand_key() -> str:
     chars = string.ascii_letters + string.digits
     return "rand_key_" + "".join(random.choice(chars) for _ in range(13))
@@ -431,13 +452,17 @@ class AutoModel:
                 continue
             return_raw_text = kwargs.get("return_raw_text", False)
 
-            # step 3: punctuation
+            # step 3: punctuation — the punc model and sentence segmentation
+            # consume the _join_vad_texts surface (no space at CJK segment
+            # joins), matching reference auto_model.py:1063-1082
             raw_text = None
             punc_array = None
+            punc_input_text = _join_vad_texts(
+                restored[j].get("text", "") for j in range(n))
             if self.punc_model is not None:
                 deep_update(self.punc_kwargs, cfg)
                 raw_text = copy.copy(result["text"])
-                punc_res = self.inference(raw_text, model=self.punc_model,
+                punc_res = self.inference(punc_input_text, model=self.punc_model,
                                           params=self.punc_params,
                                           kwargs=self.punc_kwargs, **cfg)
                 if return_raw_text:
@@ -459,8 +484,8 @@ class AutoModel:
                                             np.asarray(result["spk_embedding"]))
                 if self.spk_mode == "punc_segment" and punc_array is not None:
                     sentence_list = timestamp_sentence(
-                        punc_array, result.get("timestamp", []), raw_text,
-                        return_raw_text=return_raw_text)
+                        punc_array, result.get("timestamp", []),
+                        punc_input_text, return_raw_text=return_raw_text)
                 else:
                     sentence_list = [dict(text=result["text"],
                                           start=result["timestamp"][0][0]
@@ -474,7 +499,7 @@ class AutoModel:
                 from funasr_tpu.utils.timestamp_tools import timestamp_sentence
                 result["sentence_info"] = timestamp_sentence(
                     punc_array, result.get("timestamp", []),
-                    raw_text if raw_text is not None else result["text"],
+                    punc_input_text or result["text"],
                     return_raw_text=return_raw_text)
             result.pop("spk_embedding", None)
 
