@@ -61,10 +61,11 @@ class Normalizer:
             # ordinal/decimal/phone; ref cn_tn.py + en TN grammar set)
             out = _FULL_TN[self.lang](text)
         elif self.lang in ("de", "es", "ru"):
-            import re
-            from funasr_tpu.text.multilingual import TN_FUNCS
-            out = re.sub(r"\d+", lambda m: TN_FUNCS[self.lang](int(m.group(0))),
-                         text)
+            # class-based grammars: time/date/money/measure/percent/decimal/
+            # ordinal/telephone/cardinal (reference
+            # fun_text_processing/text_normalization/{de,es,ru}/taggers/)
+            from funasr_tpu.text.multilingual_tn import TN_CLASS_FUNCS
+            out = TN_CLASS_FUNCS[self.lang](text)
         else:
             import re
             from funasr_tpu.text.en_numbers import ONES, TENS
