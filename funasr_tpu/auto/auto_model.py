@@ -249,15 +249,21 @@ class AutoModel:
         if kwargs.get("bf16", False) or kwargs.get("fp16", False):
             from funasr_tpu.core.module import cast_floats
             params = cast_floats(params, jnp.bfloat16)
-        if quantization and quantization not in ("int8", "w8"):
-            logging.warning("unknown quant=%r (supported: int8); params stay "
-                            "unquantized", quantization)
+        if quantization and quantization not in ("int8", "w8", "w8a8"):
+            logging.warning("unknown quant=%r (supported: int8, w8a8); params "
+                            "stay unquantized", quantization)
         if quantization in ("int8", "w8"):
             # weight-only int8 (ggml-runtime counterpart, ops/quant.py):
             # halves HBM bytes per step — biggest win on memory-bound LLM decode
             from funasr_tpu.ops.quant import quantize_params_int8
             params = quantize_params_int8(params)
             logging.info("quantized linear weights to int8 (weight-only)")
+        elif quantization == "w8a8":
+            # W8A8 dynamic-activation int8: batched offline serving runs the
+            # big encoder/decoder matmuls on the MXU double-rate int8 path
+            from funasr_tpu.ops.quant import quantize_params_int8
+            params = quantize_params_int8(params, mode="w8a8")
+            logging.info("quantized linears to W8A8 dynamic int8 serving mode")
         return model, params, kwargs
 
     # ------------------------------------------------------------------

@@ -48,7 +48,7 @@ def linear_init(rng, d_in: int, d_out: int, bias: bool = True):
 
 
 def linear_apply(p, x, *, dtype=None):
-    if "w_q" in p:  # weight-only int8 (ops/quant.py): dequant folds post-matmul
+    if "w_q" in p or "w_q8" in p:  # int8 layouts (ops/quant.py)
         from funasr_tpu.ops.quant import qlinear
         return qlinear(p, x if dtype is None else x.astype(dtype))
     w = p["w"]

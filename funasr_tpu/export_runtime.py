@@ -234,17 +234,35 @@ def _write_ftr(path: str, meta: dict, flat: dict, quant: str = None):
             is_embed = name.startswith("embed/") or "/embed/" in name
             is_raw_f32 = name.endswith(("fsmn_block/w", "conv_left/w",
                                         "conv_right/w"))
-            do_quant = (quant == "int8" and arr.ndim == 2 and name.endswith("/w")
+            do_quant = (quant in ("int8", "int4") and arr.ndim == 2
+                        and name.endswith("/w")
                         and not is_embed and not is_raw_f32
                         and arr.size >= _QUANT_MIN_SIZE)
-            f.write(struct.pack("<BB", 1 if do_quant else 0, arr.ndim))
+            dtype_flag = 0 if not do_quant else (1 if quant == "int8" else 2)
+            f.write(struct.pack("<BB", dtype_flag, arr.ndim))
             f.write(np.asarray(arr.shape, "<i8").tobytes())
-            if do_quant:
+            if dtype_flag == 1:
                 scales = np.maximum(np.abs(arr).max(axis=0), 1e-12) / 127.0
                 q = np.clip(np.round(arr / scales[None, :]), -127, 127).astype(np.int8)
                 f.write(struct.pack("<q", scales.size))
                 f.write(scales.astype("<f4").tobytes())
                 f.write(q.tobytes())
+            elif dtype_flag == 2:
+                # int4 (ggml-Q4 role): values in [-7, 7], per-output-channel
+                # scale absmax/7; nibble-packed pairs in flat row-major order
+                # (low nibble = even index). The C++ loader expands to int8 in
+                # memory and feeds the same AMX int8 microkernel (ftr.cc).
+                scales = np.maximum(np.abs(arr).max(axis=0), 1e-12) / 7.0
+                q = np.clip(np.round(arr / scales[None, :]), -7, 7).astype(
+                    np.int8).reshape(-1)
+                if q.size % 2:
+                    q = np.concatenate([q, np.zeros((1,), np.int8)])
+                lo = (q[0::2] & 0x0F).astype(np.uint8)
+                hi = (q[1::2] & 0x0F).astype(np.uint8)
+                packed = lo | (hi << np.uint8(4))
+                f.write(struct.pack("<q", scales.size))
+                f.write(scales.astype("<f4").tobytes())
+                f.write(packed.astype(np.uint8).tobytes())
             else:
                 f.write(arr.astype("<f4").tobytes())
     return path
@@ -256,7 +274,9 @@ def export_ftr(model, params, path: str, quant: str = None,
 
     quant="int8": weight-only per-output-channel symmetric int8 for 2D matmul
     kernels (the ggml-Q8 role, reference runtime/llama.cpp/DESIGN.md); norms,
-    biases, convs stay fp32.
+    biases, convs stay fp32. quant="int4": nibble-packed [-7,7] weights
+    (the ggml-Q4 role) — half the int8 file size; the C++ loader expands to
+    int8 in memory so the AMX TMUL path is shared.
     """
     flat = _flatten_params(_unstack_for_ftr(params, model))
     meta = _ftr_meta(model)

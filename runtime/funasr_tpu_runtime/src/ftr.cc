@@ -63,6 +63,31 @@ bool FtrFile::Load(const std::string& path) {
         t.i8.resize(numel);
         ok = ReadExact(f, t.i8.data(), numel);
       }
+    } else if (dtype == 2) {
+      // int4: nibble-packed pairs (low nibble = even flat index), values in
+      // [-7, 7], per-output-channel scale absmax/7. Expand to int8 in memory
+      // so the downstream int8 GEMM / AMX TMUL path is shared unchanged —
+      // the dequant formula (q * scale) is identical, only the value range
+      // narrows (ggml Q4 role; exporter funasr_tpu/export_runtime.py).
+      int64_t n_scales = 0;
+      ok = ReadExact(f, &n_scales, 8);
+      if (ok) {
+        t.scales.resize(n_scales);
+        ok = ReadExact(f, t.scales.data(), n_scales * sizeof(float));
+      }
+      if (ok) {
+        const int64_t n_packed = (numel + 1) / 2;
+        std::vector<uint8_t> packed(n_packed);
+        ok = ReadExact(f, packed.data(), n_packed);
+        if (ok) {
+          t.i8.resize(numel);
+          for (int64_t j = 0; j < numel; ++j) {
+            const uint8_t nib = (j & 1) ? (packed[j >> 1] >> 4)
+                                        : (packed[j >> 1] & 0x0F);
+            t.i8[j] = static_cast<int8_t>(((nib ^ 8) - 8));  // sign-extend
+          }
+        }
+      }
     } else {
       t.f32.resize(numel);
       ok = ReadExact(f, t.f32.data(), numel * sizeof(float));

@@ -156,6 +156,50 @@ def test_native_engine_transcribes(built, tiny_model_dir, tmp_path, quant):
         (cpp_text, py_text)
 
 
+def test_native_engine_int4(built, tiny_model_dir, tmp_path):
+    """int4 FTR (ggml-Q4 role): half the int8 bytes, loads through the same
+    engine, and still decodes. Transcript parity budget is looser than int8
+    (values in [-7,7]) so only decode success + size are pinned here; the
+    nibble-pack math itself is pinned exactly in test_export_runtime_mcp."""
+    import wave
+
+    from funasr_tpu.auto.auto_model import AutoModel
+    from funasr_tpu.export_runtime import export_native_dir
+
+    am = AutoModel(model=tiny_model_dir, disable_pbar=True)
+    # the tiny fixture's matmuls are below the production _QUANT_MIN_SIZE
+    # gate; lower it so the size/parity comparison actually exercises quant
+    import funasr_tpu.export_runtime as er
+    old_gate = er._QUANT_MIN_SIZE
+    er._QUANT_MIN_SIZE = 256
+    dirs = {}
+    try:
+        for q in ("int8", "int4"):
+            dirs[q] = str(tmp_path / f"native_{q}")
+            export_native_dir(am.model, am.model_params, tiny_model_dir,
+                              dirs[q], quant=q)
+    finally:
+        er._QUANT_MIN_SIZE = old_gate
+    sz8 = os.path.getsize(os.path.join(dirs["int8"], "weights.ftr"))
+    sz4 = os.path.getsize(os.path.join(dirs["int4"], "weights.ftr"))
+    assert sz4 < sz8 * 0.75, (sz4, sz8)
+
+    rng = np.random.default_rng(9)
+    sig = (rng.standard_normal(24000) * 0.1 * 32767).astype(np.int16)
+    wav_path = str(tmp_path / "t4.wav")
+    with wave.open(wav_path, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(sig.tobytes())
+
+    cli = str(built / "funasr-tpu-offline")
+    r = subprocess.run([cli, dirs["int4"], wav_path], capture_output=True,
+                       text=True)
+    assert r.returncode == 0, r.stderr
+    assert r.stdout.strip(), "int4 engine produced no output line"
+
+
 def test_native_engine_c_api_text(built, tiny_model_dir, tmp_path):
     """FunOfflineInfer returns non-empty transcript text through ctypes."""
     import wave

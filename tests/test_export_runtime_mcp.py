@@ -43,6 +43,46 @@ def test_exported_model_roundtrip(tmp_path, rng):
     np.testing.assert_array_equal(np.asarray(l), np.asarray(l_ref))
 
 
+def test_ftr_int4_pack_exact(tmp_path, rng):
+    """int4 FTR nibble packing is bit-exact against a reference unpacker."""
+    import struct
+
+    from funasr_tpu.export_runtime import _write_ftr
+
+    w = rng.standard_normal((96, 64)).astype(np.float32)
+    path = str(tmp_path / "w.ftr")
+    _write_ftr(path, {"model": "T"}, {"lin/w": w}, quant="int4")
+
+    with open(path, "rb") as f:
+        assert f.read(4) == b"FTR1"
+        (meta_len,) = struct.unpack("<I", f.read(4))
+        f.read(meta_len)
+        (n,) = struct.unpack("<I", f.read(4))
+        assert n == 1
+        (name_len,) = struct.unpack("<I", f.read(4))
+        assert f.read(name_len) == b"lin/w"
+        dtype, ndim = struct.unpack("<BB", f.read(2))
+        assert dtype == 2 and ndim == 2
+        shape = struct.unpack("<2q", f.read(16))
+        assert shape == (96, 64)
+        (n_scales,) = struct.unpack("<q", f.read(8))
+        scales = np.frombuffer(f.read(4 * n_scales), "<f4")
+        packed = np.frombuffer(f.read((96 * 64 + 1) // 2), np.uint8)
+
+    # reference unpack: low nibble = even flat index, sign-extend via (x^8)-8
+    lo = (packed & 0x0F).astype(np.int16)
+    hi = (packed >> 4).astype(np.int16)
+    q = np.empty(96 * 64, np.int16)
+    q[0::2] = lo
+    q[1::2] = hi
+    q = ((q ^ 8) - 8).astype(np.float32).reshape(96, 64)
+    want = np.clip(np.round(w / scales[None, :]), -7, 7)
+    np.testing.assert_array_equal(q, want)
+    # dequant error bound: half a quantization step per weight
+    np.testing.assert_allclose(q * scales[None, :], w,
+                               atol=float(scales.max()) * 0.5 + 1e-7)
+
+
 def test_mcp_server_protocol(tmp_path):
     """Stdio JSON-RPC: tools/list + inverse_normalize (no model build)."""
     reqs = [

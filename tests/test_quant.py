@@ -42,6 +42,83 @@ def test_quantize_params_tree(rng):
     assert after < before * 0.45  # ~4x on the big mats
 
 
+def test_w8a8_qlinear(rng):
+    """Dynamic per-token activation quant + int8 matmul stays close to fp32."""
+    from funasr_tpu.ops.quant import qlinear, quantize_linear_int8
+    w = rng.standard_normal((512, 256)).astype(np.float32)
+    p = {"w": jnp.asarray(w), "b": jnp.asarray(rng.standard_normal(256),
+                                               jnp.float32)}
+    q = quantize_linear_int8(p, key="w_q8")
+    assert q["w_q8"].dtype == jnp.int8
+    x = jnp.asarray(rng.standard_normal((3, 7, 512)), jnp.float32)
+    y_fp = qlinear(p, x)
+    y_q = qlinear(q, x)
+    assert y_q.shape == y_fp.shape == (3, 7, 256)
+    rel = float(jnp.linalg.norm(y_q - y_fp) / jnp.linalg.norm(y_fp))
+    assert rel < 3e-2, rel
+
+
+def test_w8a8_stacked_scan_kernels(rng):
+    """(L, in, out) scan-stacked linears quantize per layer and slice cleanly."""
+    from funasr_tpu.ops.quant import qlinear, quantize_params_int8
+    params = {"encoders": {
+        "linear_q_k_v": {"w": jnp.asarray(rng.standard_normal((4, 512, 768)),
+                                          jnp.float32),
+                         "b": jnp.zeros((4, 768,), jnp.float32)},
+        "cif_conv1d": {"w": jnp.asarray(rng.standard_normal((3, 512, 512)),
+                                        jnp.float32)},
+    }}
+    q = quantize_params_int8(params, mode="w8a8")
+    lin = q["encoders"]["linear_q_k_v"]
+    assert lin["w_q8"].shape == (4, 512, 768) and lin["scale"].shape == (4, 768)
+    # conv kernels are shape-ambiguous with stacked linears — must stay fp32
+    assert "w" in q["encoders"]["cif_conv1d"]
+
+    def body(x, lp):
+        return qlinear(lp, x), None
+
+    x = jnp.asarray(rng.standard_normal((2, 768)), jnp.float32)
+    # pad input to 768 per layer by projecting through each stacked slice
+    x0 = jnp.asarray(rng.standard_normal((2, 512)), jnp.float32)
+    y0 = qlinear(jax.tree_util.tree_map(lambda a: a[0], lin), x0)
+    y0_fp = x0 @ params["encoders"]["linear_q_k_v"]["w"][0]
+    rel = float(jnp.linalg.norm(y0 - y0_fp) / jnp.linalg.norm(y0_fp))
+    assert rel < 3e-2, rel
+
+
+def test_quantize_params_skips_embeddings(rng):
+    """{"w"}-shaped embedding tables under *embed* keys are never quantized."""
+    from funasr_tpu.ops.quant import quantize_params_int8
+    params = {
+        "embed": {"w": jnp.asarray(rng.standard_normal((1000, 512)),
+                                   jnp.float32)},
+        "bias_embed": {"w": jnp.asarray(rng.standard_normal((1000, 512)),
+                                        jnp.float32)},
+        "output_layer": {"w": jnp.asarray(rng.standard_normal((512, 1000)),
+                                          jnp.float32)},
+    }
+    q = quantize_params_int8(params)
+    assert "w" in q["embed"] and "w" in q["bias_embed"]
+    assert "w_q" in q["output_layer"]
+
+
+def test_w8a8_paraformer_encoder_parity(rng):
+    """W8A8 SANM encoder output stays within the int8 serving budget."""
+    from funasr_tpu.models.sanm.encoder import SANMEncoder
+    from funasr_tpu.ops.quant import quantize_params_int8
+    enc = SANMEncoder(input_size=80, output_size=256, attention_heads=4,
+                      linear_units=512, num_blocks=3, dropout_rate=0.0,
+                      input_layer="pe", kernel_size=11, sanm_shfit=0)
+    params = enc.init(jax.random.PRNGKey(0))
+    params_q = quantize_params_int8(params, mode="w8a8")
+    x = jnp.asarray(rng.standard_normal((2, 40, 80)) * 0.3, jnp.float32)
+    lens = jnp.asarray([40, 33], jnp.int32)
+    y, _ = enc(params, x, lens)
+    y_q, _ = enc(params_q, x, lens)
+    rel = float(jnp.linalg.norm(y_q - y) / jnp.linalg.norm(y))
+    assert rel < 5e-2, rel
+
+
 def test_qwen_engine_int8_matches_bf16(rng):
     """Greedy decode with int8 weights matches fp32 on a tiny random QwenLM."""
     from funasr_tpu.models.llm.qwen import QwenConfig, QwenLM
