@@ -75,13 +75,15 @@ def main_automodel():
     n = int(secs * fs)
     token_list = (["<blank>", "<s>", "</s>"]
                   + [chr(0x4E00 + i) for i in range(8400)] + ["<unk>"])
+    quant = (None if _os.environ.get("BENCH_MODE", "w8a8") == "bf16"
+             else "w8a8")
     am = AutoModel(
         model="Paraformer", model_conf={}, **PROD_CONF,
         frontend="WavFrontend",
         frontend_conf=dict(fs=fs, n_mels=80, lfr_m=7, lfr_n=6, cmvn_file=None,
                            dither=0.0),
         tokenizer="CharTokenizer", tokenizer_conf=dict(token_list=token_list),
-        bf16=True)
+        bf16=True, quant=quant)
 
     rng = np.random.default_rng(0)
     waves = [np.asarray(rng.standard_normal(n) * 0.1, np.float32)

@@ -45,6 +45,8 @@ import numpy as np
 
 from funasr_tpu.utils.bucket import bucket_length
 
+_EOS_PAD = 8  # fixed eos-id column width in the multi-step decode program
+
 
 @dataclasses.dataclass
 class Request:
@@ -94,25 +96,35 @@ class LLMEngine:
         self._prefill_jit = jax.jit(self._prefill, static_argnames=("t",),
                                     donate_argnums=(1,))
         self._decode_jit = jax.jit(self._decode, donate_argnums=(1,))
+        self._decode_multi_jit = jax.jit(self._decode_multi,
+                                         static_argnames=("k",),
+                                         donate_argnums=(1,))
+        self.decode_chunk = 8  # device steps per host sync (see _decode_multi)
+        self._step_counter = 0
 
     # -- jitted kernels ------------------------------------------------------
 
-    def _prefill(self, params, kv, embeds, slot, start, valid, t):
-        """One prompt slice: embeds (1, t, D) covering global positions
-        start..start+t of `slot`'s sequence (valid <= t real rows). Returns the
-        next-token logits at the last valid position (meaningful only on the
-        final slice)."""
-        positions = (start + jnp.arange(t))[None]
-        sub_kv = [{"k": c["k"][slot][None], "v": c["v"][slot][None]} for c in kv]
+    def _prefill(self, params, kv, embeds, slots, starts, valids, t):
+        """Prompt slices for S slots in ONE program: embeds (S, t, D) covers
+        global positions starts[i]..starts[i]+t of each slot's sequence
+        (valids[i] <= t real rows). Rows may repeat the same slot (shape
+        padding): duplicate scatter indices write identical values, so the
+        result is unchanged. Returns (kv, last-position logits (S, V), greedy
+        first tokens (S,), their embeds (S, 1, D)) — the token fetch is a few
+        bytes, so greedy admission never pulls the (S, V) logits to host."""
+        positions = starts[:, None] + jnp.arange(t)[None]
+        sub_kv = [{"k": c["k"][slots], "v": c["v"][slots]} for c in kv]
         logits, sub_kv = self.lm.forward(params, embeds, positions, sub_kv,
-                                         start[None], (start + valid)[None])
+                                         starts, starts + valids)
         for c, s in zip(kv, sub_kv):
-            c["k"] = c["k"].at[slot].set(s["k"][0])
-            c["v"] = c["v"].at[slot].set(s["v"][0])
+            c["k"] = c["k"].at[slots].set(s["k"])
+            c["v"] = c["v"].at[slots].set(s["v"])
+        idx = (valids - 1)[:, None, None]
         last = jnp.take_along_axis(
-            logits, (valid - 1)[None, None, None].repeat(logits.shape[-1], -1),
-            axis=1)[0, 0]
-        return kv, last
+            logits, idx.repeat(logits.shape[-1], -1), axis=1)[:, 0]
+        first_tok = jnp.argmax(last, -1).astype(jnp.int32)
+        first_emb = self.lm.embed(params, first_tok[:, None], self.dtype)
+        return kv, last, first_tok, first_emb
 
     def _decode(self, params, kv, token_embeds, slot_lens):
         """One step for all slots. token_embeds: (B, 1, D); slot_lens: (B,)
@@ -124,6 +136,50 @@ class LLMEngine:
         logits, kv = self.lm.forward(params, token_embeds, positions, kv,
                                      slot_lens, slot_lens + 1)
         return kv, logits[:, 0]
+
+    def _decode_multi(self, params, kv, token_embeds, slot_lens, active,
+                      temps, eos_ids, remaining, rng_key, k):
+        """``k`` decode steps fully on-device between host syncs, with
+        sampling, EOS and budget tracking inside the program.
+
+        Fetching the (B, V) logits to host every token costs ~10 MB + a
+        roundtrip per step; sampling on-device and syncing every k steps
+        fetches (B, k) int32 instead — the host loop then only does slot
+        bookkeeping. vLLM keeps its sampler on-GPU for the same reason.
+
+        token_embeds: (B, 1, D) embeds of each slot's last token;
+        active: (B,) bool; temps: (B,) f32 (0 = greedy); eos_ids: (B, E)
+        int32 padded with -2; remaining: (B,) token budgets. Returns
+        (kv, tokens (B, k) int32 [-1 where not generated], last embeds,
+        lens, active, remaining). Finished/inactive slots stop advancing,
+        so their cache writes stay at a position the next prefill
+        overwrites — same garbage-row contract as ``_decode``."""
+
+        def body(carry, step_key):
+            kv, embeds, lens, act, rem = carry
+            logits, kv = self.lm.forward(params, embeds, lens[:, None], kv,
+                                         lens, lens + 1)
+            logits = logits[:, 0]
+            greedy = jnp.argmax(logits, -1).astype(jnp.int32)
+            keys = jax.random.split(step_key, logits.shape[0])
+            sampled = jax.vmap(
+                lambda key, lg, t: jax.random.categorical(
+                    key, lg / jnp.maximum(t, 1e-6)))(keys, logits, temps)
+            tok = jnp.where(temps > 0.0, sampled.astype(jnp.int32), greedy)
+            tok = jnp.where(act, tok, -1)
+            hit_eos = jnp.any(tok[:, None] == eos_ids, axis=1)
+            rem2 = rem - act.astype(jnp.int32)
+            new_act = act & ~hit_eos & (rem2 > 0)
+            lens = lens + act.astype(jnp.int32)
+            next_emb = self.lm.embed(params, jnp.maximum(tok, 0)[:, None],
+                                     self.dtype)
+            embeds = jnp.where(act[:, None, None], next_emb, embeds)
+            return (kv, embeds, lens, new_act, rem2), tok
+
+        (kv, embeds, lens, act, rem), toks = jax.lax.scan(
+            body, (kv, token_embeds, slot_lens, active, remaining),
+            jax.random.split(rng_key, k))
+        return kv, toks.T, embeds, lens, act, rem
 
     # -- cache growth ----------------------------------------------------------
 
@@ -208,41 +264,82 @@ class LLMEngine:
                 and self.slot_prefill_pos[i] < r.input_embeds.shape[0]]
 
     def _prefill_one_chunk(self):
-        """Advance ONE prefilling slot by one chunk (bounds the decode stall
-        to a single chunk forward per step)."""
+        """Advance EVERY prefilling slot by one chunk in one batched program
+        per chunk-size bucket (decode stall per step stays bounded by a
+        single chunk forward; a fleet of fresh prompts admits in O(chunks),
+        not O(slots x chunks) dispatches)."""
         slots = self._prefilling_slots()
         if not slots:
             return
-        slot = slots[0]
-        req = self.slot_req[slot]
-        start = int(self.slot_prefill_pos[slot])
-        total = req.input_embeds.shape[0]
-        valid = min(self.prefill_chunk, total - start)
-        tb = bucket_length(valid, minimum=32, multiple=32)
-        # never let the padded slice spill past max_len: the kv scatter wraps
-        # modulo cache length and would overwrite the prompt's own rows 0..31
-        # (prompts are truncated to max_len-1, so valid always fits)
-        tb = min(tb, self.max_len - start)
-        self._ensure_capacity(start + tb + 1)
-        embeds = np.zeros((1, tb, req.input_embeds.shape[1]), np.float32)
-        embeds[0, :valid] = req.input_embeds[start: start + valid]
-        self.kv, last_logits = self._prefill_jit(
-            self.params, self.kv, jnp.asarray(embeds, self.dtype),
-            jnp.asarray(slot), jnp.asarray(start, jnp.int32),
-            jnp.asarray(valid, jnp.int32), t=tb)
-        self.slot_prefill_pos[slot] = start + valid
-        self.slot_len[slot] = start + valid
-        self._maybe_store_prefix(slot, start)
-        if start + valid >= total:  # final slice: sample the first token
-            tok = self._sample(np.asarray(last_logits), req)
-            req.output_ids.append(tok)
-            if req.stream_cb:
-                req.stream_cb(tok)
-            self.slot_new[slot] = 1
-            self.last_token_embed = self.last_token_embed.at[slot].set(
-                self.lm.embed(self.params, jnp.asarray([tok]), self.dtype))
-            if tok in req.eos_token_ids or req.max_new_tokens <= 1:
-                self._finish(slot)
+        # group by padded chunk length so each group is one fixed-shape call
+        groups = {}
+        for slot in slots:
+            req = self.slot_req[slot]
+            start = int(self.slot_prefill_pos[slot])
+            valid = min(self.prefill_chunk, req.input_embeds.shape[0] - start)
+            tb = bucket_length(valid, minimum=32, multiple=32)
+            # never let the padded slice spill past max_len: the kv scatter
+            # wraps modulo cache length and would overwrite the prompt's own
+            # rows 0..31 (prompts are truncated to max_len-1, so valid fits)
+            tb = min(tb, self.max_len - start)
+            groups.setdefault(tb, []).append((slot, start, valid))
+        for tb, entries in groups.items():
+            self._ensure_capacity(
+                max(start + tb for _, start, _ in entries) + 1)
+            # pad the slot axis to a power-of-two bucket by REPEATING entry 0
+            # (duplicate scatter rows write identical values — harmless) so
+            # compile count stays log2(num_slots) per tb
+            s = 1
+            while s < len(entries):
+                s *= 2
+            padded = entries + [entries[0]] * (s - len(entries))
+            dim = self.slot_req[padded[0][0]].input_embeds.shape[1]
+            embeds = np.zeros((s, tb, dim), np.float32)
+            for i, (slot, start, valid) in enumerate(padded):
+                req = self.slot_req[slot]
+                embeds[i, :valid] = req.input_embeds[start: start + valid]
+            self.kv, last_logits, first_toks, first_embs = self._prefill_jit(
+                self.params, self.kv, jnp.asarray(embeds, self.dtype),
+                jnp.asarray([e[0] for e in padded], jnp.int32),
+                jnp.asarray([e[1] for e in padded], jnp.int32),
+                jnp.asarray([e[2] for e in padded], jnp.int32), t=tb)
+            finals = []
+            for i, (slot, start, valid) in enumerate(entries):
+                req = self.slot_req[slot]
+                self.slot_prefill_pos[slot] = start + valid
+                self.slot_len[slot] = start + valid
+                self._maybe_store_prefix(slot, start)
+                if start + valid >= req.input_embeds.shape[0]:
+                    finals.append((i, slot))
+            if not finals:
+                continue
+            greedy = all((self.slot_req[slot].temperature or 0.0) == 0.0
+                         for _, slot in finals)
+            toks_np = np.asarray(first_toks) if greedy else None
+            rows = None if greedy else np.asarray(last_logits)
+            set_slots, set_embeds = [], []
+            for i, slot in finals:  # final slice: emit the first token
+                req = self.slot_req[slot]
+                if greedy:
+                    tok = int(toks_np[i])
+                else:
+                    tok = self._sample(rows[i], req)
+                req.output_ids.append(tok)
+                if req.stream_cb:
+                    req.stream_cb(tok)
+                self.slot_new[slot] = 1
+                if greedy:
+                    set_slots.append(i)
+                else:
+                    self.last_token_embed = self.last_token_embed.at[slot].set(
+                        self.lm.embed(self.params, jnp.asarray([tok]),
+                                      self.dtype))
+                if tok in req.eos_token_ids or req.max_new_tokens <= 1:
+                    self._finish(slot)
+            if set_slots:
+                idx = jnp.asarray([entries[i][0] for i in set_slots])
+                self.last_token_embed = self.last_token_embed.at[idx].set(
+                    first_embs[jnp.asarray(set_slots)])
 
     def _sample(self, logits, req: Request) -> int:
         if req.temperature and req.temperature > 0:
@@ -275,6 +372,20 @@ class LLMEngine:
         if not active_slots:
             return bool(self.queue) or bool(prefilling) or any(
                 r is not None for r in self.slot_req)
+        # greedy batches sample ON-DEVICE (fetching (B, V) logits per token
+        # costs ~10 MB + a roundtrip; fetching (B, k) int32 doesn't): k=1
+        # while something wants to interleave (queued admission, a prefill
+        # slice in flight, per-token stream callbacks), k=decode_chunk device
+        # steps per host sync at steady state. temperature>0 keeps the
+        # host-rng logits path so seeded sampling stays reproducible.
+        if all((self.slot_req[s].temperature or 0.0) == 0.0
+               and len(self.slot_req[s].eos_token_ids) <= _EOS_PAD
+               for s in active_slots):
+            interleave = (bool(self.queue) or bool(prefilling)
+                          or any(self.slot_req[s].stream_cb is not None
+                                 for s in active_slots))
+            k = 1 if interleave else self.decode_chunk
+            return self._step_multi(active_slots, k)
         self._ensure_capacity(int(self.slot_len[active_slots].max()) + 2)
         self.kv, logits = self._decode_jit(
             self.params, self.kv, self.last_token_embed,
@@ -295,6 +406,49 @@ class LLMEngine:
                 self._finish(slot)
         self.last_token_embed = self.lm.embed(
             self.params, jnp.asarray(new_embeds)[:, None], self.dtype)
+        return True
+
+    def _step_multi(self, active_slots, k: int) -> bool:
+        """k on-device decode steps + one host sync (see _decode_multi)."""
+        self._ensure_capacity(int(self.slot_len[active_slots].max()) + k + 1)
+        b = self.num_slots
+        active = np.zeros((b,), bool)
+        temps = np.zeros((b,), np.float32)
+        remaining = np.zeros((b,), np.int32)
+        eos_ids = np.full((b, _EOS_PAD), -2, np.int32)
+        for s in active_slots:
+            req = self.slot_req[s]
+            active[s] = True
+            remaining[s] = max(1, min(req.max_new_tokens - self.slot_new[s],
+                                      self.max_len - 1 - self.slot_len[s]))
+            for j, e in enumerate(req.eos_token_ids):
+                eos_ids[s, j] = e
+        key = jax.random.fold_in(jax.random.PRNGKey(self.seed),
+                                 self._step_counter)
+        self._step_counter += 1
+        self.kv, toks, embeds, _, _, _ = self._decode_multi_jit(
+            self.params, self.kv, self.last_token_embed,
+            jnp.asarray(self.slot_len), jnp.asarray(active),
+            jnp.asarray(temps), jnp.asarray(eos_ids),
+            jnp.asarray(remaining), key, k=k)
+        toks = np.asarray(toks)  # (B, k) — the only per-chunk fetch
+        self.last_token_embed = embeds
+        for s in active_slots:
+            req = self.slot_req[s]
+            for t in toks[s]:
+                tok = int(t)
+                if tok < 0:
+                    break
+                req.output_ids.append(tok)
+                if req.stream_cb:
+                    req.stream_cb(tok)
+                self.slot_len[s] += 1
+                self.slot_new[s] += 1
+                if (tok in req.eos_token_ids
+                        or self.slot_new[s] >= req.max_new_tokens
+                        or self.slot_len[s] >= self.max_len - 1):
+                    self._finish(s)
+                    break
         return True
 
     def generate(self, requests: List[Request]) -> List[Request]:

@@ -83,10 +83,10 @@ def _whisper_cached_step_jit(self, params, toks, self_kv, cross_kv, pos):
         q = heads(linear_apply(lp["self_attn"]["linear_q"], y))
         k_new = heads(linear_apply(lp["self_attn"]["linear_k"], y))
         v_new = heads(linear_apply(lp["self_attn"]["linear_v"], y))
-        k_c = jax.lax.dynamic_update_slice_in_dim(self_kv[li]["k"], k_new,
-                                                  pos, axis=2)
-        v_c = jax.lax.dynamic_update_slice_in_dim(self_kv[li]["v"], v_new,
-                                                  pos, axis=2)
+        k_c = jax.lax.dynamic_update_slice_in_dim(
+            self_kv[li]["k"], k_new.astype(self_kv[li]["k"].dtype), pos, axis=2)
+        v_c = jax.lax.dynamic_update_slice_in_dim(
+            self_kv[li]["v"], v_new.astype(self_kv[li]["v"].dtype), pos, axis=2)
         new_kv.append({"k": k_c, "v": v_c})
         valid = (jnp.arange(k_c.shape[2]) <= pos)[None, None, None, :]
         scores = jnp.einsum("bhqd,bhkd->bhqk", q, k_c,
@@ -294,10 +294,15 @@ class WhisperModel:
         mha = MHAConfig(cfg.decoder_attention_heads, cfg.d_model)
         max_len = min(bucket_length(len(prompt_ids) + max_new, minimum=32,
                                     multiple=32), cfg.max_target_positions)
+        # cache in the PARAM compute dtype (bf16 when serving): encoder_out
+        # comes out of a fp32 layernorm, and an fp32 cache would both double
+        # the HBM traffic of the memory-bound decode loop and dtype-mismatch
+        # the bf16 k/v projections written into it
+        kv_dtype = params["decoder"]["embed_tokens"].dtype
         self_kv = [{"k": jnp.zeros((b, mha.n_head, max_len, mha.d_k),
-                                   encoder_out.dtype),
+                                   kv_dtype),
                     "v": jnp.zeros((b, mha.n_head, max_len, mha.d_k),
-                                   encoder_out.dtype)}
+                                   kv_dtype)}
                    for _ in range(cfg.decoder_layers)]
         cross_kv = _whisper_cross_kv_jit(self, params, encoder_out)
 

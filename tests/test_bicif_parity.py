@@ -8,7 +8,7 @@ import numpy as np
 import pytest
 
 REF = "/root/reference"
-pytestmark = pytest.mark.skipif(not os.path.isdir(REF), reason="reference not mounted")
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(not os.path.isdir(REF), reason="reference not mounted")]
 if os.path.isdir(REF) and REF not in sys.path:
     sys.path.insert(0, REF)
 

@@ -16,6 +16,8 @@ from funasr_tpu import tables
 from funasr_tpu.models.paraformer.model import Paraformer, _infer_program
 from funasr_tpu.utils.bucket import bucket_batch, bucket_frames, pad_feats_bucketed
 
+pytestmark = pytest.mark.slow  # heavy: excluded from the fast tier
+
 
 def _tiny_model():
     return Paraformer(

@@ -6,6 +6,8 @@ import subprocess
 
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy: excluded from the fast tier
+
 LIB_DIR = os.path.join(os.path.dirname(__file__), "..",
                        "runtime", "funasr_tpu_runtime")
 LIB = os.path.join(LIB_DIR, "build", "libfunasr_tpu_runtime.so")

@@ -3,6 +3,9 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy: excluded from the fast tier
 
 
 def test_eend_ola_train_and_infer(rng):

@@ -3,6 +3,8 @@
 import jax
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy: excluded from the fast tier
+
 
 def test_dryrun_multichip_8():
     if len(jax.devices()) < 8:

@@ -20,9 +20,9 @@ import pytest
 
 grpc = pytest.importorskip("grpc")
 
-pytestmark = pytest.mark.skipif(
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(
     shutil.which("cmake") is None or shutil.which("g++") is None,
-    reason="no C++ toolchain")
+    reason="no C++ toolchain")]
 
 from test_cpp_runtime import built  # noqa: F401  (module-scoped cmake build)
 

@@ -3,6 +3,9 @@ decoder): Aho-Corasick credit/rollback semantics + beam-search integration."""
 
 import jax
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy: excluded from the fast tier
 
 
 def _total(scorer, toks, v=10):

@@ -10,6 +10,8 @@ import jax
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy: excluded from the fast tier
+
 LLM_CONF = dict(hidden_size=32, intermediate_size=64, num_hidden_layers=2,
                 num_attention_heads=4, num_key_value_heads=2, vocab_size=96,
                 head_dim=8, rms_norm_eps=1e-6, rope_theta=10000.0,

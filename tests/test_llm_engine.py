@@ -7,6 +7,8 @@ import pytest
 
 from funasr_tpu.models.llm.qwen import QwenConfig, QwenLM
 
+pytestmark = pytest.mark.slow  # heavy: excluded from the fast tier
+
 CFG = QwenConfig(vocab_size=96, hidden_size=32, intermediate_size=64,
                  num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
                  head_dim=8, tie_word_embeddings=True, qk_norm=True,
@@ -53,6 +55,29 @@ def test_engine_matches_naive_greedy(lm_and_params):
     engine.generate(reqs)  # 3 requests through 2 slots -> continuous batching
     for r, w in zip(reqs, want):
         assert r.output_ids == w, (r.output_ids, w)
+
+
+def test_multi_step_decode_matches_single_step(lm_and_params):
+    """The k-step on-device decode path (decode_chunk>1) produces the same
+    tokens as the per-step host loop, including EOS mid-chunk."""
+    from funasr_tpu.llm.engine import LLMEngine, Request
+    lm, params = lm_and_params
+    rng = np.random.default_rng(7)
+    prompts = [rng.standard_normal((9 + i, 32)).astype(np.float32)
+               for i in range(3)]
+    eos = _greedy_reference(lm, params, prompts[1], 4)[3]  # fires mid-chunk
+
+    outs = []
+    for chunk in (1, 8):
+        engine = LLMEngine(lm, params, num_slots=2, max_len=64,
+                           dtype=jnp.float32)
+        engine.decode_chunk = chunk
+        reqs = [Request(request_id=i, input_embeds=p, max_new_tokens=11,
+                        eos_token_ids=(eos,))
+                for i, p in enumerate(prompts)]
+        engine.generate(reqs)
+        outs.append([r.output_ids for r in reqs])
+    assert outs[0] == outs[1], outs
 
 
 def test_engine_eos_stops(lm_and_params):

@@ -13,6 +13,8 @@ if os.path.isdir(REF) and REF not in sys.path:
     sys.path.insert(0, REF)
 from conftest import stub_reference_deps  # noqa: E402
 
+pytestmark = pytest.mark.slow  # heavy: excluded from the fast tier
+
 stub_reference_deps()
 
 TOKENS = ["<blank>", "<s>", "</s>"] + [chr(ord("一") + i) for i in range(20)] + ["<unk>"]

@@ -12,6 +12,9 @@ means the system stopped being able to learn.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy: excluded from the fast tier
 
 
 def test_overfit_tiny_paraformer_to_zero_cer():

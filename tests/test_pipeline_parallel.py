@@ -16,6 +16,8 @@ from funasr_tpu.parallel.pipeline import (make_pipeline_runner,
                                           pipeline_apply, pp_param_shardings)
 from funasr_tpu.parallel.sharding import make_mesh
 
+pytestmark = pytest.mark.slow  # heavy: excluded from the fast tier
+
 
 def _toy(L=8, B=4, T=6, D=16):
     k = jax.random.PRNGKey(0)

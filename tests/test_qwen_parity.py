@@ -3,6 +3,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy: excluded from the fast tier
+
 torch = pytest.importorskip("torch")
 transformers = pytest.importorskip("transformers")
 

@@ -10,6 +10,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy: excluded from the fast tier
+
 REF = "/root/reference"
 if os.path.isdir(REF) and REF not in sys.path:
     sys.path.insert(0, REF)

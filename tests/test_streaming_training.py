@@ -6,6 +6,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy: excluded from the fast tier
+
 
 def test_overlap_chunk_masks_roundtrip():
     """split_chunk -> remove_chunk is the identity on the valid region, and the

@@ -7,6 +7,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy: excluded from the fast tier
+
 
 def brute_force_rnnt(logp, targets, t_len, u_len, blank=0):
     """Enumerate all monotone alignments (tiny T,U only)."""

@@ -19,9 +19,10 @@ import pytest
 RUNTIME_DIR = os.path.join(os.path.dirname(__file__), "..", "runtime",
                            "funasr_tpu_runtime")
 
-pytestmark = pytest.mark.skipif(shutil.which("cmake") is None
-                                or shutil.which("g++") is None,
-                                reason="no C++ toolchain")
+pytestmark = [pytest.mark.slow,
+              pytest.mark.skipif(shutil.which("cmake") is None
+                                 or shutil.which("g++") is None,
+                                 reason="no C++ toolchain")]
 
 
 @pytest.fixture(scope="module")
