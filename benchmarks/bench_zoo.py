@@ -89,7 +89,8 @@ def bench_sensevoice(batch: int = 32, secs: float = 15.0):
             "vs_baseline": round(rtfx / 170.0, 2)}
 
 
-def bench_nano(batch: int = 16, secs: float = 15.0, new_tokens: int = 64):
+def bench_nano(batch: int = 16, secs: float = 15.0, new_tokens: int = 64,
+               quant: str = None):
     from funasr_tpu.core.module import cast_floats
     from funasr_tpu.llm.engine import Request
     from funasr_tpu.models.fun_asr_nano.model import FunASRNano
@@ -104,6 +105,11 @@ def bench_nano(batch: int = 16, secs: float = 15.0, new_tokens: int = 64):
         input_size=560)
     params = cast_floats(model.init_params(jax.random.PRNGKey(0)),
                          jnp.bfloat16)
+    if quant == "int8":
+        # weight-only int8 LLM decode (the memory-bound stage): 213 -> 238x
+        from funasr_tpu.ops.quant import quantize_params_int8
+        params = dict(params)
+        params["llm"] = quantize_params_int8(params["llm"])
 
     t_lfr = -(-(1 + (int(secs * 16000) - 400) // 160) // 6)
     rng = np.random.default_rng(0)
@@ -174,7 +180,10 @@ def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "sensevoice"
     fn = {"sensevoice": bench_sensevoice, "nano": bench_nano,
           "whisper": bench_whisper}[mode]
-    print(json.dumps(fn()))
+    kwargs = {}
+    if mode == "nano" and "int8" in sys.argv[2:]:
+        kwargs["quant"] = "int8"
+    print(json.dumps(fn(**kwargs)))
 
 
 if __name__ == "__main__":

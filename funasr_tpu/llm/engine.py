@@ -100,7 +100,6 @@ class LLMEngine:
                                          static_argnames=("k",),
                                          donate_argnums=(1,))
         self.decode_chunk = 8  # device steps per host sync (see _decode_multi)
-        self._step_counter = 0
 
     # -- jitted kernels ------------------------------------------------------
 
@@ -138,34 +137,30 @@ class LLMEngine:
         return kv, logits[:, 0]
 
     def _decode_multi(self, params, kv, token_embeds, slot_lens, active,
-                      temps, eos_ids, remaining, rng_key, k):
-        """``k`` decode steps fully on-device between host syncs, with
-        sampling, EOS and budget tracking inside the program.
+                      eos_ids, remaining, k):
+        """``k`` GREEDY decode steps fully on-device between host syncs, with
+        EOS and budget tracking inside the program.
 
         Fetching the (B, V) logits to host every token costs ~10 MB + a
-        roundtrip per step; sampling on-device and syncing every k steps
+        roundtrip per step; argmax'ing on-device and syncing every k steps
         fetches (B, k) int32 instead — the host loop then only does slot
         bookkeeping. vLLM keeps its sampler on-GPU for the same reason.
+        temperature>0 requests never take this path (step() routes them
+        through the host-rng logits path), so no sampling code runs here.
 
         token_embeds: (B, 1, D) embeds of each slot's last token;
-        active: (B,) bool; temps: (B,) f32 (0 = greedy); eos_ids: (B, E)
-        int32 padded with -2; remaining: (B,) token budgets. Returns
-        (kv, tokens (B, k) int32 [-1 where not generated], last embeds,
-        lens, active, remaining). Finished/inactive slots stop advancing,
-        so their cache writes stay at a position the next prefill
-        overwrites — same garbage-row contract as ``_decode``."""
+        active: (B,) bool; eos_ids: (B, E) int32 padded with -2;
+        remaining: (B,) token budgets. Returns (kv, tokens (B, k) int32
+        [-1 where not generated], last embeds, lens, active, remaining).
+        Finished/inactive slots stop advancing, so their cache writes stay
+        at a position the next prefill overwrites — same garbage-row
+        contract as ``_decode``."""
 
-        def body(carry, step_key):
+        def body(carry, _):
             kv, embeds, lens, act, rem = carry
             logits, kv = self.lm.forward(params, embeds, lens[:, None], kv,
                                          lens, lens + 1)
-            logits = logits[:, 0]
-            greedy = jnp.argmax(logits, -1).astype(jnp.int32)
-            keys = jax.random.split(step_key, logits.shape[0])
-            sampled = jax.vmap(
-                lambda key, lg, t: jax.random.categorical(
-                    key, lg / jnp.maximum(t, 1e-6)))(keys, logits, temps)
-            tok = jnp.where(temps > 0.0, sampled.astype(jnp.int32), greedy)
+            tok = jnp.argmax(logits[:, 0], -1).astype(jnp.int32)
             tok = jnp.where(act, tok, -1)
             hit_eos = jnp.any(tok[:, None] == eos_ids, axis=1)
             rem2 = rem - act.astype(jnp.int32)
@@ -177,8 +172,8 @@ class LLMEngine:
             return (kv, embeds, lens, new_act, rem2), tok
 
         (kv, embeds, lens, act, rem), toks = jax.lax.scan(
-            body, (kv, token_embeds, slot_lens, active, remaining),
-            jax.random.split(rng_key, k))
+            body, (kv, token_embeds, slot_lens, active, remaining), None,
+            length=k)
         return kv, toks.T, embeds, lens, act, rem
 
     # -- cache growth ----------------------------------------------------------
@@ -413,7 +408,6 @@ class LLMEngine:
         self._ensure_capacity(int(self.slot_len[active_slots].max()) + k + 1)
         b = self.num_slots
         active = np.zeros((b,), bool)
-        temps = np.zeros((b,), np.float32)
         remaining = np.zeros((b,), np.int32)
         eos_ids = np.full((b, _EOS_PAD), -2, np.int32)
         for s in active_slots:
@@ -423,14 +417,10 @@ class LLMEngine:
                                       self.max_len - 1 - self.slot_len[s]))
             for j, e in enumerate(req.eos_token_ids):
                 eos_ids[s, j] = e
-        key = jax.random.fold_in(jax.random.PRNGKey(self.seed),
-                                 self._step_counter)
-        self._step_counter += 1
         self.kv, toks, embeds, _, _, _ = self._decode_multi_jit(
             self.params, self.kv, self.last_token_embed,
             jnp.asarray(self.slot_len), jnp.asarray(active),
-            jnp.asarray(temps), jnp.asarray(eos_ids),
-            jnp.asarray(remaining), key, k=k)
+            jnp.asarray(eos_ids), jnp.asarray(remaining), k=k)
         toks = np.asarray(toks)  # (B, k) — the only per-chunk fetch
         self.last_token_embed = embeds
         for s in active_slots:

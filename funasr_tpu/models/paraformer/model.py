@@ -319,12 +319,16 @@ class Paraformer:
         sp, ln, b = pad_feats_bucketed(speech, speech_lengths)
         mt = self._max_tokens_for(sp.shape[1])
         out = _infer_program(self, params, sp, ln, mt)
-        token_lens = np.asarray(out[1])
+        # ONE device_get for all outputs: separate np.asarray calls each pay a
+        # host<->device roundtrip, which dominates on tunneled transports
+        host = jax.device_get(out)
+        token_lens = host[1]
         if mt <= sp.shape[1] and (token_lens[:b] >= mt).any():
             logging.warning("CIF token count hit the %d-token bucket budget; "
                             "re-decoding with the full budget", mt)
-            out = _infer_program(self, params, sp, ln, sp.shape[1] + 1)
-        return tuple(np.asarray(x)[:b] for x in out)
+            host = jax.device_get(
+                _infer_program(self, params, sp, ln, sp.shape[1] + 1))
+        return tuple(np.asarray(x)[:b] for x in host)
 
     def encode_predict_bucketed(self, params, speech, speech_lengths):
         """Bucketed + jit-cached encoder+CIF front half. Returns DEVICE arrays

@@ -82,9 +82,24 @@ def install_omegaconf_shim():
             with open(f, "w", encoding="utf-8") as fh:
                 yaml.safe_dump(_to_plain(config), fh, allow_unicode=True)
 
-    mod.OmegaConf = OmegaConf
-    mod.DictConfig = DictConfig
-    mod.ListConfig = ListConfig
+    existing = getattr(mod, "OmegaConf", None)
+    if existing is not None and existing is not OmegaConf:
+        # another test file installed a partial OmegaConf first and the
+        # reference package may already hold a stale `from omegaconf import
+        # OmegaConf` binding in its module globals — augment that class IN
+        # PLACE so every existing binding gains the missing methods
+        for name in ("load", "merge", "to_container", "create", "save"):
+            if not hasattr(existing, name):
+                # plain-function assignment works for both class targets
+                # (class-level access returns the function unbound) and the
+                # SimpleNamespace partial from conftest
+                setattr(existing, name, getattr(OmegaConf, name))
+    else:
+        mod.OmegaConf = OmegaConf
+    if not hasattr(mod, "DictConfig"):
+        mod.DictConfig = DictConfig
+    if not hasattr(mod, "ListConfig"):
+        mod.ListConfig = ListConfig
     return mod
 
 
