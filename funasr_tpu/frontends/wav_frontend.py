@@ -59,7 +59,15 @@ class WavFrontend:
         # dither (reference wav_frontend.py:120, default 1.0 in train configs) is
         # applied only when a PRNG key is passed — i.e. on the training path;
         # inference stays deterministic with dither off.
-        scale = float(1 << 15) if self.upsacle_samples else 1.0
+        if waveforms.dtype == jnp.int16:
+            # PCM16 fast path: callers may upload raw int16 samples (half the
+            # host->device bytes of float32 — the dominant cost on tunneled
+            # transports). Bit-exact vs the float path: int16 -> f32 is
+            # lossless and (i/2^15)*2^15 == i in f32.
+            waveforms = waveforms.astype(jnp.float32)
+            scale = 1.0 if self.upsacle_samples else 1.0 / float(1 << 15)
+        else:
+            scale = float(1 << 15) if self.upsacle_samples else 1.0
         feats, flens = fbank_batch(
             waveforms * scale, lengths,
             dither=self.dither,
@@ -86,16 +94,23 @@ class WavFrontend:
     supports_device_extract = True
 
     def extract(self, waveforms: List[np.ndarray], device: bool = False):
-        """list of float32 waveforms -> (feats (B, T, D), lens (B,) int32).
+        """list of float32 [-1, 1) (or raw int16 PCM) waveforms ->
+        (feats (B, T, D), lens (B,) int32).
 
         ``device=False``: numpy, trimmed to the batch max length (host callers).
         ``device=True``: jax arrays left at the waveform-bucket frame count —
         the downstream jit program pads to its own (B, T) bucket on device.
+        int16 input transfers half the bytes and produces bit-identical
+        features to the equivalent ``int16 / 32768`` float input.
         """
         b = len(waveforms)
         maxn = max(max(int(w.shape[0]) for w in waveforms), self.frame_length)
         n_bucket = bucket_length(maxn, minimum=self.fs // 4, multiple=self.frame_shift)
-        batch = np.zeros((b, n_bucket), np.float32)
+        # PCM16 fast path: if every input is int16, upload int16 and convert
+        # on device (half the transfer bytes; bit-exact — see _pipeline)
+        dtype = (np.int16 if all(np.asarray(w).dtype == np.int16
+                                 for w in waveforms) else np.float32)
+        batch = np.zeros((b, n_bucket), dtype)
         lens = np.zeros((b,), np.int32)
         for i, w in enumerate(waveforms):
             # reference clamps frame_length for ultra-short clips; we right-pad with

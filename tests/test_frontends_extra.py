@@ -64,3 +64,19 @@ def test_fused_frontends_linear_projection():
     feats, lens = fe.extract(wavs, params=params)
     assert feats.shape[0] == 2 and feats.shape[2] == 64
     assert np.isfinite(feats).all()
+
+
+def test_wav_frontend_int16_fast_path_bit_exact():
+    """int16 PCM input (half the upload bytes) produces bit-identical
+    features to the equivalent float32 input (int16 / 32768)."""
+    from funasr_tpu.frontends.wav_frontend import WavFrontend
+
+    fe = WavFrontend(fs=16000, n_mels=80, lfr_m=7, lfr_n=6, dither=0.0)
+    rng = np.random.default_rng(3)
+    pcm = (rng.standard_normal(12000) * 0.2 * 32767).astype(np.int16)
+    short = (rng.standard_normal(5000) * 0.1 * 32767).astype(np.int16)
+    f_i16, l_i16 = fe.extract([pcm, short])
+    f_f32, l_f32 = fe.extract([pcm.astype(np.float32) / 32768.0,
+                               short.astype(np.float32) / 32768.0])
+    np.testing.assert_array_equal(l_i16, l_f32)
+    np.testing.assert_array_equal(f_i16, f_f32)
