@@ -38,7 +38,7 @@ def _fetch(x):
     return np.asarray(x)
 
 
-def bench_sensevoice(batch: int = 32, secs: float = 15.0):
+def bench_sensevoice(batch: int = 32, secs: float = 15.0, quant: str = None):
     from funasr_tpu.core.module import cast_floats
     from funasr_tpu.models.sense_voice.model import SenseVoiceSmall
     from funasr_tpu.ops.fbank import fbank_batch
@@ -53,6 +53,11 @@ def bench_sensevoice(batch: int = 32, secs: float = 15.0):
                           kernel_size=11))
     params = cast_floats(model.init_params(jax.random.PRNGKey(0)),
                          jnp.bfloat16)
+    if quant == "w8a8":
+        # SAN-M stack shares linear_apply with Paraformer, so the W8A8
+        # serving recipe (docs/benchmarks.md) applies unchanged
+        from funasr_tpu.ops.quant import quantize_params_int8
+        params = quantize_params_int8(params, mode="w8a8")
 
     fs, n = 16000, int(secs * 16000)
     rng = np.random.default_rng(0)
@@ -183,6 +188,8 @@ def main():
     kwargs = {}
     if mode == "nano" and "int8" in sys.argv[2:]:
         kwargs["quant"] = "int8"
+    if mode == "sensevoice" and "w8a8" in sys.argv[2:]:
+        kwargs["quant"] = "w8a8"
     print(json.dumps(fn(**kwargs)))
 
 

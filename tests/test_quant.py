@@ -119,6 +119,28 @@ def test_w8a8_paraformer_encoder_parity(rng):
     assert rel < 5e-2, rel
 
 
+def test_w8a8_sensevoice_ctc_parity(rng):
+    """W8A8 SenseVoice (shared SAN-M stack + CTC head) stays within budget."""
+    from funasr_tpu.models.sense_voice.model import SenseVoiceSmall
+    from funasr_tpu.ops.quant import quantize_params_int8
+    model = SenseVoiceSmall(
+        input_size=80, vocab_size=300, blank_id=0,
+        encoder_conf=dict(output_size=256, attention_heads=4,
+                          linear_units=512, num_blocks=2, tp_blocks=1,
+                          kernel_size=11))
+    params = model.init_params(jax.random.PRNGKey(0))
+    params_q = quantize_params_int8(params, mode="w8a8")
+    x = jnp.asarray(rng.standard_normal((2, 36, 80)) * 0.3, jnp.float32)
+    lens = jnp.asarray([36, 30], jnp.int32)
+    lid = jnp.zeros((2,), jnp.int32)
+    tn = jnp.zeros((2,), jnp.int32)
+    y, ylens, _ = model.infer_jit(params, x, lens, lid, tn)
+    y_q, ylens_q, _ = model.infer_jit(params_q, x, lens, lid, tn)
+    np.testing.assert_array_equal(np.asarray(ylens), np.asarray(ylens_q))
+    agree = float(np.mean(np.asarray(y) == np.asarray(y_q)))
+    assert agree > 0.9, agree
+
+
 def test_qwen_engine_int8_matches_bf16(rng):
     """Greedy decode with int8 weights matches fp32 on a tiny random QwenLM."""
     from funasr_tpu.models.llm.qwen import QwenConfig, QwenLM
