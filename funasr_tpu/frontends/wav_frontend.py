@@ -92,6 +92,8 @@ class WavFrontend:
     # models whose decode path buckets (B, T) itself can take the features as
     # device arrays straight from the fbank program — no host round trip
     supports_device_extract = True
+    # raw int16 PCM input is converted on-device (see extract/_pipeline)
+    supports_pcm16 = True
 
     def extract(self, waveforms: List[np.ndarray], device: bool = False):
         """list of float32 [-1, 1) (or raw int16 PCM) waveforms ->
@@ -115,6 +117,9 @@ class WavFrontend:
         for i, w in enumerate(waveforms):
             # reference clamps frame_length for ultra-short clips; we right-pad with
             # zeros to one full window instead (same frame count, silence tail)
+            w = np.asarray(w)
+            if dtype == np.float32 and w.dtype == np.int16:
+                w = w.astype(np.float32) / 32768.0  # mixed batch: rescale
             n = int(w.shape[0])
             batch[i, :n] = w
             lens[i] = max(n, self.frame_length)

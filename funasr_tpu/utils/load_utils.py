@@ -149,6 +149,15 @@ def resample(wav: np.ndarray, orig_fs: int, target_fs: int) -> np.ndarray:
 def load_audio(source: Any, fs: int = 16000, audio_fs: int = 16000) -> np.ndarray:
     """One source (path / bytes / ndarray / list of samples) -> float32 mono @ fs."""
     if isinstance(source, np.ndarray):
+        if source.dtype == np.int16:
+            # raw PCM16: keep int16 when no resample is needed — the device
+            # frontend converts on-chip (half the upload bytes, bit-exact;
+            # frontends that can't take PCM16 get a float conversion in
+            # extract_fbank). Previously int16 arrays were silently treated
+            # as float at PCM scale, i.e. 32768x too loud.
+            if source.ndim == 1 and audio_fs == fs:
+                return source
+            source = source.astype(np.float32) / 32768.0
         wav = source.astype(np.float32)
         if wav.ndim > 1:
             wav = wav.mean(axis=-1 if wav.shape[-1] <= 8 else 0)
@@ -228,6 +237,11 @@ def extract_fbank(audio_list: List[np.ndarray], data_type: str = "sound",
         for i, f in enumerate(feats):
             out[i, : f.shape[0]] = f
         return out, lens
+    if not getattr(frontend, "supports_pcm16", False) or cache is not None:
+        # frontends without a PCM16 device path take float [-1, 1)
+        audio_list = [w.astype(np.float32) / 32768.0
+                      if getattr(w, "dtype", None) == np.int16 else w
+                      for w in audio_list]
     if cache is not None:
         return frontend.forward_streaming(audio_list, cache=cache, is_final=is_final)
     if device and getattr(frontend, "supports_device_extract", False):

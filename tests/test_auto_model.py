@@ -154,6 +154,18 @@ def test_automodel_basic(asr_dir):
     assert len(res) == 1 and "text" in res[0]
 
 
+def test_automodel_int16_pcm_input_matches_float(asr_dir):
+    """Raw int16 PCM ndarray input (half the upload bytes; converted on
+    device) transcribes identically to the equivalent float input."""
+    from funasr_tpu.auto.auto_model import AutoModel
+    m = AutoModel(model=asr_dir, disable_update=True)
+    wav = _speechy_audio()
+    pcm = np.clip(wav * 32768.0, -32768, 32767).astype(np.int16)
+    res_f = m.generate(input=pcm.astype(np.float32) / 32768.0)
+    res_i = m.generate(input=pcm)
+    assert res_i[0]["text"] == res_f[0]["text"]
+
+
 def test_automodel_batch_and_keys(asr_dir):
     from funasr_tpu.auto.auto_model import AutoModel
     m = AutoModel(model=asr_dir, batch_size=2)
