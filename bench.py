@@ -86,7 +86,9 @@ def main_automodel():
         bf16=True, quant=quant)
 
     rng = np.random.default_rng(0)
-    waves = [np.asarray(rng.standard_normal(n) * 0.1, np.float32)
+    # PCM16 input — what production clients actually send; uploads half the
+    # bytes of float32 and converts on device (bit-exact, tests/test_auto_model)
+    waves = [np.asarray(rng.standard_normal(n) * 0.1 * 32767, np.int16)
              for _ in range(batch)]
     keys = [f"utt{i}" for i in range(batch)]
 
