@@ -159,8 +159,11 @@ def main():
             p, enc, enc_lens, max_tok)
         tl = jnp.clip(jnp.round(ptl).astype(jnp.int32), 0, pae.shape[1])
         stages = [
+            # the frontend is VPU/bandwidth-bound, not MXU-bound: report its
+            # achieved TFLOP/s only (peak=None) — an MFU% against the matmul
+            # peak would not be meaningful
             ("frontend", t_frontend, (waves, wlens),
-             frontend_flops(batch, frames), PEAK_BF16),
+             frontend_flops(batch, frames), None),
             ("encoder", t_encoder, (p, feats, flens),
              encoder_flops(batch, t_pad),
              PEAK_INT8 if mode == "w8a8" else PEAK_BF16),
@@ -174,18 +177,22 @@ def main():
             stages = stages[1:]  # frontend has no quantized weights
         for name, fn, args, flops, peak in stages:
             dt = bench(fn, *args)
-            rows.append({
+            row = {
                 "stage": f"{name}[{mode}]", "ms": round(dt * 1e3, 2),
                 "gflop": round(flops / 1e9, 1),
                 "tflops": round(flops / dt / 1e12, 1),
-                "mfu_pct": round(100 * flops / dt / peak, 1),
-            })
+            }
+            if peak is not None:
+                row["mfu_pct"] = round(100 * flops / dt / peak, 1)
+            rows.append(row)
 
     for r in rows:
         print(json.dumps(r))
+    # same decoder token count (pae.shape[1]) as the per-stage row, so the
+    # total is the sum of the stage GFLOPs
     total_flops = (frontend_flops(batch, frames) + encoder_flops(batch, t_pad)
                    + predictor_flops(batch, t_pad)
-                   + decoder_flops(batch, max_tok, t_pad))
+                   + decoder_flops(batch, pae.shape[1], t_pad))
     print(json.dumps({"total_gflop_per_batch": round(total_flops / 1e9, 1),
                       "audio_seconds_per_batch": batch * secs}))
 

@@ -36,6 +36,9 @@ class AutoFrontend:
             t0 = time.perf_counter()
             audio = load_audio_text_image_video(
                 batch, fs=self.frontend.fs, audio_fs=cfg.get("fs", 16000))
+            if not getattr(self.frontend, "supports_pcm16", False):
+                from funasr_tpu.utils.load_utils import as_unit_f32
+                audio = [as_unit_f32(a) for a in audio]
             feats, feat_lens = self.frontend.extract(audio)
             logging.debug("extract %d clips in %.3fs", len(batch),
                           time.perf_counter() - t0)

@@ -71,6 +71,9 @@ class ExportedModel:
 
         audio = load_audio_text_image_video(list(wavs), fs=self.frontend.fs,
                                             audio_fs=fs)
+        if not getattr(self.frontend, "supports_pcm16", False):
+            from funasr_tpu.utils.load_utils import as_unit_f32
+            audio = [as_unit_f32(a) for a in audio]
         feats, lens = self.frontend.extract(audio)
         b, t, _ = feats.shape
         e = self._pick(b, t)

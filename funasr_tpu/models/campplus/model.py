@@ -94,7 +94,8 @@ class CAMPPlus:
         """Returns [{"spk_embedding": (B, 192) np}] over the batch of clips
         (reference contract ``model.py:160-200``)."""
         from funasr_tpu.ops.fbank import fbank
-        from funasr_tpu.utils.load_utils import load_audio_text_image_video
+        from funasr_tpu.utils.load_utils import (as_pcm16_f32,
+                                                 load_audio_text_image_video)
 
         meta: Dict = {}
         t0 = time.perf_counter()
@@ -105,7 +106,8 @@ class CAMPPlus:
         feats = []
         maxlen = 0
         for au in audio_list:
-            f = np.asarray(fbank(jnp.asarray(au * 32768.0), num_mel_bins=self.feat_dim))
+            f = np.asarray(fbank(jnp.asarray(as_pcm16_f32(au)),
+                                 num_mel_bins=self.feat_dim))
             f = f - f.mean(axis=0, keepdims=True)
             feats.append(f)
             maxlen = max(maxlen, f.shape[0])

@@ -253,13 +253,15 @@ class Emotion2vec:
     def inference(self, params, data_in, data_lengths=None,
                   key: Optional[List] = None, tokenizer=None, frontend=None,
                   **kwargs):
-        from funasr_tpu.utils.load_utils import load_audio_text_image_video
+        from funasr_tpu.utils.load_utils import (as_unit_f32,
+                                                 load_audio_text_image_video)
 
         meta: Dict = {}
         t0 = time.perf_counter()
         audio_list = load_audio_text_image_video(
             data_in, fs=16000, audio_fs=kwargs.get("fs", 16000),
             data_type=kwargs.get("data_type", "sound"))
+        audio_list = [as_unit_f32(a) for a in audio_list]
         meta["load_data"] = f"{time.perf_counter() - t0:0.3f}"
         meta["batch_data_time"] = sum(len(a) for a in audio_list) / 16000.0
 

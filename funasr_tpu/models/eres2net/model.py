@@ -165,7 +165,8 @@ class ERes2NetV2:
     def inference(self, params, data_in, data_lengths=None, key: Optional[List] = None,
                   tokenizer=None, frontend=None, **kwargs):
         from funasr_tpu.ops.fbank import fbank
-        from funasr_tpu.utils.load_utils import load_audio_text_image_video
+        from funasr_tpu.utils.load_utils import (as_pcm16_f32,
+                                                 load_audio_text_image_video)
 
         meta: Dict = {}
         audio_list = load_audio_text_image_video(
@@ -173,7 +174,7 @@ class ERes2NetV2:
         feats = []
         maxlen = 0
         for au in audio_list:
-            f = np.asarray(fbank(jnp.asarray(au * 32768.0),
+            f = np.asarray(fbank(jnp.asarray(as_pcm16_f32(au)),
                                  num_mel_bins=self.feat_dim))
             f = f - f.mean(axis=0, keepdims=True)
             feats.append(f)

@@ -457,8 +457,9 @@ class FsmnVADStreaming:
         meta_data["load_data"] = f"{time.perf_counter() - t0:0.3f}"
         assert len(audio_list) == 1, "batch_size must be 1 for VAD"
 
+        from funasr_tpu.utils.load_utils import as_unit_f32
         audio = np.concatenate([cache["prev_samples"],
-                                np.asarray(audio_list[0], np.float32)])
+                                as_unit_f32(audio_list[0])])
         n = int(len(audio) // chunk_stride + int(is_final))
         m = int(len(audio) % chunk_stride * (1 - int(is_final)))
 

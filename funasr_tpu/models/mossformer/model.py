@@ -337,9 +337,11 @@ class MossFormer:
     def inference(self, params, data_in, data_lengths=None,
                   key: Optional[List] = None, tokenizer=None, frontend=None,
                   **kwargs):
-        from funasr_tpu.utils.load_utils import load_audio_text_image_video
+        from funasr_tpu.utils.load_utils import (as_unit_f32,
+                                                 load_audio_text_image_video)
         audio_list = load_audio_text_image_video(
             data_in, fs=16000, audio_fs=kwargs.get("fs", 16000))
+        audio_list = [as_unit_f32(a) for a in audio_list]
         maxlen = max(len(a) for a in audio_list)
         batch = np.zeros((len(audio_list), maxlen), np.float32)
         for i, a in enumerate(audio_list):

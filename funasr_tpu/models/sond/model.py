@@ -58,13 +58,14 @@ class XVector:
     def inference(self, params, data_in, data_lengths=None, key=None,
                   tokenizer=None, frontend=None, **kwargs):
         from funasr_tpu.ops.fbank import fbank
-        from funasr_tpu.utils.load_utils import load_audio_text_image_video
+        from funasr_tpu.utils.load_utils import (as_pcm16_f32,
+                                                 load_audio_text_image_video)
         audio_list = load_audio_text_image_video(
             data_in, fs=16000, audio_fs=kwargs.get("fs", 16000))
         feats = []
         maxlen = 0
         for au in audio_list:
-            f = np.asarray(fbank(jnp.asarray(au * 32768.0),
+            f = np.asarray(fbank(jnp.asarray(as_pcm16_f32(au)),
                                  num_mel_bins=self.input_size))
             f = f - f.mean(0, keepdims=True)
             feats.append(f)
@@ -424,7 +425,8 @@ class DiarSondModel:
             feats, feat_lens = extract_fbank(audio_list, frontend=frontend)
         else:
             from funasr_tpu.ops.fbank import fbank
-            fb = [np.asarray(fbank(jnp.asarray(a * 32768.0),
+            from funasr_tpu.utils.load_utils import as_pcm16_f32
+            fb = [np.asarray(fbank(jnp.asarray(as_pcm16_f32(a)),
                                    num_mel_bins=self.input_size))
                   for a in audio_list]
             feat_lens = np.asarray([f.shape[0] for f in fb], np.int32)

@@ -383,7 +383,8 @@ class WhisperModel:
         audio_list = load_audio_text_image_video(
             data_in, fs=frontend.fs, audio_fs=kwargs.get("fs", 16000))
         meta["load_data"] = f"{time.perf_counter() - t0:0.3f}"
-        mel, mel_lens = frontend.extract(audio_list)
+        from funasr_tpu.utils.load_utils import as_unit_f32
+        mel, mel_lens = frontend.extract([as_unit_f32(a) for a in audio_list])
         meta["batch_data_time"] = sum(len(a) for a in audio_list) / 16000.0
 
         encoder_out, _ = self.encode(params, jnp.asarray(mel))

@@ -130,14 +130,20 @@ def quantize_params_int8(params, min_dim: int = 256, mode: str = "weight_only"):
     int8 activations — compute play for batched offline serving; matmuls run
     on the MXU's double-rate int8 path). Layer-stacked ``(L, in, out)`` scan
     kernels quantize per layer; embedding tables (any subtree whose key
-    mentions "embed") are lookups, not matmuls, and are never touched."""
+    mentions "embed") are lookups, not matmuls, and are never touched.
+
+    The final logits projection (``output_layer`` / ``lm_head``) is the most
+    accuracy-sensitive matmul (per-token int8 activations there directly
+    reorder token argmax), so under "w8a8" it stays weight-only int8 — the
+    vLLM / TensorRT-LLM W8A8 recipe. Same bandwidth saving, bf16 activations."""
     key = {"weight_only": "w_q", "w8a8": "w_q8"}[mode]
 
     def walk(node, name=""):
         if "embed" in name:
             return node
         if _is_linear_node(node, name) and min(node["w"].shape[-2:]) >= min_dim:
-            return quantize_linear_int8(node, key=key)
+            k = "w_q" if name in ("output_layer", "lm_head") else key
+            return quantize_linear_int8(node, key=k)
         if isinstance(node, dict):
             return {k: walk(v, k) for k, v in node.items()}
         if isinstance(node, list):

@@ -146,8 +146,34 @@ def resample(wav: np.ndarray, orig_fs: int, target_fs: int) -> np.ndarray:
     return resample_poly(wav, target_fs // g, orig_fs // g).astype(np.float32)
 
 
+def as_unit_f32(wav: np.ndarray) -> np.ndarray:
+    """Any loaded waveform -> float32 in [-1, 1) (int16 PCM rescaled by 1/32768).
+
+    Consumers that bypass ``extract_fbank`` (speaker fbanks, raw-waveform
+    models, streaming VAD) call this to undo the int16 device-passthrough
+    that ``load_audio`` keeps for PCM16-capable frontends."""
+    if getattr(wav, "dtype", None) == np.int16:
+        return wav.astype(np.float32) / 32768.0
+    return np.asarray(wav, np.float32)
+
+
+def as_pcm16_f32(wav: np.ndarray) -> np.ndarray:
+    """Any loaded waveform -> float32 at PCM16 scale (unit floats x32768).
+
+    The scale kaldi-style fbank expects (reference feeds
+    ``waveform * 32768`` into its frontends)."""
+    if getattr(wav, "dtype", None) == np.int16:
+        return wav.astype(np.float32)
+    return np.asarray(wav, np.float32) * 32768.0
+
+
 def load_audio(source: Any, fs: int = 16000, audio_fs: int = 16000) -> np.ndarray:
-    """One source (path / bytes / ndarray / list of samples) -> float32 mono @ fs."""
+    """One source (path / bytes / ndarray / list of samples) -> mono @ fs.
+
+    Returns float32 in [-1, 1), EXCEPT a 1-D int16 ndarray at the target rate,
+    which passes through as int16 so PCM16-capable device frontends convert
+    on-chip (half the upload bytes, bit-exact). Downstream code that needs a
+    float waveform normalizes via ``as_unit_f32`` / ``as_pcm16_f32``."""
     if isinstance(source, np.ndarray):
         if source.dtype == np.int16:
             # raw PCM16: keep int16 when no resample is needed — the device
