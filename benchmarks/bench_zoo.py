@@ -97,7 +97,6 @@ def bench_sensevoice(batch: int = 32, secs: float = 15.0, quant: str = None):
 def bench_nano(batch: int = 16, secs: float = 15.0, new_tokens: int = 64,
                quant: str = None):
     from funasr_tpu.core.module import cast_floats
-    from funasr_tpu.llm.engine import Request
     from funasr_tpu.models.fun_asr_nano.model import FunASRNano
 
     # production shape: Paraformer-large SAN-M encoder (50x512) + Linear
@@ -123,21 +122,21 @@ def bench_nano(batch: int = 16, secs: float = 15.0, new_tokens: int = 64,
     flens = jnp.full((batch,), t_lfr, jnp.int32)
 
     encode = jax.jit(lambda p, s, l: model.encode_audio(p, s, l))
-    audio, audio_lens = encode(params, feats, flens)
-    audio = np.asarray(audio, np.float32)
-    audio_lens = np.asarray(audio_lens)
+    a0, al0 = encode(params, feats, flens)
+    audio_lens = np.asarray(al0)
 
     def run_once():
+        # device-resident prompt handoff: the encoder output feeds the LLM
+        # engine without a host round-trip (engine.submit_prompt_batch), the
+        # TPU twin of vLLM's on-GPU prompt_embeds path
         engine = model.engine(params, num_slots=batch, max_len=512)
-        reqs = [Request(request_id=i,
-                        input_embeds=audio[i, : audio_lens[i]],
-                        max_new_tokens=new_tokens, eos_token_ids=(),
-                        temperature=0.0)
-                for i in range(batch)]
         t0 = time.perf_counter()
         a, al = encode(params, feats, flens)
-        _fetch(a)
-        engine.generate(reqs)
+        reqs = engine.submit_prompt_batch(a, audio_lens,
+                                          max_new_tokens=new_tokens)
+        while any(not r.done for r in reqs):
+            if not engine.step():
+                break
         return time.perf_counter() - t0
 
     run_once()  # compile/warm (engine programs + prefill shapes)

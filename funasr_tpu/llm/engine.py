@@ -51,17 +51,28 @@ _EOS_PAD = 8  # fixed eos-id column width in the multi-step decode program
 @dataclasses.dataclass
 class Request:
     request_id: int
-    input_embeds: np.ndarray          # (T, D) prompt embeddings
+    input_embeds: Optional[np.ndarray] = None  # (T, D) prompt embeddings
     max_new_tokens: int = 256
     eos_token_ids: tuple = ()
     temperature: float = 0.0          # 0 = greedy
     prefix_len: int = 0               # leading rows shared across requests
+    # device-resident prompt (submit_prompt_batch): row dev_row of a shared
+    # (B, T, D) on-device buffer, prompt_len valid rows — the prompt never
+    # round-trips through the host (the audio encoder's output feeds the LLM
+    # directly, vLLM's prompt-embeds path)
+    dev_buffer: Optional[object] = None
+    dev_row: int = 0
+    prompt_len: int = 0
     # filled by the engine:
     output_ids: List[int] = dataclasses.field(default_factory=list)
     done: bool = False
     stream_cb: Optional[Callable[[int], None]] = None
     _rng: Optional[np.random.Generator] = None
     _prefix_key: Optional[tuple] = None
+
+    def __post_init__(self):
+        if self.input_embeds is not None:
+            self.prompt_len = int(self.input_embeds.shape[0])
 
 
 class LLMEngine:
@@ -95,11 +106,18 @@ class LLMEngine:
         self.n_prefix_hits = 0
         self._prefill_jit = jax.jit(self._prefill, static_argnames=("t",),
                                     donate_argnums=(1,))
+        self._prefill_dev_jit = jax.jit(self._prefill_dev,
+                                        static_argnames=("t", "start"),
+                                        donate_argnums=(1,))
         self._decode_jit = jax.jit(self._decode, donate_argnums=(1,))
         self._decode_multi_jit = jax.jit(self._decode_multi,
                                          static_argnames=("k",),
                                          donate_argnums=(1,))
-        self.decode_chunk = 8  # device steps per host sync (see _decode_multi)
+        # device steps per host sync (see _decode_multi): each sync pays a
+        # host<->device roundtrip, so at steady state the scan runs 32 greedy
+        # steps per fetch — EOS/budget tracking lives inside the program, so
+        # overshoot past a finished slot costs nothing but masked lanes
+        self.decode_chunk = 32
 
     # -- jitted kernels ------------------------------------------------------
 
@@ -110,20 +128,40 @@ class LLMEngine:
         padding): duplicate scatter indices write identical values, so the
         result is unchanged. Returns (kv, last-position logits (S, V), greedy
         first tokens (S,), their embeds (S, 1, D)) — the token fetch is a few
-        bytes, so greedy admission never pulls the (S, V) logits to host."""
+        bytes, so greedy admission never pulls the (S, V) logits to host.
+
+        Only the LAST valid position of each slice goes through the vocab
+        projection (lm.forward_hidden + gather, then lm.logits_head on a
+        (S, 1, D) row): the 150k-vocab matmul over a whole (S, t, D) chunk
+        would cost ~t x the needed FLOPs and materialize a GB-scale f32
+        logits tensor."""
         positions = starts[:, None] + jnp.arange(t)[None]
         sub_kv = [{"k": c["k"][slots], "v": c["v"][slots]} for c in kv]
-        logits, sub_kv = self.lm.forward(params, embeds, positions, sub_kv,
-                                         starts, starts + valids)
+        x, sub_kv = self.lm.forward_hidden(params, embeds, positions, sub_kv,
+                                           starts, starts + valids)
         for c, s in zip(kv, sub_kv):
             c["k"] = c["k"].at[slots].set(s["k"])
             c["v"] = c["v"].at[slots].set(s["v"])
         idx = (valids - 1)[:, None, None]
-        last = jnp.take_along_axis(
-            logits, idx.repeat(logits.shape[-1], -1), axis=1)[:, 0]
+        last_x = jnp.take_along_axis(
+            x, idx.repeat(x.shape[-1], -1), axis=1)
+        last = self.lm.logits_head(params, last_x)[:, 0]
         first_tok = jnp.argmax(last, -1).astype(jnp.int32)
         first_emb = self.lm.embed(params, first_tok[:, None], self.dtype)
         return kv, last, first_tok, first_emb
+
+    def _prefill_dev(self, params, kv, buffer, rows, slots, starts, valids,
+                     t, start):
+        """:meth:`_prefill` fed from a shared DEVICE prompt buffer: rows
+        ``rows`` of ``buffer`` (B, T, D), slice [start, start+t). The slice +
+        gather happen inside the program, so prompt embeds never leave the
+        device (the host-numpy assembly path costs a device->host fetch plus
+        a re-upload per prompt — on a tunneled chip that dwarfs the prefill
+        compute itself). ``start`` is static: chunk starts are multiples of
+        prefill_chunk, so the compile count stays max_len/prefill_chunk."""
+        chunk = jax.lax.dynamic_slice_in_dim(buffer, start, t, axis=1)
+        embeds = chunk[rows].astype(self.dtype)
+        return self._prefill(params, kv, embeds, slots, starts, valids, t)
 
     def _decode(self, params, kv, token_embeds, slot_lens):
         """One step for all slots. token_embeds: (B, 1, D); slot_lens: (B,)
@@ -200,7 +238,39 @@ class LLMEngine:
     def submit(self, req: Request):
         self.queue.append(req)
 
+    def submit_prompt_batch(self, embeds, lens, max_new_tokens: int = 256,
+                            eos_token_ids: tuple = (),
+                            request_ids: Optional[List[int]] = None,
+                            stream_cbs: Optional[List] = None
+                            ) -> List[Request]:
+        """Submit a batch of prompts that LIVE ON DEVICE: ``embeds`` is a
+        (B, T, D) jax array (e.g. the audio encoder's output), ``lens`` the
+        per-row valid prompt lengths. The prompts are prefilled by in-program
+        slicing of the shared buffer (:meth:`_prefill_dev`) — zero
+        host<->device prompt traffic, the TPU twin of vLLM's on-GPU
+        prompt-embeds handoff (reference ``inference_vllm.py`` passes
+        prompt_embeds GPU-side). Greedy-only (on-device sampling path)."""
+        import jax.numpy as _jnp
+        lens = np.asarray(lens)
+        b, t = int(embeds.shape[0]), int(embeds.shape[1])
+        pad = -t % self.prefill_chunk
+        if pad:  # _prefill_dev slices [start, start+tb) — keep it in bounds
+            embeds = _jnp.pad(embeds, ((0, 0), (0, pad), (0, 0)))
+        reqs = []
+        for i in range(b):
+            req = Request(
+                request_id=(request_ids[i] if request_ids else i),
+                dev_buffer=embeds, dev_row=i,
+                prompt_len=int(min(lens[i], self.max_len - 1)),
+                max_new_tokens=max_new_tokens, eos_token_ids=eos_token_ids,
+                stream_cb=stream_cbs[i] if stream_cbs else None)
+            reqs.append(req)
+            self.submit(req)
+        return reqs
+
     def _prefix_key(self, req: Request) -> Optional[tuple]:
+        if req.input_embeds is None:
+            return None  # device-resident prompt: bytes never reach the host
         plen = int(req.prefix_len)
         if plen < self.min_prefix_len or plen >= req.input_embeds.shape[0]:
             return None
@@ -218,10 +288,10 @@ class LLMEngine:
         for slot in range(self.num_slots):
             if self.slot_req[slot] is None and self.queue:
                 req = self.queue.pop(0)
-                t = req.input_embeds.shape[0]
-                if t >= self.max_len:
-                    req.input_embeds = req.input_embeds[: self.max_len - 1]
-                    t = self.max_len - 1
+                if req.prompt_len >= self.max_len:
+                    req.prompt_len = self.max_len - 1
+                    if req.input_embeds is not None:
+                        req.input_embeds = req.input_embeds[: self.max_len - 1]
                 self.slot_req[slot] = req
                 self.slot_len[slot] = 0
                 self.slot_new[slot] = 0
@@ -255,30 +325,37 @@ class LLMEngine:
 
     def _prefilling_slots(self) -> List[int]:
         return [i for i, r in enumerate(self.slot_req)
-                if r is not None
-                and self.slot_prefill_pos[i] < r.input_embeds.shape[0]]
+                if r is not None and self.slot_prefill_pos[i] < r.prompt_len]
 
     def _prefill_one_chunk(self):
-        """Advance EVERY prefilling slot by one chunk in one batched program
-        per chunk-size bucket (decode stall per step stays bounded by a
-        single chunk forward; a fleet of fresh prompts admits in O(chunks),
-        not O(slots x chunks) dispatches)."""
+        """Advance EVERY prefilling slot by one chunk, batched into one
+        program per chunk-size bucket. Throughput-over-latency tradeoff: a
+        fleet of fresh prompts admits in O(chunks), not O(slots x chunks),
+        dispatches, but the per-step prefill batch spans up to num_slots
+        rows — in-flight decode streams stall for one BATCHED chunk forward
+        during an admission burst, not a single-slot one."""
         slots = self._prefilling_slots()
         if not slots:
             return
-        # group by padded chunk length so each group is one fixed-shape call
+        # group by padded chunk length so each group is one fixed-shape call;
+        # device-resident prompts additionally group by their shared buffer +
+        # chunk start (the slice index is static in _prefill_dev)
         groups = {}
         for slot in slots:
             req = self.slot_req[slot]
             start = int(self.slot_prefill_pos[slot])
-            valid = min(self.prefill_chunk, req.input_embeds.shape[0] - start)
+            valid = min(self.prefill_chunk, req.prompt_len - start)
             tb = bucket_length(valid, minimum=32, multiple=32)
             # never let the padded slice spill past max_len: the kv scatter
             # wraps modulo cache length and would overwrite the prompt's own
             # rows 0..31 (prompts are truncated to max_len-1, so valid fits)
             tb = min(tb, self.max_len - start)
-            groups.setdefault(tb, []).append((slot, start, valid))
-        for tb, entries in groups.items():
+            if req.dev_buffer is not None:
+                key = (tb, id(req.dev_buffer), start)
+            else:
+                key = (tb, None, None)
+            groups.setdefault(key, []).append((slot, start, valid))
+        for (tb, buf_id, _), entries in groups.items():
             self._ensure_capacity(
                 max(start + tb for _, start, _ in entries) + 1)
             # pad the slot axis to a power-of-two bucket by REPEATING entry 0
@@ -288,23 +365,38 @@ class LLMEngine:
             while s < len(entries):
                 s *= 2
             padded = entries + [entries[0]] * (s - len(entries))
-            dim = self.slot_req[padded[0][0]].input_embeds.shape[1]
-            embeds = np.zeros((s, tb, dim), np.float32)
-            for i, (slot, start, valid) in enumerate(padded):
-                req = self.slot_req[slot]
-                embeds[i, :valid] = req.input_embeds[start: start + valid]
-            self.kv, last_logits, first_toks, first_embs = self._prefill_jit(
-                self.params, self.kv, jnp.asarray(embeds, self.dtype),
-                jnp.asarray([e[0] for e in padded], jnp.int32),
-                jnp.asarray([e[1] for e in padded], jnp.int32),
-                jnp.asarray([e[2] for e in padded], jnp.int32), t=tb)
+            slots_arr = jnp.asarray([e[0] for e in padded], jnp.int32)
+            starts_arr = jnp.asarray([e[1] for e in padded], jnp.int32)
+            valids_arr = jnp.asarray([e[2] for e in padded], jnp.int32)
+            if buf_id is not None:
+                buffer = self.slot_req[padded[0][0]].dev_buffer
+                # tb may exceed a short buffer's padded T on the final chunk —
+                # the slice is clamped to the buffer, extra rows are masked
+                # by valids
+                t_eff = min(tb, buffer.shape[1] - padded[0][1])
+                rows = jnp.asarray(
+                    [self.slot_req[e[0]].dev_row for e in padded], jnp.int32)
+                self.kv, last_logits, first_toks, first_embs = \
+                    self._prefill_dev_jit(
+                        self.params, self.kv, buffer, rows, slots_arr,
+                        starts_arr, valids_arr, t=t_eff, start=padded[0][1])
+            else:
+                dim = self.slot_req[padded[0][0]].input_embeds.shape[1]
+                embeds = np.zeros((s, tb, dim), np.float32)
+                for i, (slot, start, valid) in enumerate(padded):
+                    req = self.slot_req[slot]
+                    embeds[i, :valid] = req.input_embeds[start: start + valid]
+                self.kv, last_logits, first_toks, first_embs = \
+                    self._prefill_jit(
+                        self.params, self.kv, jnp.asarray(embeds, self.dtype),
+                        slots_arr, starts_arr, valids_arr, t=tb)
             finals = []
             for i, (slot, start, valid) in enumerate(entries):
                 req = self.slot_req[slot]
                 self.slot_prefill_pos[slot] = start + valid
                 self.slot_len[slot] = start + valid
                 self._maybe_store_prefix(slot, start)
-                if start + valid >= req.input_embeds.shape[0]:
+                if start + valid >= req.prompt_len:
                     finals.append((i, slot))
             if not finals:
                 continue

@@ -25,6 +25,31 @@ from funasr_tpu.models.llm.qwen import QwenConfig, QwenLM
 from funasr_tpu.register import tables
 
 
+@jax.jit
+def _assemble_prompts_jit(prefix, audio, audio_lens, suffix):
+    """Splice [prefix | audio rows | suffix] per batch row ON DEVICE.
+
+    prefix (P, D) / suffix (S, D) token embeds, audio (B, Ta, D) with
+    per-row valid lengths -> ((B, P+Ta+S, D) prompts, (B,) prompt lens).
+    Pure gather/where (no per-row dynamic shapes), so one fixed-shape
+    program covers every batch; rows beyond a prompt's length are garbage
+    the engine masks via the returned lens."""
+    b, ta, _ = audio.shape
+    p, s = prefix.shape[0], suffix.shape[0]
+    pos = jnp.arange(p + ta + s)[None]                 # (1, T)
+    al = audio_lens[:, None]                           # (B, 1)
+    in_prefix = (pos < p)[..., None]
+    in_audio = ((pos >= p) & (pos < p + al))[..., None]
+    pre_idx = jnp.clip(pos, 0, p - 1)                  # (1, T)
+    aud_idx = jnp.clip(pos - p, 0, ta - 1)             # (B, T) after bcast
+    suf_idx = jnp.clip(pos - p - al, 0, s - 1)         # (B, T)
+    aud_rows = jnp.take_along_axis(
+        audio, jnp.broadcast_to(aud_idx, (b, pos.shape[1]))[..., None], axis=1)
+    out = jnp.where(in_prefix, prefix[pre_idx],
+                    jnp.where(in_audio, aud_rows, suffix[suf_idx]))
+    return out, p + audio_lens + s
+
+
 @tables.register("model_classes", "FunASRNano")
 class FunASRNano:
     def __init__(self, audio_encoder: str = "SANMEncoder",
@@ -204,7 +229,6 @@ class FunASRNano:
 
         audio_embeds, audio_lens = self.encode_audio(
             params, jnp.asarray(speech), jnp.asarray(speech_lengths))
-        audio_embeds = np.asarray(audio_embeds, np.float32)
         audio_lens = np.asarray(audio_lens)
 
         prompt = self.get_prompt(
@@ -225,26 +249,46 @@ class FunASRNano:
                 except Exception:  # noqa: BLE001
                     pass
 
-        prefix_emb = np.asarray(self.llm.embed(
-            params["llm"], jnp.asarray(prefix_ids), jnp.float32))
-        suffix_emb = np.asarray(self.llm.embed(
-            params["llm"], jnp.asarray(suffix_ids), jnp.float32))
-
         engine = self.engine(params, num_slots=kwargs.get("num_slots", 8),
                              max_len=kwargs.get("max_model_len", 2048))
-        requests = []
-        for i in range(audio_embeds.shape[0]):
-            emb = np.concatenate(
-                [prefix_emb, audio_embeds[i, : audio_lens[i]], suffix_emb], axis=0)
-            requests.append(Request(
-                request_id=i, input_embeds=emb,
-                max_new_tokens=kwargs.get("max_new_tokens", 256),
-                eos_token_ids=eos_ids,
-                temperature=kwargs.get("temperature", 0.0),
-                # every request repeats the same ChatML prefix — the engine's
-                # prefix cache prefills it once per engine lifetime
-                prefix_len=prefix_emb.shape[0]))
-        engine.generate(requests)
+        temperature = kwargs.get("temperature", 0.0)
+        max_new = kwargs.get("max_new_tokens", 256)
+        if not temperature:
+            # greedy serving path: splice prefix/audio/suffix ON DEVICE and
+            # hand the (B, T, D) prompt buffer to the engine — zero
+            # host<->device prompt traffic (vLLM prompt_embeds twin)
+            prompts, prompt_lens = _assemble_prompts_jit(
+                self.llm.embed(params["llm"], jnp.asarray(prefix_ids),
+                               jnp.float32),
+                audio_embeds.astype(jnp.float32), jnp.asarray(audio_lens),
+                self.llm.embed(params["llm"], jnp.asarray(suffix_ids),
+                               jnp.float32))
+            requests = engine.submit_prompt_batch(
+                prompts, np.asarray(prompt_lens), max_new_tokens=max_new,
+                eos_token_ids=eos_ids)
+            while any(not r.done for r in requests):
+                if not engine.step():
+                    break
+        else:
+            prefix_emb = np.asarray(self.llm.embed(
+                params["llm"], jnp.asarray(prefix_ids), jnp.float32))
+            suffix_emb = np.asarray(self.llm.embed(
+                params["llm"], jnp.asarray(suffix_ids), jnp.float32))
+            audio_np = np.asarray(audio_embeds, np.float32)
+            requests = []
+            for i in range(audio_np.shape[0]):
+                emb = np.concatenate(
+                    [prefix_emb, audio_np[i, : audio_lens[i]], suffix_emb],
+                    axis=0)
+                requests.append(Request(
+                    request_id=i, input_embeds=emb,
+                    max_new_tokens=max_new,
+                    eos_token_ids=eos_ids,
+                    temperature=temperature,
+                    # every request repeats the same ChatML prefix — the
+                    # engine's prefix cache prefills it once per lifetime
+                    prefix_len=prefix_emb.shape[0]))
+            engine.generate(requests)
 
         if key is None:
             key = [f"rand_key_{i}" for i in range(len(requests))]

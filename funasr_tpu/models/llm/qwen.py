@@ -191,21 +191,25 @@ class QwenLM:
         v_cache = _scatter_time(kv["v"], v.astype(kv["v"].dtype), idx)
         new_kv = {"k": k_cache, "v": v_cache}
 
+        # grouped-query attention WITHOUT materializing a repeated cache:
+        # q regroups to (B, T, K, G, hd) and contracts against the (B, S, K,
+        # hd) cache directly. Decode is KV-bandwidth-bound, so jnp.repeat
+        # (which doubles the cache bytes touched per step) was the dominant
+        # HBM cost; the grouped einsum reads each cache row exactly once.
         n_rep = c.num_attention_heads // c.num_key_value_heads
-        kk = jnp.repeat(k_cache, n_rep, axis=2)  # (B, S, H, hd)
-        vv = jnp.repeat(v_cache, n_rep, axis=2)
-
         scale = c.hd ** -0.5
-        scores = jnp.einsum("bthd,bshd->bhts", q.astype(jnp.float32) * scale,
-                            kk.astype(jnp.float32))
+        qg = (q.astype(jnp.float32) * scale).reshape(
+            b, t, c.num_key_value_heads, n_rep, c.hd)
+        scores = jnp.einsum("btkgd,bskd->bkgts", qg,
+                            k_cache.astype(jnp.float32))
         # causal + validity mask: query i (global pos = write_pos + i) sees cache
         # positions < write_pos + i + 1 and < kv_lens
-        qpos = positions[:, None, :, None]  # (B, 1, T, 1)
-        spos = jnp.arange(max_len)[None, None, None, :]
-        valid = (spos <= qpos) & (spos < kv_lens[:, None, None, None])
+        qpos = positions[:, None, None, :, None]  # (B, 1, 1, T, 1)
+        spos = jnp.arange(max_len)[None, None, None, None, :]
+        valid = (spos <= qpos) & (spos < kv_lens[:, None, None, None, None])
         scores = jnp.where(valid, scores, -jnp.inf)
         attn = jax.nn.softmax(scores, axis=-1)
-        ctx = jnp.einsum("bhts,bshd->bthd", attn.astype(x.dtype), vv)
+        ctx = jnp.einsum("bkgts,bskd->btkgd", attn.astype(x.dtype), v_cache)
         ctx = ctx.reshape(b, t, c.num_attention_heads * c.hd)
         out = qlinear(lp["o_proj"], ctx)
         return out, new_kv
@@ -246,9 +250,13 @@ class QwenLM:
                        .astype(x.dtype))
         return jnp.einsum("betd,bte->btd", y, gates.astype(x.dtype))
 
-    def forward(self, params, input_embeds, positions, kv_cache, write_pos, kv_lens):
-        """input_embeds: (B, T, D); positions: (B, T) global positions; returns
-        (logits (B, T, V), new_kv_cache)."""
+    def forward_hidden(self, params, input_embeds, positions, kv_cache,
+                       write_pos, kv_lens):
+        """Transformer stack only: (B, T, D) embeds -> ((B, T, D) pre-final-norm
+        hidden states, new_kv_cache). Callers that need logits for a subset of
+        positions (prefill wants only the last one) gather BEFORE
+        :meth:`logits_head` — the vocab matmul is ~150x wider than the stack's
+        hidden dim, so computing it over a whole prompt chunk is pure waste."""
         c = self.cfg
         x = input_embeds
         new_cache = []
@@ -260,13 +268,25 @@ class QwenLM:
             x = x + (self._moe_mlp(lp, h) if "experts" in lp
                      else self._mlp(lp, h))
             new_cache.append(kv)
+        return x, new_cache
+
+    def logits_head(self, params, x):
+        """Final RMSNorm + vocab projection: (B, T, D) -> (B, T, V) f32."""
+        c = self.cfg
         x = rms_norm(params["norm"], x, c.rms_norm_eps)
         if c.tie_word_embeddings:
             logits = jnp.matmul(x, params["embed_tokens"].T.astype(x.dtype),
                                 preferred_element_type=jnp.float32)
         else:
             logits = qlinear(params["lm_head"], x).astype(jnp.float32)
-        return logits.astype(jnp.float32), new_cache
+        return logits.astype(jnp.float32)
+
+    def forward(self, params, input_embeds, positions, kv_cache, write_pos, kv_lens):
+        """input_embeds: (B, T, D); positions: (B, T) global positions; returns
+        (logits (B, T, V), new_kv_cache)."""
+        x, new_cache = self.forward_hidden(params, input_embeds, positions,
+                                           kv_cache, write_pos, kv_lens)
+        return self.logits_head(params, x), new_cache
 
     def embed(self, params, token_ids, dtype=jnp.bfloat16):
         # mode="clip" matches jit semantics; eager default would NaN-fill

@@ -253,3 +253,66 @@ def test_prefix_cache_distinct_prefixes_no_false_hit(lm_and_params):
     assert ra.output_ids == wa and rb.output_ids == wb and rc.output_ids == wb
     assert engine.n_prefix_hits == 0
     assert len(engine.prefix_cache) == 2
+
+
+def test_device_prompt_batch_matches_host_path(lm_and_params):
+    """submit_prompt_batch (device-resident prompts, in-program slicing)
+    decodes the same tokens as host-numpy Request prompts."""
+    from funasr_tpu.llm.engine import LLMEngine, Request
+    lm, params = lm_and_params
+    rng = np.random.default_rng(7)
+    n_new = 6
+    lens = [9, 5, 12]
+    t_max = max(lens)
+    buf = np.zeros((3, t_max, 32), np.float32)
+    prompts = []
+    for i, L in enumerate(lens):
+        p = rng.standard_normal((L, 32)).astype(np.float32)
+        prompts.append(p)
+        buf[i, :L] = p
+
+    host = LLMEngine(lm, params, num_slots=4, max_len=64, dtype=jnp.float32)
+    host_reqs = [Request(request_id=i, input_embeds=p, max_new_tokens=n_new)
+                 for i, p in enumerate(prompts)]
+    host.generate(host_reqs)
+
+    dev = LLMEngine(lm, params, num_slots=4, max_len=64, dtype=jnp.float32)
+    dev_reqs = dev.submit_prompt_batch(jnp.asarray(buf), np.asarray(lens),
+                                       max_new_tokens=n_new)
+    while any(not r.done for r in dev_reqs):
+        if not dev.step():
+            break
+    for h, d in zip(host_reqs, dev_reqs):
+        assert h.output_ids == d.output_ids, (h.output_ids, d.output_ids)
+
+
+def test_device_prompt_batch_multichunk(lm_and_params):
+    """Device prompts longer than prefill_chunk prefill in several in-program
+    slices and still match the host path."""
+    from funasr_tpu.llm.engine import LLMEngine, Request
+    lm, params = lm_and_params
+    rng = np.random.default_rng(11)
+    n_new = 4
+    lens = [70, 40]
+    buf = np.zeros((2, 70, 32), np.float32)
+    prompts = []
+    for i, L in enumerate(lens):
+        p = rng.standard_normal((L, 32)).astype(np.float32)
+        prompts.append(p)
+        buf[i, :L] = p
+
+    host = LLMEngine(lm, params, num_slots=2, max_len=128, dtype=jnp.float32,
+                     prefill_chunk=32)
+    host_reqs = [Request(request_id=i, input_embeds=p, max_new_tokens=n_new)
+                 for i, p in enumerate(prompts)]
+    host.generate(host_reqs)
+
+    dev = LLMEngine(lm, params, num_slots=2, max_len=128, dtype=jnp.float32,
+                    prefill_chunk=32)
+    dev_reqs = dev.submit_prompt_batch(jnp.asarray(buf), np.asarray(lens),
+                                       max_new_tokens=n_new)
+    while any(not r.done for r in dev_reqs):
+        if not dev.step():
+            break
+    for h, d in zip(host_reqs, dev_reqs):
+        assert h.output_ids == d.output_ids, (h.output_ids, d.output_ids)
