@@ -61,6 +61,56 @@ WHITELIST: Dict[str, Dict[str, str]] = {
     "ko": {"세븐일레븐": "7-eleven"},
 }
 
+_CJK_LANGS = ("ja", "ko", "zh")
+
+
+def add_whitelist(lang: str, mapping: Dict[str, str]) -> None:
+    """Extend a language's whitelist with ``{spoken: written}`` entries
+    (reference role: the per-language ``data/whitelist.tsv`` files are
+    user-extensible data, not code)."""
+    WHITELIST.setdefault(lang, {}).update(mapping)
+
+
+def parse_whitelist_tsv(path: str) -> Dict[str, str]:
+    """Read a whitelist TSV in the reference's column order —
+    ``written<TAB>spoken`` per row (see
+    ``/root/reference/fun_text_processing/inverse_text_normalization/<lang>/
+    data/whitelist.tsv``: "e.g.\\tfor example") — into {spoken: written}."""
+    table: Dict[str, str] = {}
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if not line or line.startswith("#"):
+                continue
+            parts = line.split("\t")
+            if len(parts) >= 2 and parts[0] and parts[1]:
+                table[parts[1]] = parts[0]
+    return table
+
+
+def load_whitelist_tsv(lang: str, path: str) -> None:
+    """Load a reference-format whitelist TSV into the global table."""
+    add_whitelist(lang, parse_whitelist_tsv(path))
+
+
+def apply_whitelist_table(text: str, table: Dict[str, str],
+                          cjk: bool = False) -> str:
+    """Apply one spoken->written table (longest-phrase-first; token-boundary
+    + case-insensitive for spaced scripts, substring for CJK)."""
+    if not table:
+        return text
+    if cjk:
+        for spoken in sorted(table, key=lambda s: (-len(s), s)):
+            text = text.replace(spoken, table[spoken])
+        return text
+    for spoken in sorted(table,
+                         key=lambda s: (-len(s.split()), -len(s), s)):
+        pat = re.compile(r"(?<![A-Za-z0-9])" + re.escape(spoken)
+                         + r"(?![A-Za-z0-9])", re.IGNORECASE)
+        text = pat.sub(table[spoken], text)
+    return text
+
+
 def _wordy(tok: str, reserved) -> bool:
     # ASCII-only by spec (usernames/domains are [a-z0-9]) — keeps the pass
     # byte-portable to the C++ interpreter
@@ -203,17 +253,5 @@ def apply_electronic(lang: str, text: str) -> str:
 
 
 def apply_whitelist(lang: str, text: str) -> str:
-    table = WHITELIST.get(lang)
-    if not table:
-        return text
-    if lang in ("ja", "ko", "zh"):
-        for spoken in sorted(table, key=lambda s: (-len(s), s)):
-            text = text.replace(spoken, table[spoken])
-        return text
-    for spoken in sorted(table,
-                         key=lambda s: (-len(s.split()), -len(s), s)):
-        # token-boundary replace, case-insensitive on the spoken side
-        pat = re.compile(r"(?<![A-Za-z0-9])" + re.escape(spoken)
-                         + r"(?![A-Za-z0-9])", re.IGNORECASE)
-        text = pat.sub(table[spoken], text)
-    return text
+    return apply_whitelist_table(text, WHITELIST.get(lang) or {},
+                                 cjk=lang in _CJK_LANGS)

@@ -92,7 +92,7 @@ def export_grammar(path: str | None = None) -> Dict:
             "joiners": sorted(lex.joiners),
             "hundreds_direct": lex.hundreds_direct,
             "x10_words": sorted(lex.x10_words),
-            "pre": {"de": "de", "id": "id"}.get(code),
+            "pre": {"de": "de", "id": "id", "tl": "tl"}.get(code),
         }
     # CJK positional systems
     langs["ja"] = {"type": "cjk", "digits": multilingual._JA_DIGITS,
@@ -142,6 +142,27 @@ def export_grammar(path: str | None = None) -> Dict:
             spec["ordinals"] = {
                 w: cls.ordinal_fmt(v)
                 for w, v in _gen_ordinal_surfaces(code).items()}
+        elif cls.ordinal_value is not None and code in ("id", "tl"):
+            # prefix ordinals (ke-/ika-): enumerate surfaces by prefixing
+            # every ones/tens word, validated through the host parser
+            from funasr_tpu.text import multilingual as _ml
+            from funasr_tpu.text.multilingual_classes import \
+                _TL_ORD_IRREGULAR
+            lex_w = _ml._ID_LEX if code == "id" else _ml._TL_LEX
+            prefixes = (("ke", "ke-") if code == "id"
+                        else ("ika", "ika-", "ikang"))
+            surfaces = (["pertama", "kesatu"] if code == "id"
+                        else list(_TL_ORD_IRREGULAR))
+            for base in list(lex_w.ones) + list(lex_w.tens):
+                for pre in prefixes:
+                    surfaces.append(pre + base)
+                    if code == "tl":
+                        surfaces.append(pre + base + "ng")
+            spec["ordinals"] = {}
+            for w in surfaces:
+                v = cls.ordinal_value(w)
+                if v is not None:
+                    spec["ordinals"][w] = cls.ordinal_fmt(v)
         # v4: declarative time/date regex rules (Python-re ∩ ECMAScript
         # dialect) + lookup maps — the C++ interpreter applies the SAME rules
         # via std::regex (itn-grammar.cc ApplyTimedateRules)

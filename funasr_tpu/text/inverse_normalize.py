@@ -22,13 +22,23 @@ _KNOWN = {"de", "en", "es", "fr", "id", "ja", "ko", "pt", "ru", "tl", "vi", "zh"
 
 class InverseNormalizer:
     def __init__(self, lang: str = "zh", cache_dir: str = None,
-                 overwrite_cache: bool = False, **kwargs):
+                 overwrite_cache: bool = False, whitelist=None, **kwargs):
+        """``whitelist``: extra spoken->written entries applied after the
+        language grammar — a dict, or a path to a TSV in the reference's
+        ``data/whitelist.tsv`` format (``written<TAB>spoken`` rows). This is
+        the user-extensible whitelist role of the reference's per-language
+        data files (they are data, not grammar code)."""
         if lang not in _KNOWN:
             raise ValueError(f"unknown language {lang}; known: {sorted(_KNOWN)}")
         if lang not in _SUPPORTED:
             logging.warning("ITN rules for '%s' not yet implemented; "
                             "passing text through unchanged", lang)
         self.lang = lang
+        self.whitelist = {}
+        if whitelist is not None:
+            from funasr_tpu.text.electronic import parse_whitelist_tsv
+            self.whitelist = (dict(whitelist) if isinstance(whitelist, dict)
+                              else parse_whitelist_tsv(whitelist))
 
     def inverse_normalize(self, text: str, verbose: bool = False) -> str:
         if self.lang == "zh":
@@ -39,6 +49,11 @@ class InverseNormalizer:
             out = ITN_FUNCS[self.lang](text)
         else:
             out = text
+        if self.whitelist:
+            from funasr_tpu.text.electronic import (_CJK_LANGS,
+                                                    apply_whitelist_table)
+            out = apply_whitelist_table(out, self.whitelist,
+                                        cjk=self.lang in _CJK_LANGS)
         if verbose:
             print(out)
         return out

@@ -121,6 +121,7 @@ def _parse_words(tokens: List[str], lex: _Lex) -> Optional[int]:
     total = 0
     current = 0
     any_number = False
+    explicit_zero = False  # "không trăm hai mươi" = 020, not 100+20
     for tok in tokens:
         if tok in lex.joiners:
             continue
@@ -128,12 +129,13 @@ def _parse_words(tokens: List[str], lex: _Lex) -> Optional[int]:
             current += lex.hundreds_direct[tok]
         elif tok in lex.ones:
             current += lex.ones[tok]
+            explicit_zero = explicit_zero or lex.ones[tok] == 0
         elif tok in lex.tens:
             current += lex.tens[tok]
         elif tok in lex.x10_words:
-            current = (current if current else 1) * 10
+            current = (current if current or explicit_zero else 1) * 10
         elif tok in lex.hundred_words:
-            current = (current if current else 1) * 100
+            current = (current if current or explicit_zero else 1) * 100
         elif tok in lex.scales:
             scale = lex.scales[tok]
             total += (current if current else 1) * scale
@@ -344,14 +346,15 @@ _ID_SCALES = {"ribu": 1000, "seribu": 1000, "juta": 10 ** 6,
               "miliar": 10 ** 9}
 _ID_LEX = _Lex(_ID_ONES, _ID_TENS, ["ratus", "seratus"], _ID_SCALES,
                x10_words=["puluh"])
-_ID_LEX.ones["__belas__"] = 10
-_ID_LEX.vocab.add("__belas__")
+# teens: "tiga belas" = 13 (additive ten, also spelled as one word below)
+_ID_LEX.ones["belas"] = 10
+_ID_LEX.vocab.add("belas")
 
 
 def _id_pre(word: str):
-    # tujuhbelas = tujuh + 10
+    # tujuhbelas = tujuh + belas (10)
     if word.endswith("belas") and word[:-5] in _ID_ONES:
-        return [word[:-5], "__belas__"]
+        return [word[:-5], "belas"]
     return None
 
 
@@ -368,9 +371,22 @@ _VI_SCALES = {"nghìn": 1000, "ngàn": 1000, "triệu": 10 ** 6, "tỷ": 10 ** 9
 _VI_LEX = _Lex(_VI_ONES, {}, ["trăm"], _VI_SCALES, joiners=["lẻ", "linh"],
                x10_words=["mươi"])
 
+_VI_YEAR_GUARD = "\x00năm\x00"
+
 
 def inverse_normalize_vi(text: str) -> str:
-    return _word_itn(text, _VI_LEX)
+    # "năm" is both 5 and the year marker: in "tháng <X> năm <number...>"
+    # protect the marker so the cardinal pass doesn't fuse it into the year
+    # (reference vi date tagger consumes the marker structurally)
+    words = text.split()
+    for j, w in enumerate(words):
+        if w == "năm" and j + 1 < len(words):
+            nxt = words[j + 1].lower().strip(",.!?;:")
+            near_month = ("tháng" in words[max(0, j - 3): j])
+            if near_month and (nxt in _VI_LEX.vocab or nxt.isdigit()):
+                words[j] = _VI_YEAR_GUARD
+    out = _word_itn(" ".join(words), _VI_LEX)
+    return out.replace(_VI_YEAR_GUARD, "năm")
 
 
 # --- Tagalog ---------------------------------------------------------------------
@@ -385,8 +401,28 @@ _TL_LEX = _Lex(_TL_ONES, _TL_TENS, ["daan", "raan"], _TL_SCALES,
                joiners=["at", "na", "'t"])
 
 
+def _tl_pre(word: str):
+    """Tagalog teens: productive labing-/labin-/labim- prefix = 10 + base
+    (reference tl/data/numbers/teen.tsv: labintatlo 13, labing-apat 14,
+    labinlima 15...)."""
+    if word in _TL_LEX.vocab:
+        return None
+    if word.endswith("'t") and word[:-2] in _TL_LEX.vocab:
+        return [word[:-2], "'t"]  # dalawampu't lima = 20 and 5
+    for pre in ("labing-", "labing", "labin", "labim"):
+        if word.startswith(pre):
+            base = word[len(pre):]
+            if base in _TL_ONES:
+                return ["sampu", base]
+            # labimpito: the prefix nasalizes p<-b etc.; try common mutations
+            for fix in ("p" + base[1:], "b" + base[1:]):
+                if base and fix in _TL_ONES:
+                    return ["sampu", fix]
+    return None
+
+
 def inverse_normalize_tl(text: str) -> str:
-    return _word_itn(text, _TL_LEX)
+    return _word_itn(text, _TL_LEX, pre=_tl_pre)
 
 
 def _with_classes(lang: str, cardinal_fn):

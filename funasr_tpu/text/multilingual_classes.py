@@ -88,6 +88,54 @@ def _lookup_ordinal(table: Dict[str, int]) -> Callable[[str], Optional[int]]:
     return lambda w: table.get(w.lower())
 
 
+_TL_ORD_IRREGULAR = {"una": 1, "unang": 1, "pangalawa": 2, "pangalawang": 2,
+                     "ikalawa": 2, "ikalawang": 2, "pangatlo": 3,
+                     "pangatlong": 3, "ikatlo": 3, "ikatlong": 3}
+
+
+def _tl_ordinal_value(word: str) -> Optional[int]:
+    """Tagalog ordinals: irregular una/pangalawa/pangatlo plus the productive
+    ``ika-`` prefix (reference tl/taggers/ordinal.py + data/ordinals/*.tsv:
+    ikaapat -> apat, ikalimang -> lima)."""
+    from funasr_tpu.text.multilingual import _TL_LEX, _parse_words, _tl_pre
+    w = word.lower()
+    if w in _TL_ORD_IRREGULAR:
+        return _TL_ORD_IRREGULAR[w]
+    for pre in ("ika-", "ika"):
+        if w.startswith(pre):
+            base = w[len(pre):]
+            if base.endswith("ng"):
+                base = base[:-2]
+            for cand in (base, base + "a", base + "o"):
+                if cand in _TL_LEX.vocab:
+                    v = _parse_words([cand], _TL_LEX)
+                    if v is not None:
+                        return int(v)
+                toks = _tl_pre(cand)
+                if toks:
+                    v = _parse_words(toks, _TL_LEX)
+                    if v is not None:
+                        return int(v)
+    return None
+
+
+def _id_ordinal_value(word: str) -> Optional[int]:
+    """Indonesian ordinals: "pertama" = 1, productive ``ke-`` prefix
+    (reference id/taggers/ordinal.py: kedua -> dua, kelima -> lima)."""
+    from funasr_tpu.text.multilingual import _ID_LEX, _parse_words
+    w = word.lower()
+    if w in ("pertama", "kesatu"):
+        return 1
+    for pre in ("ke-", "ke"):
+        if w.startswith(pre):
+            base = w[len(pre):]
+            if base in _ID_LEX.vocab and base not in ("", "ribu", "juta"):
+                v = _parse_words([base], _ID_LEX)
+                if v is not None:
+                    return int(v)
+    return None
+
+
 # ---------------------------------------------------------------------------
 # per-language class config
 # ---------------------------------------------------------------------------
@@ -222,6 +270,13 @@ _RU_UNITS = {"километров": "км", "километра": "км", "ки
              "литров": "л", "литра": "л", "литр": "л"}
 _ID_UNITS = {"kilometer": "km", "sentimeter": "cm", "meter": "m",
              "kilogram": "kg", "gram": "g", "liter": "l"}
+_TL_UNITS = {"kilometro": "km", "sentimetro": "cm", "metro": "m",
+             "kilo": "kg", "kilogramo": "kg", "gramo": "g", "litro": "l"}
+_ID_MONTHS = {"januari": "Januari", "februari": "Februari", "maret": "Maret",
+              "april": "April", "mei": "Mei", "juni": "Juni", "juli": "Juli",
+              "agustus": "Agustus", "september": "September",
+              "oktober": "Oktober", "november": "November",
+              "desember": "Desember"}
 _VI_UNITS = {"ki-lô-mét": "km", "kilômét": "km", "xăng-ti-mét": "cm",
              "xentimét": "cm", "mét": "m", "ki-lô-gam": "kg",
              "kilôgam": "kg", "gam": "g", "lít": "l"}
@@ -248,10 +303,11 @@ _PT_FRACS = {"meios": "2", "meio": "2", "terços": "3", "quartos": "4",
              "quintos": "5", "oitavos": "8", "décimos": "10"}
 
 _TD_MAPS: Dict[str, Dict[str, str]] = {
-    "de_months": _DE_MONTHS,
+    "de_months": _DE_MONTHS, "id_months": _ID_MONTHS,
     "de_units": _DE_UNITS, "es_units": _ES_UNITS, "fr_units": _FR_UNITS,
     "pt_units": _PT_UNITS, "ru_units": _RU_UNITS, "id_units": _ID_UNITS,
     "vi_units": _VI_UNITS, "ja_units": _JA_UNITS, "ko_units": _KO_UNITS,
+    "tl_units": _TL_UNITS,
     "de_fracs": _DE_FRACS, "es_fracs": _ES_FRACS, "fr_fracs": _FR_FRACS,
     "pt_fracs": _PT_FRACS,
     "ko_hours": {"한": "1", "두": "2", "세": "3", "네": "4", "다섯": "5",
@@ -264,6 +320,7 @@ _TD_MAPS: Dict[str, Dict[str, str]] = {
                   "ноября": "ноября", "декабря": "декабря"},
 }
 
+_ID_MONTH_ALT = "|".join(_ID_MONTHS)
 _ES_MONTH_ALT = ("enero|febrero|marzo|abril|mayo|junio|julio|agosto|"
                  "septiembre|octubre|noviembre|diciembre")
 _FR_MONTH_ALT = ("janvier|février|mars|avril|mai|juin|juillet|août|"
@@ -356,15 +413,34 @@ TIMEDATE_RULES: Dict[str, list] = {
     ],
     "id": [
         (r"\bjam (\d{1,2}) lewat (\d{1,2})\b", True, "{1:i}:{2:02}"),
+        # "jam setengah lima" = half to five -> 4:30 (id time tagger)
+        (r"\bjam setengah (\d{1,2})\b", True, "{1:m1mod24}:30"),
         (r"\bjam (\d{1,2})\b", True, "{1:i}:00"),
         (r"\b(\d+) persen\b", True, "{1} %"),
         # "3 per 4" -> 3/4 (id fraction tagger role)
         (r"\b(\d+) per (\d+)\b", True, "{1}/{2}"),
+        # 24 januari 2013 -> 24 Januari 2013 (id months.tsv is capitalized)
+        (r"\b(\d{1,2}) (" + _ID_MONTH_ALT + r")( \d{4})?(?=\s|$|[,.!?;:])",
+         True, "{1} {2:map:id_months}{3}"),
+        # digit-by-digit phone strings starting 0 regroup 0xxx-xxx(x)-xxxx
+        # (id telephone tagger emits dash-grouped numbers)
+        (r"\b(0\d{2,3})(\d{3,4})(\d{4})\b", True, "{1}-{2}-{3}"),
         (r"\b(\d+(?:,\d+)?) (" + _alt(_ID_UNITS) + r")" + _END, True,
          "{1} {2:map:id_units}"),
     ],
     "vi": [
-        (r"\b(\d{1,2}) giờ (\d{1,2}) phút\b", True, "{1:i}:{2:02}"),
+        # 10 giờ 9 phút 45 giây -> 10:09:45 (vi time tagger hms form)
+        (r"\b(\d{1,2}) giờ (\d{1,2}) phút (\d{1,2}) giây(?=\s|$|[,.!?;:])",
+         True, "{1:i}:{2:02}:{3:02}"),
+        (r"\b(\d{1,2}) giờ (\d{1,2}) phút(?=\s|$|[,.!?;:])", True,
+         "{1:i}:{2:02}"),
+        # chín giờ kém hai mươi -> 8:40 (vi time tagger "hours_to" form)
+        (r"\b(\d{1,2}) giờ kém (\d{1,2})(?=\s|$|[,.!?;:])", True,
+         "{1:m1mod24}:{2:sub60}"),
+        # hai (giờ) rưỡi -> 2:30 (vi time tagger graph_half)
+        (r"\b(\d{1,2}) giờ rưỡi(?=\s|$|[,.!?;:])", True, "{1:i}:30"),
+        (r"\b(\d{1,2}) rưỡi(?=\s|$|[,.!?;:])", True, "{1:i}:30"),
+        (r"\b(\d{1,2}) giờ (\d{1,2})(?=\s|$|[,.!?;:])", True, "{1:i}:{2:02}"),
         (r"\bngày (\d{1,2}) tháng (\d{1,2}) năm (\d{4})\b", True,
          "ngày {1} tháng {2} năm {3}"),
         (r"\b(\d+) phần (?:trăm|100)\b", True, "{1} %"),
@@ -373,6 +449,22 @@ TIMEDATE_RULES: Dict[str, list] = {
         (r"\b(\d+) phần (\d+)\b", True, "{1}/{2}"),
         (r"\b(\d+(?:,\d+)?) (" + _alt(_VI_UNITS) + r")" + _END, True,
          "{1} {2:map:vi_units}"),
+    ],
+    "tl": [
+        # two o'clock forms ride the digit-sequence cardinal pass; am/pm
+        # suffixes normalize per the tl time_suffix.tsv data
+        (r"\b(\d{1,2}) (\d{2}) ?(?:ng umaga|a ?m)(?=\s|$|[,.!?;:])", True,
+         "{1:i}:{2} a.m."),
+        (r"\b(\d{1,2}) (\d{2}) ?(?:ng hapon|ng gabi|p ?m)(?=\s|$|[,.!?;:])",
+         True, "{1:i}:{2} p.m."),
+        (r"\b(\d{1,2}) ?(?:ng umaga|a ?m)(?=\s|$|[,.!?;:])", True,
+         "{1:i} a.m."),
+        (r"\b(\d{1,2}) ?(?:ng hapon|ng gabi|p ?m)(?=\s|$|[,.!?;:])", True,
+         "{1:i} p.m."),
+        (r"\b(\d+) (?:porsyento|porsiyento|bahagdan)(?=\s|$|[,.!?;:])", True,
+         "{1} %"),
+        (r"\b(\d+(?:\.\d+)?) (" + _alt(_TL_UNITS) + r")" + _END, True,
+         "{1} {2:map:tl_units}"),
     ],
     "ja": [
         (r"(\d+)点(\d+)", False, "{1}.{2}"),
@@ -436,6 +528,9 @@ def render_template(template: str, groups, maps: Dict[str, Dict[str, str]]
                 out.append(f"{int(g):02d}" if g else "")
             elif parts[1] == "m1mod24":
                 out.append(str((int(g) - 1) % 24) if g else "")
+            elif parts[1] == "sub60":
+                # minutes-to form ("kém hai mươi" = 20 to): 60 - m, pad 2
+                out.append(f"{60 - int(g):02d}" if g else "")
             elif parts[1] == "map":
                 out.append(maps[parts[2]].get(g.lower(), g))
             else:
@@ -500,12 +595,28 @@ _CLASSES: Dict[str, LangClasses] = {
         extra=_td_extras("ru")),
     "id": LangClasses(
         decimal_words=["koma"], decimal_mark=",",
-        currencies={"rupiah": "Rp", "dolar": "$"},
+        currencies={"rupiah": "Rp", "dolar amerika serikat": "$",
+                    "dolar amerika": "$", "dolar": "$", "euro": "€",
+                    "won": "₩", "pound inggris": "£"},
+        minor_units=["sen"],
+        ordinal_value=_id_ordinal_value,
+        ordinal_fmt=lambda n: f"ke-{n}",
         extra=_td_extras("id")),
     "vi": LangClasses(
         decimal_words=["phẩy", "phay"], decimal_mark=",",
-        currencies={"đồng": "₫", "dong": "₫", "đô la": "$"},
+        currencies={"đồng": "₫", "dong": "₫", "đô la mỹ": "$",
+                    "đô la": "$", "đô": "$", "usd": "$", "euro": "€",
+                    "ơ rô": "€", "yên": "¥", "won": "₩", "uôn": "₩"},
+        minor_units=["xu"],
         extra=_td_extras("vi")),
+    "tl": LangClasses(
+        decimal_words=["punto", "tuldok"], decimal_mark=".",
+        currencies={"piso": "₱", "pesos": "₱", "peso": "₱", "dolyar": "$",
+                    "euro": "€"},
+        minor_units=["sentimo", "sentimos"],
+        ordinal_value=_tl_ordinal_value,
+        ordinal_fmt=lambda n: f"ika-{n}",
+        extra=_td_extras("tl")),
     "ja": LangClasses(
         decimal_words=["点"], decimal_mark=".",
         extra=_td_extras("ja")),

@@ -207,6 +207,38 @@ bool IdBelasSplit(const ItnLexicon& lex, const std::string& word,
   return false;
 }
 
+// multilingual.py _tl_pre: Tagalog teens labing-/labin-/labim- = sampu+base,
+// and the 't ligature split (dalawampu't -> dalawampu + 't)
+bool TlTeenSplit(const ItnLexicon& lex, const std::string& word,
+                 std::vector<std::string>* out) {
+  if (lex.vocab.count(word)) return false;
+  if (word.size() > 2 && word.compare(word.size() - 2, 2, "'t") == 0) {
+    const std::string head = word.substr(0, word.size() - 2);
+    if (lex.vocab.count(head)) {
+      *out = {head, "'t"};
+      return true;
+    }
+  }
+  for (const char* p : {"labing-", "labing", "labin", "labim"}) {
+    const std::string pre(p);
+    if (word.size() > pre.size() && word.compare(0, pre.size(), pre) == 0) {
+      const std::string base = word.substr(pre.size());
+      if (lex.ones.count(base)) {
+        *out = {"sampu", base};
+        return true;
+      }
+      for (char c : {'p', 'b'}) {  // nasal mutation: labimpito -> pito
+        const std::string fix = std::string(1, c) + base.substr(1);
+        if (lex.ones.count(fix)) {
+          *out = {"sampu", fix};
+          return true;
+        }
+      }
+    }
+  }
+  return false;
+}
+
 // multilingual.py _parse_words (returns string; empty = not a number)
 std::string ParseWords(const ItnLexicon& lex,
                        const std::vector<std::string>& tokens) {
@@ -227,17 +259,19 @@ std::string ParseWords(const ItnLexicon& lex,
   }
   long long total = 0, current = 0;
   bool any = false;
+  bool explicit_zero = false;  // "không trăm hai mươi" = 020, not 100+20
   for (const auto& t : toks) {
     if (lex.hundreds_direct.count(t)) {
       current += lex.hundreds_direct.at(t);
     } else if (lex.ones.count(t)) {
       current += lex.ones.at(t);
+      explicit_zero = explicit_zero || lex.ones.at(t) == 0;
     } else if (lex.tens.count(t)) {
       current += lex.tens.at(t);
     } else if (lex.x10_words.count(t)) {
-      current = (current ? current : 1) * 10;
+      current = (current || explicit_zero ? current : 1) * 10;
     } else if (lex.hundred_words.count(t)) {
-      current = (current ? current : 1) * 100;
+      current = (current || explicit_zero ? current : 1) * 100;
     } else if (lex.scales.count(t)) {
       total += (current ? current : 1) * lex.scales.at(t);
       current = 0;
@@ -275,6 +309,7 @@ std::string WordItn(const ItnLexicon& lex, const std::string& text) {
     bool expanded = false;
     if (lex.pre == "de") expanded = DeCompoundSplit(lex, w, &toks);
     else if (lex.pre == "id") expanded = IdBelasSplit(lex, w, &toks);
+    else if (lex.pre == "tl") expanded = TlTeenSplit(lex, w, &toks);
     if (!expanded) toks = {w};
     bool all_vocab = !toks.empty();
     for (const auto& t : toks) {
@@ -440,12 +475,31 @@ std::string ApplyWordClasses(const ItnLexicon& lex, const std::string& text) {
     if (!applied) ++i;
   }
 
-  // money: "<amount> <currency> [con|com] [<minor> [<minor_unit>]]"
+  // money: "<amount> <currency phrase> [con|com] [<minor> [<minor_unit>]]"
+  // — a currency may span several tokens ("đô la mỹ"); longest phrase wins,
+  // matching the Python regex alternation's longest-first ordering
   for (size_t i = 0; i + 1 < toks.size();) {
-    auto cur = lex.currencies.find(AsciiLowerStrip(toks[i + 1]));
-    if (IsAmount(toks[i], lex.decimal_mark) && cur != lex.currencies.end()) {
+    std::string cur_sym;
+    size_t cur_len = 0;  // tokens consumed by the currency phrase
+    if (IsAmount(toks[i], lex.decimal_mark)) {
+      for (size_t len = 3; len >= 1; --len) {
+        if (i + len >= toks.size()) continue;
+        std::string phrase;
+        for (size_t k = 1; k <= len; ++k) {
+          if (k > 1) phrase += " ";
+          phrase += AsciiLowerStrip(toks[i + k]);
+        }
+        auto cur = lex.currencies.find(phrase);
+        if (cur != lex.currencies.end()) {
+          cur_sym = cur->second;
+          cur_len = len;
+          break;
+        }
+      }
+    }
+    if (!cur_sym.empty()) {
       std::string amount = toks[i];
-      size_t j = i + 2;
+      size_t j = i + 1 + cur_len;
       if (j < toks.size() && (toks[j] == "con" || toks[j] == "com") &&
           j + 1 < toks.size() && IsDigits(toks[j + 1])) {
         ++j;
@@ -462,7 +516,7 @@ std::string ApplyWordClasses(const ItnLexicon& lex, const std::string& text) {
           }
         }
       }
-      toks[i] = cur->second + amount;
+      toks[i] = cur_sym + amount;
       toks.erase(toks.begin() + i + 1, toks.begin() + j);
     } else {
       ++i;
@@ -1056,6 +1110,13 @@ std::string RenderTdTemplate(
           if (!g.empty()) {
             out += std::to_string(((std::atoll(g.c_str()) - 1) % 24 + 24) % 24);
           }
+        } else if (op == "sub60") {
+          // minutes-to form (vi "kém"): 60 - m, zero-padded to 2
+          if (!g.empty()) {
+            const long long v = 60 - std::atoll(g.c_str());
+            if (v < 10) out += "0";
+            out += std::to_string(v);
+          }
         } else if (op.compare(0, 4, "map:") == 0) {
           std::string key = g;
           for (char& ch : key) ch = std::tolower(static_cast<unsigned char>(ch));
@@ -1106,7 +1167,41 @@ std::string ItnGrammar::Apply(const std::string& lang,
   auto it = langs_.find(lang);
   if (it == langs_.end()) return text;
   const ItnLexicon& lex = it->second;
-  std::string out = lex.cjk ? CjkItn(lex, text) : WordItn(lex, text);
+  std::string guarded = text;
+  if (lang == "vi") {
+    // "năm" is both 5 and the year marker: protect it in
+    // "tháng <X> năm <number...>" (multilingual.py inverse_normalize_vi)
+    std::vector<std::string> words = SplitWs(text);
+    for (size_t j = 0; j + 1 < words.size(); ++j) {
+      if (words[j] != "n\xC4\x83m") continue;
+      bool near_month = false;
+      for (size_t k = (j >= 3 ? j - 3 : 0); k < j; ++k) {
+        if (words[k] == "th\xC3\xA1ng") { near_month = true; break; }
+      }
+      const std::string nxt = AsciiLowerStrip(words[j + 1]);
+      bool nxt_digit = !nxt.empty();
+      for (char c : nxt) {
+        if (c < '0' || c > '9') { nxt_digit = false; break; }
+      }
+      if (near_month && (lex.vocab.count(nxt) || nxt_digit)) {
+        words[j] = "\x01nam\x01";
+      }
+    }
+    guarded.clear();
+    for (size_t j = 0; j < words.size(); ++j) {
+      if (j) guarded += " ";
+      guarded += words[j];
+    }
+  }
+  std::string out = lex.cjk ? CjkItn(lex, guarded) : WordItn(lex, guarded);
+  if (lang == "vi") {
+    const std::string sentinel = "\x01nam\x01";
+    size_t pos = 0;
+    while ((pos = out.find(sentinel, pos)) != std::string::npos) {
+      out.replace(pos, sentinel.size(), "n\xC4\x83m");
+      pos += 4;
+    }
+  }
   out = lex.cjk ? ApplyCjkClasses(lex, out) : ApplyWordClasses(lex, out);
   out = ApplyTimedateRules(lex, out);
   // v6: electronic (email/url) then whitelist, same order as apply_classes

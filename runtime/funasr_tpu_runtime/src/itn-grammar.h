@@ -29,7 +29,7 @@ struct ItnLexicon {
   // word-lexicon tables (multilingual.py _Lex)
   std::map<std::string, long long> ones, tens, scales, hundreds_direct;
   std::set<std::string> hundred_words, joiners, x10_words, vocab;
-  std::string pre;  // "de" (compound split) | "id" (-belas) | ""
+  std::string pre;  // "de" (compound split) | "id" (-belas) | "tl" | ""
   // cjk tables
   std::map<std::string, long long> digits, units, big;
   std::set<std::string> cjk_chars;

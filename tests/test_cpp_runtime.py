@@ -823,6 +823,18 @@ def test_itn_grammar_archive_cpp(built, tmp_path):
         ("vi", "a b c a còng d e f chấm com"),
         ("id", "user at gmail titik com dot"),
         ("pt", "senhor silva arroba uol ponto com ponto br"),
+        # r5 class rules: vi time-to/half + money tsv depth, vi year guard,
+        # tl teens/ordinals/money, id teens/months/ordinals
+        ("vi", "chín giờ kém hai mươi"), ("vi", "hai giờ rưỡi"),
+        ("vi", "mười hai đô la mỹ"),
+        ("vi", "ngày hai mươi tháng tư năm hai nghìn không trăm hai mươi"),
+        ("tl", "labinlima"), ("tl", "tatlo libo labintatlo"),
+        ("tl", "dalawampu't lima"),
+        ("tl", "ikalimang hakbang"), ("tl", "lima piso"),
+        ("tl", "sampu porsyento"), ("tl", "lima kilometro"),
+        ("id", "dua ribu tiga belas"), ("id", "kelima"), ("id", "pertama"),
+        ("id", "dua puluh empat januari dua ribu tiga belas"),
+        ("id", "jam setengah lima"),
     ]
     for lang, text in class_cases:
         res = lib.FunItnGrammarApply(g, lang.encode(), text.encode())

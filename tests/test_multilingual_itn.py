@@ -59,10 +59,65 @@ def test_itn(lang, text, want):
     # cardinal pass, ja groups on の)
     ("de", "null sieben drei drei eins acht neun vier", "07331894"),
     ("ja", "ゼロ三の一二三四の五六七八", "03-1234-5678"),
+    # vi time/money/date (reference vi taggers: "hai rưỡi" -> 2:30,
+    # "chín giờ kém hai mươi" -> 8:40, currency.tsv "đô la mỹ" -> $)
+    ("vi", "hai giờ rưỡi", "2:30"),
+    ("vi", "chín giờ kém hai mươi", "8:40"),
+    ("vi", "mười giờ chín phút bốn mươi lăm giây", "10:09:45"),
+    ("vi", "mười hai đô la mỹ", "$12"),
+    ("vi", "hai mươi euro", "€20"),
+    ("vi", "ngày hai mươi tháng tư năm hai nghìn không trăm hai mươi",
+     "ngày 20 tháng 4 năm 2020"),
+    ("vi", "một hai ba một hai ba năm sáu bảy tám", "1231235678"),
+    # tl cardinal teens / ordinal ika- / money / percent (reference tl
+    # data/numbers/teen.tsv, taggers/ordinal.py, currency.tsv)
+    ("tl", "labinlima", "15"),
+    ("tl", "tatlo libo labintatlo", "3013"),
+    ("tl", "ikalimang hakbang", "ika-5 hakbang"),
+    ("tl", "sampu porsyento", "10 %"),
+    ("tl", "lima piso", "₱5"),
+    ("tl", "lima kilometro", "5 km"),
+    # id teens / date months capitalized / ordinal ke- / time setengah
+    # (reference id data/months.tsv, taggers/{ordinal,time}.py)
+    ("id", "dua ribu tiga belas", "2013"),
+    ("id", "dua puluh empat januari dua ribu tiga belas",
+     "24 Januari 2013"),
+    ("id", "kelima", "ke-5"),
+    ("id", "pertama", "ke-1"),
+    ("id", "jam setengah lima", "4:30"),
+    ("id", "lima ribu rupiah", "Rp5000"),
 ])
 def test_itn_class_rules(lang, text, want):
     out = InverseNormalizer(lang=lang).inverse_normalize(text)
     assert out == want, out
+
+
+def test_extensible_whitelist():
+    """User-supplied whitelists: dict or reference-format TSV
+    (written<TAB>spoken rows, data/whitelist.tsv role)."""
+    import os
+    import tempfile
+    inv = InverseNormalizer(lang="en",
+                            whitelist={"as soon as possible": "ASAP"})
+    assert inv.inverse_normalize("reply as soon as possible") == "reply ASAP"
+    fd, path = tempfile.mkstemp(suffix=".tsv")
+    with os.fdopen(fd, "w", encoding="utf-8") as f:
+        f.write("AT&T\ta t and t\n7-eleven\tseven eleven\n")
+    try:
+        inv2 = InverseNormalizer(lang="en", whitelist=path)
+        assert inv2.inverse_normalize("i work at a t and t") \
+            == "i work at AT&T"
+    finally:
+        os.unlink(path)
+    # global registration API (load_whitelist_tsv / add_whitelist)
+    from funasr_tpu.text.electronic import WHITELIST, add_whitelist
+    add_whitelist("en", {"et cetera": "etc."})
+    try:
+        out = InverseNormalizer(lang="en").inverse_normalize(
+            "pens pencils et cetera")
+        assert out == "pens pencils etc."
+    finally:
+        WHITELIST["en"].pop("et cetera")
 
 
 def test_non_number_text_untouched():
