@@ -75,8 +75,8 @@ def main_automodel():
     n = int(secs * fs)
     token_list = (["<blank>", "<s>", "</s>"]
                   + [chr(0x4E00 + i) for i in range(8400)] + ["<unk>"])
-    quant = (None if _os.environ.get("BENCH_MODE", "w8a8") == "bf16"
-             else "w8a8")
+    quant = ("w8a8" if _os.environ.get("BENCH_MODE", "bf16") == "w8a8"
+             else None)
     am = AutoModel(
         model="Paraformer", model_conf={}, **PROD_CONF,
         frontend="WavFrontend",
@@ -125,12 +125,14 @@ def main():
 
     model = Paraformer(**PROD_CONF)
     params = cast_floats(model.init_params(jax.random.PRNGKey(0)), jnp.bfloat16)
-    # serving recipe: W8A8 dynamic int8 — the MXU int8 path is 2x bf16 peak
-    # and the reference's own production CPU runtime defaults to int8 too
-    # (funasr_onnx quantize=True). BENCH_MODE=bf16 reproduces the full-precision
-    # figure; parity budget pinned in tests/test_quant.py. MFU breakdown:
-    # benchmarks/bench_mfu.py, docs/benchmarks.md.
-    mode = os.environ.get("BENCH_MODE", "w8a8")
+    # serving default: bf16. W8A8 (MXU int8 at 2x bf16 peak) is OPT-IN via
+    # BENCH_MODE=w8a8: the production-dims flip-rate study
+    # (tests/test_w8a8_production.py, docs/benchmarks.md) showed w8a8's logit
+    # perturbation is ~2x bf16 rounding — fine odds on a trained checkpoint's
+    # wide argmax margins, but unprovable without one, and a serving DEFAULT
+    # must not rest on unmeasurable accuracy. Revisit when real-checkpoint
+    # CER lands (docs/real_checkpoints.md).
+    mode = os.environ.get("BENCH_MODE", "bf16")
     if mode == "w8a8":
         from funasr_tpu.ops.quant import quantize_params_int8
         params = quantize_params_int8(params, mode="w8a8")

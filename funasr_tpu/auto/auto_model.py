@@ -314,11 +314,17 @@ class AutoModel:
         speed_stats: Dict[str, Any] = {}
         n = len(data_list)
         time_speech, time_escape = 1e-9, 0.0
-        for beg in range(0, n, batch_size):
-            end = min(n, beg + batch_size)
-            batch = {"data_in": data_list[beg:end], "key": key_list[beg:end]}
-            t1 = time.perf_counter()
-            res = model.inference(params, **batch, **_strip(kwargs))
+        # double-buffered batch loop: when the model exposes the
+        # dispatch/fetch pair, batch k+1's host->device upload overlaps
+        # batch k's compute + result fetch, so multi-batch jobs cost
+        # ~max(IO, compute) per batch instead of the sum (the production
+        # host's PCIe-DMA pipelining; reference batch loop role:
+        # funasr/auto/auto_model.py:796-838)
+        dispatch = getattr(model, "inference_dispatch", None)
+        pipelined = dispatch is not None and n > batch_size
+
+        def _finish(res, t1, end):
+            nonlocal time_speech, time_escape
             results, meta = (res if isinstance(res, tuple) else (res, {}))
             t2 = time.perf_counter()
             results_all.extend(results)
@@ -332,6 +338,23 @@ class AutoModel:
             if bdt and bdt > 0:
                 time_speech += bdt
             time_escape += t2 - t1
+
+        pending = None  # (handle, t1, end) of the in-flight batch
+        for beg in range(0, n, batch_size):
+            end = min(n, beg + batch_size)
+            batch = {"data_in": data_list[beg:end], "key": key_list[beg:end]}
+            t1 = time.perf_counter()
+            if pipelined:
+                handle = dispatch(params, **batch, **_strip(kwargs))
+                if pending is not None:
+                    _finish(model.inference_fetch(pending[0]), pending[1],
+                            pending[2])
+                pending = (handle, t1, end)
+            else:
+                _finish(model.inference(params, **batch, **_strip(kwargs)),
+                        t1, end)
+        if pending is not None:
+            _finish(model.inference_fetch(pending[0]), pending[1], pending[2])
         logging.debug("speed_stats: %s rtf_avg=%.3f", speed_stats,
                       time_escape / time_speech)
         # host-side ITN postprocess (itn=True + a language): superset of the

@@ -350,8 +350,20 @@ class Paraformer:
         """Host-level inference mirroring the reference contract
         (``model.py:534-697``): load audio -> frontend -> jitted decode -> detokenize.
         """
+        return self.inference_fetch(self.inference_dispatch(
+            params, data_in, data_lengths=data_lengths, key=key,
+            tokenizer=tokenizer, frontend=frontend, **kwargs))
+
+    def inference_dispatch(self, params, data_in, data_lengths=None, key=None,
+                           tokenizer=None, frontend=None, **kwargs):
+        """Upload + async dispatch half of :meth:`inference` — returns an
+        opaque handle for :meth:`inference_fetch` WITHOUT blocking on device
+        results. The AutoModel batch loop uses the pair to double-buffer:
+        batch k+1's host->device upload overlaps batch k's compute+fetch, so
+        multi-batch jobs cost max(IO, compute) per batch instead of the sum
+        (reference role: the production batch loop at
+        ``funasr/auto/auto_model.py:796-838``)."""
         from funasr_tpu.utils.load_utils import extract_fbank, load_audio_text_image_video
-        from funasr_tpu.utils import postprocess_utils
         import time
 
         meta_data = {}
@@ -371,11 +383,35 @@ class Paraformer:
             float(np.sum(speech_lengths)) * frontend.frame_shift_ms
             * frontend.lfr_n / 1000.0)
 
-        yseq, token_lens, score, alphas, peaks = self.infer_bucketed(
-            params, speech, speech_lengths)
+        sp, ln, b = pad_feats_bucketed(speech, speech_lengths)
+        mt = self._max_tokens_for(sp.shape[1])
+        out = _infer_program(self, params, sp, ln, mt)
+        return {"out": out, "b": b, "sp": sp, "ln": ln, "mt": mt,
+                "params": params, "key": key, "tokenizer": tokenizer,
+                "kwargs": kwargs, "meta": meta_data}
+
+    def inference_fetch(self, handle):
+        """Blocking half of the dispatch/fetch pair: device_get + budget-retry
+        + detokenize. Returns the (results, meta) tuple of :meth:`inference`."""
+        from funasr_tpu.utils import postprocess_utils
+
+        b, sp, mt = handle["b"], handle["sp"], handle["mt"]
+        tokenizer, key, kwargs = (handle["tokenizer"], handle["key"],
+                                  handle["kwargs"])
+        meta_data = handle["meta"]
+        # ONE device_get for all outputs: separate np.asarray calls each pay
+        # a host<->device roundtrip, which dominates on tunneled transports
+        host = jax.device_get(handle["out"])
+        token_lens_all = host[1]
+        if mt <= sp.shape[1] and (token_lens_all[:b] >= mt).any():
+            logging.warning("CIF token count hit the %d-token bucket budget; "
+                            "re-decoding with the full budget", mt)
+            host = jax.device_get(_infer_program(
+                self, handle["params"], sp, handle["ln"], sp.shape[1] + 1))
+        yseq, token_lens, score, alphas, peaks = tuple(
+            np.asarray(x)[:b] for x in host)
 
         results = []
-        b = yseq.shape[0]
         if key is None:
             key = [f"rand_key_{i}" for i in range(b)]
         for i in range(b):
