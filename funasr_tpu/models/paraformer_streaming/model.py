@@ -14,8 +14,10 @@ per stream so each stage compiles once.
 from __future__ import annotations
 
 import time
+from functools import partial as _partial
 from typing import Dict, List, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -23,6 +25,41 @@ import funasr_tpu.models.scama.encoder  # noqa: F401 (registers SANMEncoderChunk
 from funasr_tpu.models.paraformer.model import Paraformer
 from funasr_tpu.register import tables
 from funasr_tpu.utils import postprocess_utils
+
+
+@_partial(jax.jit, static_argnames=("model", "enc_cfg", "chunk_size",
+                                    "enc_look_back", "dec_look_back", "tail",
+                                    "is_final"))
+def _fused_chunk_jit(model, params, x, start, feats_carry, opt0, opt,
+                     cif_state, dec_fsmn, dec_opt, enc_cfg, chunk_size,
+                     enc_look_back, dec_look_back, tail, is_final):
+    """The WHOLE streaming chunk — encoder + CIF + decoder + argmax — as ONE
+    XLA program. The round-3 path ran these as three programs with a blocking
+    fired-count fetch between CIF and decoder: on a tunneled chip each
+    boundary costs a host round-trip (~28 ms), i.e. most of the 133 ms chunk
+    p50. Fusing threads every cache functionally through one dispatch; the
+    fired count rides back WITH the tokens in a single device_get. The
+    decoder already decodes the padded (t+1)-token bucket with a traced
+    valid-count, so no host decision is needed mid-program.
+
+    Semantics preserved from the reference chunk loop
+    (``funasr/models/paraformer_streaming/model.py:552-650``); parity pinned
+    by tests/test_streaming_parity.py."""
+    from funasr_tpu.models.scama.encoder import _encoder_chunk_jit
+
+    y, new_carry, new_opt0, new_opt = _encoder_chunk_jit(
+        params["encoder"], x, start, feats_carry, opt0, opt, enc_cfg,
+        chunk_size, enc_look_back, tail)
+    t = y.shape[1]
+    embeds, n_fired, new_cif = model.predictor._forward_chunk_impl(
+        params["predictor"], y, cif_state, max_tokens=t + 1,
+        is_final=is_final, chunk_size=chunk_size)
+    logits, new_fsmn, new_dec_opt = model.decoder._forward_chunk_impl(
+        params["decoder"], y, embeds, n_fired[0], dec_fsmn, dec_opt,
+        chunk_size, dec_look_back)
+    yseq = jnp.argmax(logits, -1).astype(jnp.int32)
+    return (yseq[0], n_fired, new_carry, new_opt0, new_opt, new_cif,
+            new_fsmn, new_dec_opt)
 
 
 @tables.register("model_classes", "ParaformerStreaming")
@@ -211,28 +248,67 @@ class ParaformerStreaming(Paraformer):
 
     def generate_chunk(self, speech, speech_lengths, key=None, tokenizer=None,
                        frontend=None, cache: Optional[Dict] = None, **kwargs):
-        is_final = kwargs.get("is_final", False)
-        speech = jnp.asarray(speech)
-        encoder_out, encoder_out_lens = self.encoder.forward_chunk(
-            self.params_ref["encoder"], speech, jnp.asarray(speech_lengths),
-            cache["encoder"], is_final=is_final)
+        """One streaming chunk: ONE fused device program (encoder + CIF +
+        decoder + argmax, :func:`_fused_chunk_jit`) and ONE result fetch."""
+        from funasr_tpu.models.scama.encoder import _empty_kv
 
-        t = encoder_out.shape[1]
-        embeds, n_fired, cache["encoder"]["cif_state"] = self.predictor.forward_chunk(
-            self.params_ref["predictor"], encoder_out,
-            cache["encoder"]["cif_state"], max_tokens=t + 1, is_final=is_final,
-            chunk_size=cache["encoder"]["chunk_size"])
-        n = int(n_fired[0])
+        is_final = kwargs.get("is_final", False)
+        x = jnp.asarray(speech)
+        b, t = x.shape[0], x.shape[1]
+        enc_cache = cache["encoder"]
+        dec_cache = cache["decoder"]
+        params = self.params_ref
+        cfg = self.encoder.cfg
+        enc_look_back = enc_cache.get("encoder_chunk_look_back", 0)
+        chunk_size = tuple(enc_cache["chunk_size"])
+        if "opt0" not in enc_cache:  # same lazy init as encoder.forward_chunk
+            empty = _empty_kv(b, cfg.attention_heads,
+                              cfg.output_size // cfg.attention_heads, x.dtype)
+            enc_cache["opt0"] = empty
+            enc_cache["opt"] = jax.tree_util.tree_map(
+                lambda a: jnp.broadcast_to(
+                    a[None], (cfg.num_blocks - 1,) + a.shape), empty) \
+                if cfg.num_blocks > 1 else None
+        dcfg = self.decoder.cfg
+        if dec_cache.get("decode_fsmn") is None:
+            dec_cache["decode_fsmn"] = jnp.zeros(
+                (dcfg.num_blocks, b, dcfg.kernel_size - 1, cfg.output_size),
+                x.dtype)
+        dec_look_back = dec_cache.get("decoder_chunk_look_back", 0)
+        if dec_cache.get("opt") is None and dec_look_back != 0:
+            dk = dcfg.cross_cfg.d_k
+            dec_cache["opt"] = {
+                "k": jnp.zeros((dcfg.att_layer_num, b, dcfg.cross_cfg.n_head,
+                                0, dk), x.dtype),
+                "v": jnp.zeros((dcfg.att_layer_num, b, dcfg.cross_cfg.n_head,
+                                0, dk), x.dtype)}
+        start = enc_cache["start_idx"]
+        enc_cache["start_idx"] = start + t
+
+        (yseq, n_fired, new_carry, new_opt0, new_opt, new_cif, new_fsmn,
+         new_dec_opt) = _fused_chunk_jit(
+            self, params, x, jnp.asarray(start, jnp.int32),
+            enc_cache["feats"], enc_cache["opt0"], enc_cache["opt"],
+            enc_cache["cif_state"], dec_cache["decode_fsmn"],
+            dec_cache.get("opt"), cfg, chunk_size, enc_look_back,
+            dec_look_back, bool(enc_cache.get("tail_chunk")), bool(is_final))
+
+        enc_cache["feats"] = new_carry
+        if enc_look_back > 0 or enc_look_back == -1:
+            enc_cache["opt0"] = new_opt0
+            enc_cache["opt"] = new_opt
+        enc_cache["cif_state"] = new_cif
+        dec_cache["decode_fsmn"] = new_fsmn
+        if dec_look_back > 0 or dec_look_back == -1:
+            dec_cache["opt"] = new_dec_opt
+
+        # ONE blocking fetch for tokens + fired count together
+        yseq_np, n_np = jax.device_get((yseq, n_fired))
+        n = int(n_np[0])
         if n < 1:
             return []
-        # decode the PADDED (t+1-token) bucket with n valid rows: one fixed
-        # jitted program per chunk shape instead of a recompile per fired
-        # count; rows >= n are discarded below
-        logits = self.decoder.forward_chunk(self.params_ref["decoder"], encoder_out,
-                                            embeds, cache["decoder"], n=n)
-        yseq = np.asarray(jnp.argmax(logits, -1))[0][:n]
-        token_int = [int(x) for x in yseq
-                     if x not in (self.blank_id, self.sos, self.eos)]
+        token_int = [int(v) for v in yseq_np[:n]
+                     if v not in (self.blank_id, self.sos, self.eos)]
         return tokenizer.ids2tokens(token_int) if tokenizer is not None else token_int
 
     # ------------------------------------------------------------------
