@@ -213,6 +213,59 @@ def _unstack_for_ftr(params, model):
     return out
 
 
+# sub-4-bit group sizes (ggml K-quant block role): picked so the per-group
+# scale/min overhead keeps the effective rates strictly ordered —
+# int3 = 64*3/8+4 bytes = 3.5 bpw, int2 = 128*2/8+8 bytes = 2.5 bpw
+# (ggml Q3_K 3.44 / Q2_K 2.56 bpw ballpark)
+_GROUP3 = 64
+_GROUP2 = 128
+
+
+def _group_quant_sym(arr: np.ndarray, levels: int, group: int = _GROUP3):
+    """Flat row-major groups, symmetric: scale = absmax/levels,
+    q in [-levels, levels]. Returns (flat padded values, q int8, scales)."""
+    v = np.asarray(arr, np.float32).reshape(-1)
+    pad = -v.size % group
+    if pad:
+        v = np.concatenate([v, np.zeros((pad,), np.float32)])
+    g = v.reshape(-1, group)
+    scales = np.maximum(np.abs(g).max(axis=1), 1e-12) / float(levels)
+    q = np.clip(np.round(g / scales[:, None]), -levels, levels).astype(np.int8)
+    return v, q.reshape(-1), scales.astype(np.float32)
+
+
+def _pack3(q: np.ndarray) -> np.ndarray:
+    """int3 packing: (q+3) in [0, 6] -> 8 values per 3 bytes (24 bits)."""
+    u = (q.astype(np.int16) + 3).astype(np.uint32)
+    pad = -u.size % 8
+    if pad:
+        u = np.concatenate([u, np.zeros((pad,), np.uint32)])
+    u = u.reshape(-1, 8)
+    word = np.zeros((u.shape[0],), np.uint32)
+    for j in range(8):
+        word |= u[:, j] << np.uint32(3 * j)
+    out = np.zeros((u.shape[0], 3), np.uint8)
+    out[:, 0] = word & 0xFF
+    out[:, 1] = (word >> np.uint32(8)) & 0xFF
+    out[:, 2] = (word >> np.uint32(16)) & 0xFF
+    return out.reshape(-1)
+
+
+def _group_quant_asym2(arr: np.ndarray, group: int = _GROUP2):
+    """Flat groups, asymmetric 2-bit: v ~= q*scale + min, q in [0, 3].
+    Returns (q uint8 flat padded to a group multiple, scales, mins)."""
+    v = np.asarray(arr, np.float32).reshape(-1)
+    pad = -v.size % group
+    if pad:
+        v = np.concatenate([v, np.zeros((pad,), np.float32)])
+    g = v.reshape(-1, group)
+    mins = g.min(axis=1)
+    scales = np.maximum((g.max(axis=1) - mins) / 3.0, 1e-12)
+    q = np.clip(np.round((g - mins[:, None]) / scales[:, None]), 0, 3)
+    return (q.astype(np.uint8).reshape(-1), scales.astype(np.float32),
+            mins.astype(np.float32))
+
+
 def _write_ftr(path: str, meta: dict, flat: dict, quant: str = None):
     """Serialize a flat name->array dict in the FTR container format
     (runtime/funasr_tpu_runtime/src/ftr.h layout)."""
@@ -237,11 +290,13 @@ def _write_ftr(path: str, meta: dict, flat: dict, quant: str = None):
             is_embed = name.startswith("embed/") or "/embed/" in name
             is_raw_f32 = name.endswith(("fsmn_block/w", "conv_left/w",
                                         "conv_right/w"))
-            do_quant = (quant in ("int8", "int4") and arr.ndim == 2
+            do_quant = (quant in ("int8", "int4", "int3", "int2")
+                        and arr.ndim == 2
                         and name.endswith("/w")
                         and not is_embed and not is_raw_f32
                         and arr.size >= _QUANT_MIN_SIZE)
-            dtype_flag = 0 if not do_quant else (1 if quant == "int8" else 2)
+            dtype_flag = (0 if not do_quant else
+                          {"int8": 1, "int4": 2, "int3": 3, "int2": 4}[quant])
             f.write(struct.pack("<BB", dtype_flag, arr.ndim))
             f.write(np.asarray(arr.shape, "<i8").tobytes())
             if dtype_flag == 1:
@@ -266,6 +321,29 @@ def _write_ftr(path: str, meta: dict, flat: dict, quant: str = None):
                 f.write(struct.pack("<q", scales.size))
                 f.write(scales.astype("<f4").tobytes())
                 f.write(packed.astype(np.uint8).tobytes())
+            elif dtype_flag == 3:
+                # int3 (ggml-Q3 role): GROUP-wise symmetric — per-channel
+                # scales are too coarse below 4 bits. Groups of 64 along flat
+                # row-major order, scale = absmax/3, q in [-3, 3]; (q+3)
+                # packed 8 values -> 3 bytes (3.5 bpw incl. scales). The C++
+                # loader reconstructs f32 then requantizes per-column int8 so
+                # the AMX GEMM path is shared (2-3 bit is an install-size
+                # play; ggml likewise dequantizes K-quants for compute).
+                flat_v, groups, scales = _group_quant_sym(arr, levels=3)
+                f.write(struct.pack("<q", scales.size))
+                f.write(scales.astype("<f4").tobytes())
+                f.write(_pack3(groups).tobytes())
+            elif dtype_flag == 4:
+                # int2 (ggml-Q2 role): group-wise ASYMMETRIC (scale + min per
+                # 128-group; 4 levels can't afford to spend one on symmetry).
+                # v ~= q * scale + min, q in [0, 3], 4 per byte (2.5 bpw).
+                q, scales, mins = _group_quant_asym2(arr)
+                f.write(struct.pack("<q", scales.size))
+                f.write(scales.astype("<f4").tobytes())
+                f.write(mins.astype("<f4").tobytes())
+                b0 = q[0::4] | (q[1::4] << np.uint8(2)) \
+                    | (q[2::4] << np.uint8(4)) | (q[3::4] << np.uint8(6))
+                f.write(b0.astype(np.uint8).tobytes())
             else:
                 f.write(arr.astype("<f4").tobytes())
     return path

@@ -1,5 +1,6 @@
 #include "ftr.h"
 
+#include <cmath>
 #include <cstdio>
 #include <cstring>
 #include <sstream>
@@ -87,6 +88,70 @@ bool FtrFile::Load(const std::string& path) {
             t.i8[j] = static_cast<int8_t>(((nib ^ 8) - 8));  // sign-extend
           }
         }
+      }
+    } else if (dtype == 3 || dtype == 4) {
+      // group-wise sub-4-bit (exporter _write_ftr: 3 = int3 symmetric q in
+      // [-3,3], 8 values per 3 bytes, groups of 64 (3.5 bpw); 4 = int2
+      // asymmetric v ~= q*scale+min, q in [0,3], 4 per byte, groups of 128
+      // (2.5 bpw)). Reconstruct f32 then REQUANTIZE per output column to the
+      // shared int8 layout — the int8 rounding is negligible against the
+      // 2-3 bit quantization error, and the downstream int8 GEMM / AMX TMUL
+      // path stays unchanged (ggml Q2_K/Q3_K role: install-size play).
+      const int64_t group = dtype == 3 ? 64 : 128;
+      int64_t n_groups = 0;
+      ok = ReadExact(f, &n_groups, 8);
+      std::vector<float> scales(ok ? n_groups : 0), mins;
+      if (ok) ok = ReadExact(f, scales.data(), n_groups * sizeof(float));
+      if (ok && dtype == 4) {
+        mins.resize(n_groups);
+        ok = ReadExact(f, mins.data(), n_groups * sizeof(float));
+      }
+      const int64_t padded = (numel + group - 1) / group * group;
+      std::vector<float> vals(ok ? padded : 0);
+      if (ok && dtype == 3) {
+        const int64_t n_words = padded / 8;
+        std::vector<uint8_t> bytes(n_words * 3);
+        ok = ReadExact(f, bytes.data(), bytes.size());
+        if (ok) {
+          for (int64_t wi = 0; wi < n_words; ++wi) {
+            const uint32_t word =
+                static_cast<uint32_t>(bytes[wi * 3]) |
+                (static_cast<uint32_t>(bytes[wi * 3 + 1]) << 8) |
+                (static_cast<uint32_t>(bytes[wi * 3 + 2]) << 16);
+            for (int j = 0; j < 8; ++j) {
+              const int64_t idx = wi * 8 + j;
+              const int qv = static_cast<int>((word >> (3 * j)) & 0x7) - 3;
+              vals[idx] = qv * scales[idx / group];
+            }
+          }
+        }
+      } else if (ok) {
+        const int64_t n_bytes = padded / 4;
+        std::vector<uint8_t> bytes(n_bytes);
+        ok = ReadExact(f, bytes.data(), n_bytes);
+        if (ok) {
+          for (int64_t idx = 0; idx < padded; ++idx) {
+            const int qv = (bytes[idx >> 2] >> (2 * (idx & 3))) & 0x3;
+            vals[idx] = qv * scales[idx / group] + mins[idx / group];
+          }
+        }
+      }
+      if (ok) {
+        const int64_t cols = t.shape.back();  // exporter quantizes 2-D only
+        const int64_t rows = numel / cols;
+        t.scales.assign(cols, 1e-12f);
+        for (int64_t r = 0; r < rows; ++r)
+          for (int64_t c = 0; c < cols; ++c)
+            t.scales[c] = std::max(t.scales[c],
+                                   std::fabs(vals[r * cols + c]));
+        for (float& s : t.scales) s /= 127.0f;
+        t.i8.resize(numel);
+        for (int64_t r = 0; r < rows; ++r)
+          for (int64_t c = 0; c < cols; ++c) {
+            const float q = std::round(vals[r * cols + c] / t.scales[c]);
+            t.i8[r * cols + c] = static_cast<int8_t>(
+                std::max(-127.0f, std::min(127.0f, q)));
+          }
       }
     } else {
       t.f32.resize(numel);

@@ -201,6 +201,67 @@ def test_native_engine_int4(built, tiny_model_dir, tmp_path):
     assert r.stdout.strip(), "int4 engine produced no output line"
 
 
+def test_native_engine_int3_int2(built, tiny_model_dir, tmp_path):
+    """Sub-4-bit FTR (ggml Q2_K/Q3_K role): group-32 quantization — int3
+    symmetric, int2 asymmetric (scale+min) — completes the reference edge
+    runtime's 2-8 bit spectrum (``runtime/llama.cpp/DESIGN.md``). The C++
+    loader reconstructs f32 and requantizes per-column int8, so the same
+    engine decodes; pinned: strictly shrinking file sizes + decode success
+    + group-quant reconstruction error bounds."""
+    import wave
+
+    from funasr_tpu.auto.auto_model import AutoModel
+    from funasr_tpu.export_runtime import (_group_quant_asym2,
+                                           _group_quant_sym, _pack3,
+                                           export_native_dir)
+
+    # reconstruction bounds of the group quantizers themselves
+    rng = np.random.default_rng(3)
+    w = (rng.standard_normal((64, 96)) * 0.2).astype(np.float32)
+    v, q3, s3 = _group_quant_sym(w, levels=3)
+    rec3 = (q3.reshape(len(s3), -1) * s3[:, None]).reshape(-1)[: w.size]
+    assert np.abs(rec3 - w.reshape(-1)).max() <= (np.abs(w).max() / 3) * 0.51
+    packed = _pack3(q3)
+    assert packed.size == (q3.size // 8) * 3
+    q2, s2, m2 = _group_quant_asym2(w)
+    rec2 = (q2.reshape(len(s2), -1) * s2[:, None]
+            + m2[:, None]).reshape(-1)[: w.size]
+    # asymmetric 4-level: error bounded by half a step of the widest group
+    assert np.abs(rec2 - w.reshape(-1)).max() <= s2.max() * 0.51
+
+    am = AutoModel(model=tiny_model_dir, disable_pbar=True)
+    import funasr_tpu.export_runtime as er
+    old_gate = er._QUANT_MIN_SIZE
+    er._QUANT_MIN_SIZE = 256
+    dirs = {}
+    try:
+        for q in ("int4", "int3", "int2"):
+            dirs[q] = str(tmp_path / f"native_{q}")
+            export_native_dir(am.model, am.model_params, tiny_model_dir,
+                              dirs[q], quant=q)
+    finally:
+        er._QUANT_MIN_SIZE = old_gate
+    sizes = {q: os.path.getsize(os.path.join(d, "weights.ftr"))
+             for q, d in dirs.items()}
+    assert sizes["int3"] < sizes["int4"], sizes
+    assert sizes["int2"] < sizes["int3"], sizes
+
+    rng = np.random.default_rng(9)
+    sig = (rng.standard_normal(24000) * 0.1 * 32767).astype(np.int16)
+    wav_path = str(tmp_path / "t23.wav")
+    with wave.open(wav_path, "wb") as w2:
+        w2.setnchannels(1)
+        w2.setsampwidth(2)
+        w2.setframerate(16000)
+        w2.writeframes(sig.tobytes())
+    cli = str(built / "funasr-tpu-offline")
+    for q in ("int3", "int2"):
+        r = subprocess.run([cli, dirs[q], wav_path], capture_output=True,
+                           text=True)
+        assert r.returncode == 0, (q, r.stderr)
+        assert r.stdout.strip(), f"{q} engine produced no output line"
+
+
 def test_native_engine_c_api_text(built, tiny_model_dir, tmp_path):
     """FunOfflineInfer returns non-empty transcript text through ctypes."""
     import wave
