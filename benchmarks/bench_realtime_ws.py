@@ -128,7 +128,13 @@ async def run_client(port: int, cid: int, pace: bool = True) -> dict:
     for i in range(0, len(pcm), frame):
         await ws.send(pcm[i: i + frame].tobytes())
         if pace:
-            await asyncio.sleep(FRAME_MS / 1000)
+            # absolute-deadline pacing: a fixed post-send sleep accumulates
+            # event-loop drift under concurrent decodes and understates
+            # aggregate_audio_per_wall
+            target = t_start + (i + frame) / FS
+            delay = target - time.perf_counter()
+            if delay > 0:
+                await asyncio.sleep(delay)
     t_stop = time.perf_counter()
     await ws.send("STOP")
     # wait for the final message after STOP
@@ -145,12 +151,11 @@ async def run_client(port: int, cid: int, pace: bool = True) -> dict:
     task.cancel()
 
     for ts, m in msgs:
-        if m.get("partial") or m.get("text") or m.get("sentences") \
-                or m.get("is_final"):
+        if m.get("type") in ("partial", "final") or m.get("text") \
+                or m.get("sentences") or m.get("is_final"):
             out["first_update_ms"] = (ts - t_start) * 1000
             break
-    out["partials"] = sum(1 for _, m in msgs
-                          if not m.get("is_final") and m.get("partial"))
+    out["partials"] = sum(1 for _, m in msgs if m.get("type") == "partial")
     out["finals"] = sum(1 for _, m in msgs if m.get("is_final"))
     if t_final is not None:
         out["final_after_stop_ms"] = (t_final - t_stop) * 1000
@@ -171,12 +176,23 @@ def main():
     from funasr_tpu.serving.ws_protocol import serve
 
     server = build_server()
+    server.vad_feed_samples = FS * 240 // 1000  # tunneled chip: batch VAD dispatches
     port = _free_port()
+
+    # compile the decode buckets BEFORE serving (B=1 hits frame buckets 128
+    # and 256 only; a 50-block compile takes minutes on the tunneled chip and
+    # must not land inside a client's latency window)
+    t0 = time.perf_counter()
+    for secs in (2.0, 15.0):
+        server.asr.generate(
+            input=np.zeros(int(secs * FS), np.float32))
+    print(f"# prewarm (2 buckets + punc): {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr)
 
     async def scenario():
         srv = await serve(server.handle, "127.0.0.1", port)
         try:
-            # warm the jit caches so the measured window isn't compile time
+            # warm run exercises the full WS path once (VAD + partial cadence)
             warm = await run_client(port, 999, pace=False)
             assert warm["finals"] >= 1 or warm["partials"] >= 1, warm
             t0 = time.perf_counter()

@@ -103,6 +103,10 @@ class RealtimeSession:
         self.hotword: Optional[str] = None
         self.postprocess_hotwords: Optional[str] = None
         self.vad = (server.make_vad() if endpoint_mode == "server" else None)
+        self.vad_pending = np.zeros((0,), np.float32)
+        self.vad_queue: Optional[asyncio.Queue] = None
+        self.vad_task: Optional[asyncio.Task] = None
+        self.fin_lock = asyncio.Lock()
         self.utt_index = 0
         self.start_ms = 0
         # partial stability tracking
@@ -119,7 +123,8 @@ class RealtimeWSServer:
                  max_utterance_sec: float = 300.0,
                  endpoint_mode: str = "server",
                  sample_rate: int = 16000,
-                 decode_interval: Optional[float] = None):
+                 decode_interval: Optional[float] = None,
+                 vad_feed_ms: int = 60):
         self.asr = asr_model  # AutoModel (offline, may include punc)
         self.vad_model = vad_model
         self.spk_tracker_factory = (
@@ -137,6 +142,10 @@ class RealtimeWSServer:
                                       if self.vad_model is not None
                                       else "client")
         self.sample_rate = sample_rate
+        # audio batched per VAD model call (60 = per-VAD-frame, the reference
+        # cadence; raise on high-latency devices to cut dispatch count at the
+        # cost of up-to-vad_feed_ms later endpoints)
+        self.vad_feed_samples = max(int(sample_rate * vad_feed_ms / 1000), 1)
 
     def make_vad(self):
         if self.vad_model is None:
@@ -167,6 +176,13 @@ class RealtimeWSServer:
         sess = RealtimeSession(self, self.default_endpoint_mode)
         tracker = self.spk_tracker_factory()
         loop = asyncio.get_event_loop()
+        try:
+            await self._handle_loop(ws, sess, tracker, loop)
+        finally:
+            if sess.vad_task is not None:
+                sess.vad_task.cancel()
+
+    async def _handle_loop(self, ws, sess, tracker, loop):
         while True:
             try:
                 msg = await ws.recv()
@@ -181,11 +197,25 @@ class RealtimeWSServer:
             sess.audio = np.concatenate([sess.audio, pcm])
             sess.total_samples += len(pcm)
 
-            # server VAD endpointing
+            # server VAD endpointing. Scaling rules learned from the
+            # service-metrics harness (benchmarks/bench_realtime_ws.py):
+            # (1) VAD runs in a PER-SESSION WORKER TASK — an inline await
+            # per frame makes the socket reader lag the paced stream, so a
+            # STOP arrives (and finalizes) seconds late even though decode
+            # itself is fast; (2) frames batch up to vad_feed_samples per
+            # model call; (3) the feed itself runs in the executor so the
+            # event loop never blocks on a device dispatch. Endpoint finals
+            # may lag under load (bounded by the worker queue), STOP finals
+            # never do.
             if sess.vad is not None:
-                for ev in sess.vad.feed(pcm):
-                    if ev[1] != -1:  # endpoint
-                        await self._finalize(ws, sess, tracker, loop)
+                if sess.vad_task is None:
+                    sess.vad_queue = asyncio.Queue()
+                    sess.vad_task = asyncio.ensure_future(
+                        self._vad_worker(ws, sess, tracker, loop))
+                sess.vad_pending = np.concatenate([sess.vad_pending, pcm])
+                if len(sess.vad_pending) >= self.vad_feed_samples:
+                    sess.vad_queue.put_nowait(sess.vad_pending)
+                    sess.vad_pending = np.zeros((0,), np.float32)
             # memory/latency bound for endpoint-less streams
             if len(sess.audio) >= self.max_utterance_samples:
                 logger.warning("utterance exceeded %ds; forcing finalize",
@@ -205,6 +235,26 @@ class RealtimeWSServer:
                 asyncio.ensure_future(
                     self._partial_task(ws, sess, loop, window,
                                        sess.utt_index))
+
+    async def _vad_worker(self, ws, sess, tracker, loop):
+        """Per-session ordered VAD pipeline: consumes queued audio batches,
+        scores them off-loop, and finalizes on endpoints (serialized against
+        STOP/COMMIT finals via sess.fin_lock)."""
+        try:
+            while True:
+                feed = await sess.vad_queue.get()
+                if feed is None or getattr(sess, "vad_closing", False):
+                    return
+                events = await loop.run_in_executor(
+                    None, lambda f=feed: sess.vad.feed(f))
+                for ev in events:
+                    if ev[1] != -1:  # endpoint
+                        async with sess.fin_lock:
+                            await self._finalize(ws, sess, tracker, loop)
+        except asyncio.CancelledError:
+            pass
+        except ConnectionClosed:
+            pass
 
     async def _partial_task(self, ws, sess, loop, window, utt_index):
         try:
@@ -235,7 +285,19 @@ class RealtimeWSServer:
         """Returns False when the session should close."""
         stripped = msg.strip()
         if stripped.upper().startswith("STOP"):
-            await self._finalize(ws, sess, tracker, loop)
+            # retire the VAD worker first: queued batches are moot at STOP
+            # (everything unfinalized decodes below), and any IN-FLIGHT
+            # endpoint finalize completes before the worker returns, so no
+            # utterance is half-finalized
+            if sess.vad_task is not None:
+                sess.vad_closing = True
+                while not sess.vad_queue.empty():
+                    sess.vad_queue.get_nowait()
+                sess.vad_queue.put_nowait(None)
+                await sess.vad_task
+                sess.vad_task = None
+            async with sess.fin_lock:
+                await self._finalize(ws, sess, tracker, loop)
             return False
         if stripped.upper().startswith("COMMIT"):
             # client-delimited endpoint: finalize the pending utterance,
@@ -244,7 +306,8 @@ class RealtimeWSServer:
                 await ws.send(json.dumps(
                     {"error": "COMMIT requires endpoint_mode=client"}))
                 return True
-            await self._finalize(ws, sess, tracker, loop)
+            async with sess.fin_lock:
+                await self._finalize(ws, sess, tracker, loop)
             return True
         if stripped.startswith("HOTWORDS:"):
             sess.hotword = stripped[len("HOTWORDS:"):].strip() or None

@@ -54,11 +54,19 @@ class DynamicStreamingVAD:
         events: List[List[int]] = []
         while len(self.buffer) >= self.chunk_samples or (is_final and
                                                          len(self.buffer) > 0):
-            chunk = self.buffer[: self.chunk_samples]
-            self.buffer = self.buffer[self.chunk_samples:]
+            # feed EVERY complete chunk in one model call: the VAD model
+            # consumes multi-chunk inputs natively, and one call per 60 ms
+            # chunk costs a device dispatch each — the dominant service cost
+            # on high-latency transports. The adaptive silence schedule
+            # coarsens to per-call granularity, which is bounded by the
+            # caller's feed cadence.
+            n_chunks = max(len(self.buffer) // self.chunk_samples, 1)
+            take = min(n_chunks * self.chunk_samples, len(self.buffer))
+            chunk = self.buffer[:take]
+            self.buffer = self.buffer[take:]
             final_chunk = is_final and len(self.buffer) == 0
             if self.in_speech:
-                self.accumulated_ms += self.chunk_size_ms
+                self.accumulated_ms += self.chunk_size_ms * n_chunks
             kwargs = dict(chunk_size=self.chunk_size_ms, is_final=final_chunk,
                           max_end_silence_time=self._current_silence_ms()
                           + self.speech_to_sil_thres_ms,

@@ -471,9 +471,21 @@ class FsmnVADStreaming:
         in_speech = cache.get("_dyn_speech", False)
 
         segments: List[List[int]] = []
-        for i in range(n):
-            final_i = is_final and i == n - 1
-            chunk = audio[i * chunk_stride : (i + 1) * chunk_stride]
+        # span plan: the adaptive-silence schedule updates per chunk, but with
+        # a FIXED schedule (dynamic_silence=False — the realtime-WS path) the
+        # whole non-final span scores in ONE encoder call; per-60 ms calls
+        # cost a device dispatch each, which is the dominant service cost on
+        # high-latency transports (benchmarks/bench_realtime_ws.py finding)
+        if dynamic_silence or n <= 1:
+            spans = [(i * chunk_stride, (i + 1) * chunk_stride,
+                      is_final and i == n - 1) for i in range(n)]
+        else:
+            n_nonfinal = n - int(is_final)
+            spans = [(0, n_nonfinal * chunk_stride, False)]
+            if is_final:
+                spans.append((n_nonfinal * chunk_stride, len(audio), True))
+        for beg, end, final_i in spans:
+            chunk = audio[beg:end]
 
             if dynamic_silence:
                 st = cache["stats"]
