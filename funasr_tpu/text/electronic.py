@@ -57,8 +57,13 @@ WHITELIST: Dict[str, Dict[str, str]] = {
     "pt": {"senhor": "sr.", "senhora": "sra.", "doutor": "dr.",
            "doutora": "dra."},
     "ru": {"то есть": "т. е.", "так далее": "т. д."},
-    "ja": {"セブンイレブン": "7-eleven"},
+    "ja": {"セブンイレブン": "7-eleven", "例えば": "e.g."},
     "ko": {"세븐일레븐": "7-eleven"},
+    # id/data/whitelist.tsv rows (reference column order written<TAB>spoken)
+    "id": {"misalnya": "e.g.", "dokter": "dr.", "tuan": "mr.",
+           "santo": "st."},
+    "vi": {"tiến sĩ": "TS.", "bác sĩ": "BS."},
+    "tl": {"doktor": "dr.", "ginoo": "g.", "ginang": "gng."},
 }
 
 _CJK_LANGS = ("ja", "ko", "zh")
