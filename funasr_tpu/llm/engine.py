@@ -250,12 +250,11 @@ class LLMEngine:
         host<->device prompt traffic, the TPU twin of vLLM's on-GPU
         prompt-embeds handoff (reference ``inference_vllm.py`` passes
         prompt_embeds GPU-side). Greedy-only (on-device sampling path)."""
-        import jax.numpy as _jnp
         lens = np.asarray(lens)
         b, t = int(embeds.shape[0]), int(embeds.shape[1])
         pad = -t % self.prefill_chunk
         if pad:  # _prefill_dev slices [start, start+tb) — keep it in bounds
-            embeds = _jnp.pad(embeds, ((0, 0), (0, pad), (0, 0)))
+            embeds = jnp.pad(embeds, ((0, 0), (0, pad), (0, 0)))
         reqs = []
         for i in range(b):
             req = Request(
