@@ -205,3 +205,73 @@ def test_realtime_ws_partial_stability_counter(tmp_path_factory):
     # to 你好世界 resets to 1, then climbs again
     assert stables[:3] == [1, 2, 3], stables
     assert 1 in stables[3:], stables
+
+
+def test_realtime_ws_vad_worker_stop_semantics(tmp_path_factory):
+    """Server-VAD sessions (round 5): VAD runs in a per-session worker task,
+    so STOP must (a) finalize ALL remaining audio promptly even with VAD
+    batches still queued, (b) never lose an in-flight endpoint final, and
+    (c) leave no dangling worker. Uses a tiny random VAD (endpoints may or
+    may not fire — both paths are valid; what is pinned is the STOP
+    contract and message sanity)."""
+    import pathlib
+    sys.path.insert(0, str(pathlib.Path(__file__).parent))
+    from test_auto_model import vad_dir as vad_fixture
+
+    class FakeTPF:
+        def mktemp(self, name):
+            return tmp_path_factory.mktemp(name)
+
+    from funasr_tpu.auto.auto_model import AutoModel
+    from funasr_tpu.bin.realtime_ws import RealtimeWSServer
+    from funasr_tpu.serving.ws_protocol import connect, serve
+
+    asr = _tiny_asr(tmp_path_factory)
+    vad = AutoModel(model=vad_fixture.__wrapped__(FakeTPF()),
+                    disable_pbar=True)
+    server = RealtimeWSServer(asr, vad_model=vad, endpoint_mode="server",
+                              chunk_ms=200, first_chunk_ms=200,
+                              vad_feed_ms=120)
+    port = _free_port()
+    rng = np.random.default_rng(5)
+    # loud bursts + silences so the VAD state machine has real transitions
+    wav = rng.standard_normal(48000).astype(np.float32) * 3e-4
+    for beg, end in [(0.25, 1.2), (1.9, 2.6)]:
+        i, j = int(beg * 16000), int(end * 16000)
+        wav[i:j] += 0.4 * np.sin(2 * np.pi * 300 *
+                                 np.arange(j - i) / 16000)
+    pcm = np.clip(wav * 32767, -32768, 32767).astype(np.int16)
+
+    async def scenario():
+        srv = await serve(server.handle, "127.0.0.1", port)
+        try:
+            ws = await connect("127.0.0.1", port)
+            # flood frames unpaced so VAD batches queue behind the worker
+            for i in range(0, len(pcm), 960):
+                await ws.send(pcm[i:i + 960].tobytes())
+            await ws.send("STOP")
+            msgs = []
+            try:
+                while True:
+                    msgs.append(json.loads(
+                        await asyncio.wait_for(ws.recv(), 90)))
+            except Exception:  # noqa: BLE001 — closed after STOP final
+                pass
+            await ws.close()
+            return msgs
+        finally:
+            srv.close()
+            await srv.wait_closed()
+
+    msgs = asyncio.run(scenario())
+    finals = [m for m in msgs if m.get("is_final")]
+    # STOP always produces a final for the unfinalized tail (or, if an
+    # endpoint already consumed everything, the last endpoint final stands)
+    assert finals, msgs
+    # finals carry contiguous utt indices from 0 and monotonic time ranges
+    utts = [m["utt"] for m in finals]
+    assert utts == sorted(utts) and utts[0] == 0
+    for m in finals:
+        assert m["end_ms"] >= m["start_ms"]
+    # no half-finalized duplication: utt indices are unique
+    assert len(set(utts)) == len(utts)
