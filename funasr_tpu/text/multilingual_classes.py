@@ -310,6 +310,10 @@ _TD_MAPS: Dict[str, Dict[str, str]] = {
     "tl_units": _TL_UNITS,
     "de_fracs": _DE_FRACS, "es_fracs": _ES_FRACS, "fr_fracs": _FR_FRACS,
     "pt_fracs": _PT_FRACS,
+    "ja_cur": {"円": "¥", "ドル": "$", "米ドル": "$", "ユーロ": "€",
+               "英国ポンド": "£"},
+    "ko_cur": {"원": "₩", "달러": "$", "미국 달러": "$", "유로": "€",
+               "영국 파운드": "£"},
     "ko_hours": {"한": "1", "두": "2", "세": "3", "네": "4", "다섯": "5",
                  "여섯": "6", "일곱": "7", "여덟": "8", "아홉": "9",
                  "열": "10", "열한": "11", "열두": "12"},
@@ -468,6 +472,10 @@ TIMEDATE_RULES: Dict[str, list] = {
     ],
     "ja": [
         (r"(\d+)点(\d+)", False, "{1}.{2}"),
+        # money: unspaced "<amount><currency word>" -> symbol prefix
+        # (ja data/currency.tsv: 円 -> ¥, ドル/米ドル -> $, ユーロ -> €)
+        (r"(\d+(?:\.\d+)?)(米ドル|英国ポンド|ドル|ユーロ|円)", False,
+         "{2:map:ja_cur}{1}"),
         # 3時15分(20秒) -> 3:15(:20)
         (r"(\d{1,2})時(\d{1,2})分(?:(\d{1,2})秒)?", False,
          "{1:i}:{2:02}[:{3:02}]"),
@@ -486,6 +494,9 @@ TIMEDATE_RULES: Dict[str, list] = {
     ],
     "ko": [
         (r"(\d+)점(\d+)", False, "{1}.{2}"),
+        # money (ko data/currency.tsv: 원 -> ₩, 달러 -> $, 유로 -> €)
+        (r"(\d+(?:\.\d+)?) ?(미국 달러|영국 파운드|달러|유로|원)"
+         r"(?=\s|$|[,.!?;:])", False, "{2:map:ko_cur}{1}"),
         # native-Korean hour words (한/두/세시...), minutes sino-Korean
         (r"(한|두|세|네|다섯|여섯|일곱|여덟|아홉|열한|열두|열)시", False,
          "{1:map:ko_hours}시"),

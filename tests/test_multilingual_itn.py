@@ -77,6 +77,11 @@ def test_itn(lang, text, want):
     ("tl", "sampu porsyento", "10 %"),
     ("tl", "lima piso", "₱5"),
     ("tl", "lima kilometro", "5 km"),
+    # ja/ko money (reference ja/ko data/currency.tsv: symbol-prefixed)
+    ("ja", "価格は三千五百円です", "価格は¥3500です"),
+    ("ja", "十二ドル", "$12"),
+    ("ko", "삼만 오천 원", "₩35000"),
+    ("ko", "십이 달러", "$12"),
     # id teens / date months capitalized / ordinal ke- / time setengah
     # (reference id data/months.tsv, taggers/{ordinal,time}.py)
     ("id", "dua ribu tiga belas", "2013"),
